@@ -86,15 +86,43 @@ def dec_for(body: memoryview) -> np.ndarray:
 
 # ---------------------------------------------------------------- delta (DELTA_BINARY_PACKED analog)
 
+_DELTA_BLOCK = 128  # values per miniblock (Parquet DELTA_BINARY_PACKED style)
+
+
 def enc_delta(arr: np.ndarray) -> bytes:
+    """Miniblock delta: zigzag diffs, per-128-value-block bit widths.
+
+    Per-block widths keep occasional large deltas (per-row timestamp resets,
+    outliers) from inflating the whole stream — same robustness argument as
+    Parquet's DELTA_BINARY_PACKED miniblocks the reference recommends
+    (rules/timestamp_encoding.rs:66-87). Blocks are packed grouped-by-width so
+    the number of numpy calls is O(distinct widths ≤ 33), not O(blocks).
+    """
     n = len(arr)
     if n == 0:
-        return _U32.pack(0) + _I64.pack(0) + b"\x00"
+        return _U32.pack(0) + _I64.pack(0) + _U32.pack(0)
     a = _as_i64(arr)
     first = int(a[0])
     zz = zigzag_encode(np.diff(a))
-    w = width_for(int(zz.max())) if n > 1 else 0
-    return _U32.pack(n) + _I64.pack(first) + bytes([w]) + pack_uints(zz, w)
+    m = len(zz)
+    nblocks = (m + _DELTA_BLOCK - 1) // _DELTA_BLOCK
+    pad = nblocks * _DELTA_BLOCK - m
+    zzp = np.pad(zz, (0, pad)).reshape(nblocks, _DELTA_BLOCK) if nblocks else zz.reshape(0, _DELTA_BLOCK)
+    maxes = zzp.max(axis=1) if nblocks else np.empty(0, np.uint64)
+    widths = np.zeros(nblocks, dtype=np.uint8)
+    nz = maxes > 0
+    if nz.any():
+        widths[nz] = np.floor(np.log2(maxes[nz].astype(np.float64))).astype(np.uint8) + 1
+        # float log2 can undershoot near powers of two — correct upward
+        bad = (maxes >> widths.astype(np.uint64)) > 0
+        widths[bad] += 1
+    parts = [_U32.pack(n), _I64.pack(first), _U32.pack(nblocks), widths.tobytes()]
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        blocks = zzp[widths == w].ravel()
+        parts.append(pack_uints(blocks, int(w)))
+    return b"".join(parts)
 
 
 def dec_delta(body: memoryview) -> np.ndarray:
@@ -102,12 +130,24 @@ def dec_delta(body: memoryview) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int32)
     (first,) = _I64.unpack_from(body, 4)
-    w = body[12]
-    zz = unpack_uints(bytes(body[13:]), n - 1, w)
+    (nblocks,) = _U32.unpack_from(body, 12)
+    widths = np.frombuffer(body, dtype=np.uint8, count=nblocks, offset=16)
+    pos = 16 + nblocks
+    m = n - 1
+    zzp = np.zeros((nblocks, _DELTA_BLOCK), dtype=np.uint64)
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = widths == w
+        cnt = int(sel.sum()) * _DELTA_BLOCK
+        nbytes = (cnt * int(w) + 7) // 8
+        zzp[sel] = unpack_uints(body[pos : pos + nbytes], cnt, int(w)).reshape(-1, _DELTA_BLOCK)
+        pos += nbytes
+    zz = zzp.ravel()[:m]
     out = np.empty(n, dtype=np.int64)
     out[0] = first
-    np.cumsum(zigzag_decode(zz), out=out[1:]) if n > 1 else None
     if n > 1:
+        np.cumsum(zigzag_decode(zz), out=out[1:])
         out[1:] += first
     return out.astype(np.int32)
 

@@ -1,0 +1,138 @@
+"""Codec auto-selection: linter rule thresholds as priors + sampled cost model.
+
+The reference's ten lint rules ARE its codec-selection logic (SURVEY.md §2.4);
+here they prune the candidate set, then a sampled cost estimate picks the
+winner — the "sampled cost-based codec auto-selection" of the north_star.
+
+Threshold provenance (reference, src/parquet-linter/src/rules/):
+- R1 dictionary: enable when cardinality_ratio < 0.1, reject when > 0.5
+  (dictionary_encoding.rs:12-19, 384-398, 460-474); dictionary payload
+  headroom ×1.25 (estimate_dictionary_payload_bytes, :183-201)
+- R3 low-compression-ratio: if the best candidate saves < 5% vs plain, emit
+  plain (ratio > 0.95 ⇒ UNCOMPRESSED, compression_ratio.rs:47-57)
+- R6 delta: monotone-ish integer streams ⇒ DELTA_BINARY_PACKED
+  (timestamp_encoding.rs:66-87)
+- R5 string-encoding analog: dictionary-unfriendly-but-structured payloads ⇒
+  symbol-table (FSST) candidate (string_encoding.rs:57-188)
+- Conservative fallback: unknown cardinality ⇒ assume all-distinct
+  (cardinality.rs:102-113) — realized here by distinct_est's clamping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codecs.bitio import width_for
+from .stats import ChunkStats, scale_distinct
+
+# R1 thresholds (dictionary_encoding.rs:12-19)
+DICT_ENABLE_RATIO = 0.1
+DICT_REJECT_RATIO = 0.5
+DICT_HEADROOM = 1.25
+# R3 threshold (compression_ratio.rs:47-57)
+LOW_RATIO = 0.95
+# R6: sortedness needed to consider delta
+DELTA_SORTED_FRAC = 0.90
+# RLE viability: sampled run ratio
+RLE_RUN_RATIO = 0.5
+# FSST gate: needs repeated structure → bounded alphabet in the sample
+FSST_MAX_RATIO = 0.25
+
+_HEADER = 32  # container + body headers, approx
+
+
+@dataclass
+class Decision:
+    """One row of the decisions DataFrame — the Diagnostic analog
+    (src/parquet-linter/src/diagnostic.rs:55-61)."""
+
+    codec: str
+    est_bytes: int
+    rule: str
+    severity: str = "suggestion"
+    candidates: dict = field(default_factory=dict)
+
+
+def estimate_bytes(stats: ChunkStats, codec: str) -> int:
+    """Analytical size estimate from sampled stats (no data pass)."""
+    n = stats.n_values
+    if n == 0:
+        return _HEADER
+    if codec == "plain":
+        return 4 * n + _HEADER
+    if codec == "for":
+        w = width_for(stats.max_val - stats.min_val)
+        return (w * n + 7) // 8 + _HEADER
+    if codec == "delta":
+        # miniblock layout: per-block widths + 1 width byte per 128 values
+        return int(stats.avg_delta_width * max(n - 1, 0) / 8) + n // 128 + _HEADER
+    if codec == "dict":
+        ndv = max(stats.distinct_est, 1)
+        idx_w = width_for(ndv - 1)
+        val_range = stats.max_val - stats.min_val
+        gap_w = width_for(max(val_range // max(ndv - 1, 1), 1) * 4)  # dict values delta-packed
+        table = int((gap_w * ndv + 7) // 8 * DICT_HEADROOM)  # ×1.25 headroom (R1)
+        return table + (idx_w * n + 7) // 8 + _HEADER
+    if codec == "rle":
+        runs = max(1, int(round(stats.run_ratio * n)))
+        val_w = width_for(stats.max_val - stats.min_val)
+        len_w = 16  # typical run-length width estimate
+        return (runs * (val_w + len_w) + 7) // 8 + _HEADER
+    raise ValueError(f"no analytical estimate for {codec}")
+
+
+def candidate_codecs(stats: ChunkStats) -> list[str]:
+    """Rule-threshold pruning → candidate set (cheap, no data pass)."""
+    cands = ["plain", "for"]
+    ratio = stats.cardinality_ratio
+    if ratio < DICT_REJECT_RATIO:           # R1: >0.5 ⇒ never dictionary
+        cands.append("dict")
+    if stats.run_ratio < RLE_RUN_RATIO:
+        cands.append("rle")
+    if stats.sorted_frac >= DELTA_SORTED_FRAC or width_for(stats.max_zz_delta) < width_for(
+        max(stats.max_val - stats.min_val, 1)
+    ):
+        cands.append("delta")
+    if ratio < FSST_MAX_RATIO and stats.n_values >= 1024:
+        cands.append("fsst")
+    return cands
+
+
+def _fsst_trial_bytes(flat: np.ndarray, stats: ChunkStats) -> int:
+    """FSST has no closed-form estimate → trial-encode the head sample and
+    scale the stream part (table cost counted once)."""
+    from .codecs.intcodecs import enc_fsst
+    from .stats import SAMPLE_VALUES
+
+    sample = flat[:SAMPLE_VALUES]
+    if len(sample) == 0:
+        return _HEADER
+    body = len(enc_fsst(sample))
+    per_value = body / len(sample)
+    return int(per_value * stats.n_values) + _HEADER
+
+
+def select_codec(flat: np.ndarray, stats: ChunkStats, forced: str | None = None) -> Decision:
+    """Pick the minimum-estimated-size codec; R3 escape hatch to plain."""
+    if forced is not None:
+        return Decision(forced, estimate_bytes(stats, forced) if forced != "fsst" else _fsst_trial_bytes(flat, stats), "forced", "suggestion")
+    cands = candidate_codecs(stats)
+    ests = {}
+    for c in cands:
+        ests[c] = _fsst_trial_bytes(flat, stats) if c == "fsst" else estimate_bytes(stats, c)
+    best = min(ests, key=lambda c: (ests[c], c))
+    plain_est = ests["plain"]
+    # R3: if the winner saves <5% vs plain, store plain (decode speed wins)
+    if best != "plain" and ests[best] > LOW_RATIO * plain_est:
+        return Decision("plain", plain_est, "low-compression-ratio", "suggestion", ests)
+    rule = {
+        "dict": "dictionary-encoding-cardinality",
+        "delta": "timestamp-delta-encoding",
+        "for": "frame-of-reference",
+        "rle": "run-length",
+        "fsst": "fsst-symbol-table",
+        "plain": "low-compression-ratio",
+    }[best]
+    return Decision(best, ests[best], rule, "suggestion", ests)

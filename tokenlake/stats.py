@@ -1,0 +1,113 @@
+"""Per-chunk column statistics — the ColumnContext analog, numpy-vectorized.
+
+The reference builds one ColumnContext per leaf column from footer metadata +
+one ≤16,384-row sample (src/parquet-linter/src/column_context.rs:12-34,
+129-186; SAMPLE_ROWS at cardinality.rs:29). We compute the same quantities per
+*encode chunk* directly from the in-memory Arrow batch inside the encode UDF —
+cheap because the data is already resident, and exactly the stats the codec
+cost model (select.py) consumes.
+
+Cardinality policy mirrors the 3-tier estimator (doc/cardinality.md):
+- exact NDV of the head sample (tier-3 hash-sample analog, vectorized)
+- ratio scale-up with clamping (`scale_distinct`, cardinality.rs:148-157)
+- conservative fallback: unresolved ⇒ assume all-distinct (cardinality.rs:102-113)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+SAMPLE_VALUES = 16_384  # reference SAMPLE_ROWS (cardinality.rs:29)
+
+
+@dataclass
+class ChunkStats:
+    """Stats for one (chunk, column) of int32 values."""
+
+    n_values: int
+    n_rows: int
+    min_val: int
+    max_val: int
+    ndv_sample: int
+    sample_n: int
+    distinct_est: int          # ratio-scaled, clamped (C6)
+    run_count_sample: int
+    sorted_frac: float         # fraction of non-negative sample deltas
+    max_zz_delta: int          # max zigzag(diff) over the sample
+    avg_delta_width: float     # mean per-128-block bit width of zigzag diffs
+    avg_fanout: float
+    raw_bytes: int
+
+    @property
+    def cardinality_ratio(self) -> float:
+        """distinct/non-null (column_context.rs:49-56)."""
+        return self.distinct_est / self.n_values if self.n_values else 1.0
+
+    @property
+    def run_ratio(self) -> float:
+        return self.run_count_sample / self.sample_n if self.sample_n else 1.0
+
+
+def scale_distinct(sample_distinct: int, sample_n: int, total: int) -> int:
+    """distinct ≈ clamp(ratio × total, ≥ sample_distinct, ≤ total)
+    (reference `scale_distinct`, cardinality.rs:148-157)."""
+    if sample_n == 0 or total == 0:
+        return 0
+    if sample_n >= total:
+        return sample_distinct
+    est = int(round(sample_distinct / sample_n * total))
+    return max(sample_distinct, min(est, total))
+
+
+def _avg_block_width(zz: np.ndarray, block: int = 128) -> float:
+    """Mean per-miniblock bit width — matches enc_delta's miniblock layout so
+    the analytical delta estimate is unbiased even with per-row resets."""
+    m = len(zz)
+    if m == 0:
+        return 0.0
+    nblocks = (m + block - 1) // block
+    zzp = np.pad(zz, (0, nblocks * block - m)).reshape(nblocks, block)
+    maxes = zzp.max(axis=1).astype(np.float64)
+    widths = np.where(maxes > 0, np.floor(np.log2(np.maximum(maxes, 1))) + 1, 0.0)
+    return float(widths.mean())
+
+
+def compute_chunk_stats(flat: np.ndarray, n_rows: int) -> ChunkStats:
+    """Stats over the flat token stream of one chunk (head-of-chunk sample,
+    mirroring the reference's first-row-group sampling, cardinality.rs:116-122)."""
+    n = len(flat)
+    if n == 0:
+        return ChunkStats(0, n_rows, 0, 0, 0, 0, 0, 0, 1.0, 0, 0.0, 0.0, 0)
+    sample = flat[:SAMPLE_VALUES]
+    sn = len(sample)
+    s64 = sample.astype(np.int64)
+    d = np.diff(s64)
+    zz = ((d << 1) ^ (d >> 63)).astype(np.uint64)
+    runs = 1 + int(np.count_nonzero(d)) if sn > 1 else sn
+    ndv = len(np.unique(sample))
+    if ndv < 0.5 * sn and n > sn:
+        # tier-2 analog: sample saturated ⇒ dictionary plausible ⇒ resolve NDV
+        # exactly with one hash pass (reference reads the dictionary page for
+        # the exact count, cardinality.rs:160-177; pd.unique is our dict page)
+        import pandas as pd
+
+        distinct_est = len(pd.unique(flat))
+    else:
+        distinct_est = scale_distinct(ndv, sn, n)
+    return ChunkStats(
+        n_values=n,
+        n_rows=n_rows,
+        min_val=int(flat.min()),
+        max_val=int(flat.max()),
+        ndv_sample=ndv,
+        sample_n=sn,
+        distinct_est=distinct_est,
+        run_count_sample=runs,
+        sorted_frac=float((d >= 0).mean()) if sn > 1 else 1.0,
+        max_zz_delta=int(zz.max()) if sn > 1 else 0,
+        avg_delta_width=_avg_block_width(zz),
+        avg_fanout=n / n_rows if n_rows else 0.0,
+        raw_bytes=4 * n,
+    )
