@@ -1,0 +1,58 @@
+"""Chunk planning: n_tok-aware bucket fan-out with deterministic chunk ids.
+
+The reference's R7 `page-row-group-size` rule caps row groups at 64 Ki rows /
+256 MB compressed (src/parquet-linter/src/rules/page_size.rs:7-10, 19-115).
+Our encode chunk is the row-group analog, so the same two caps drive the
+bucket count per source.
+
+Scale design (axes A of the north_rule):
+- chunk_id = f"{source}#{xxhash64(doc_id) % nbuckets}" — a pure function of
+  the DATA, not of Spark partitioning, so resume, re-runs, and different
+  cluster sizes all agree on chunk identity (SURVEY.md §7 hard-point c).
+- Skewed sources get proportionally more buckets (the 70%-hot source fans out
+  over many buckets ⇒ salting falls out of the plan; no single reducer sees
+  the hot key).
+- The per-source totals aggregation is one partial+final groupBy over two
+  long columns — O(#sources) result, fine at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# R7 caps (page_size.rs:7-10): 64 Ki rows; 256 MB → /4 B per token value
+MAX_CHUNK_ROWS = 64 * 1024
+MAX_CHUNK_VALUES = 64 * 1024 * 1024  # 256 MB of int32
+
+
+def plan_buckets(
+    df: DataFrame,
+    max_rows: int = MAX_CHUNK_ROWS,
+    max_values: int = MAX_CHUNK_VALUES,
+) -> DataFrame:
+    """Per-source bucket counts: ceil(max(rows/max_rows, values/max_values)).
+
+    Returns a tiny DataFrame (source, nbuckets) — broadcast-join it onto the
+    input; never collected at scale.
+    """
+    totals = df.groupBy("source").agg(
+        F.count("*").alias("rows"), F.sum("n_tok").alias("values")
+    )
+    return totals.select(
+        "source",
+        F.greatest(
+            F.ceil(F.col("rows") / max_rows),
+            F.ceil(F.col("values") / max_values),
+            F.lit(1),
+        ).cast("int").alias("nbuckets"),
+    )
+
+
+def assign_chunks(df: DataFrame, buckets: DataFrame) -> DataFrame:
+    """Add deterministic chunk_id; broadcast join keeps this shuffle-free."""
+    return df.join(F.broadcast(buckets), "source").withColumn(
+        "chunk_id",
+        F.concat_ws(
+            "#", F.col("source"), F.pmod(F.xxhash64("doc_id"), F.col("nbuckets"))
+        ),
+    ).drop("nbuckets")

@@ -1,0 +1,251 @@
+"""The encode job: chunked, codec-auto-selected, checkpointed, resumable.
+
+Spark shape (SURVEY.md §3.2): plan DataFrame → broadcast overrides → encode
+job (applyInPandas per chunk) → write encoded table + lineage checkpoint.
+This is the engine's analog of the reference's streaming rewrite
+(`fix::rewrite`, src/parquet-linter/src/fix.rs:213-234) — decode→re-encode as
+one Arrow-batched pass — except our writer properties are *per column-chunk*
+decisions from select.py instead of file-level WriterProperties.
+
+Resumability (north_rule): chunk ids are pure functions of the data
+(chunking.py), the lineage table records finished chunks, and `run(...,
+resume=True)` anti-joins them away before encoding. A mid-run kill therefore
+re-encodes only unfinished chunks.
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .chunking import MAX_CHUNK_ROWS, MAX_CHUNK_VALUES, assign_chunks, plan_buckets
+from .codecs import codec_of, encode_int_column, encode_str_column
+from .plan import EncodeConfig
+from .select import select_codec
+from .stats import compute_chunk_stats
+
+ENCODED_SCHEMA = (
+    "chunk_id string, column string, codec string, outer_zlib boolean, "
+    "payload binary, n_rows long, n_values long, encoded_bytes long, "
+    "raw_bytes long, doc_id_min string, doc_id_max string, rule string, "
+    "min_val long, max_val long, distinct_est long, "
+    "input_fingerprint string, elapsed_ms double"
+)
+
+LINEAGE_SCHEMA = (
+    "chunk_id string, input_fingerprint string, status string, "
+    "codec_summary string, encoded_bytes long, raw_bytes long, "
+    "elapsed_ms double, attempt int"
+)
+
+SEQ_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
+
+
+def _fingerprint(doc_ids: pd.Series, flat: np.ndarray) -> str:
+    """Cheap order-stable content hash for lineage (crc32 over both buffers)."""
+    c = zlib.crc32(flat.tobytes())
+    c = zlib.crc32("\x00".join(doc_ids.astype(str)).encode(), c)
+    return f"{c:08x}-{len(doc_ids)}-{len(flat)}"
+
+
+def encode_chunk(pdf: pd.DataFrame, cfg: EncodeConfig | None = None) -> pd.DataFrame:
+    """Encode one chunk (all four columns) → one metrics+payload row per column.
+
+    Vectorized throughout: flatten via np.concatenate over the row arrays,
+    stats + selection + codec kernels are numpy (stats.py / select.py /
+    codecs/). Rows are sorted by doc_id so chunk content, fingerprint, and
+    decode order are independent of Spark's shuffle arrival order.
+    """
+    t0 = time.perf_counter()
+    cfg = cfg or EncodeConfig()
+    overrides = cfg.overrides
+    pdf = pdf.sort_values("doc_id", kind="stable").reset_index(drop=True)
+    chunk_id = pdf["chunk_id"].iloc[0]
+    n_rows = len(pdf)
+    lens = pdf["n_tok"].to_numpy().astype(np.int64)
+    tok_arrays = [np.asarray(a, dtype=np.int32) for a in pdf["tokens"]]
+    flat = np.concatenate(tok_arrays) if tok_arrays else np.empty(0, dtype=np.int32)
+    fp = _fingerprint(pdf["doc_id"], flat)
+    did_min, did_max = pdf["doc_id"].iloc[0], pdf["doc_id"].iloc[-1]
+
+    rows = []
+
+    def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None):
+        codec, zl = codec_of(payload)
+        rows.append(
+            {
+                "chunk_id": chunk_id,
+                "column": column,
+                "codec": codec,
+                "outer_zlib": zl,
+                "payload": payload,
+                "n_rows": n_rows,
+                "n_values": n_values,
+                "encoded_bytes": len(payload),
+                "raw_bytes": raw_bytes,
+                "doc_id_min": did_min,
+                "doc_id_max": did_max,
+                "rule": rule,
+                "min_val": stats.min_val if stats else 0,
+                "max_val": stats.max_val if stats else 0,
+                "distinct_est": stats.distinct_est if stats else 0,
+                "input_fingerprint": fp,
+                "elapsed_ms": (time.perf_counter() - (t_start or t0)) * 1000,
+            }
+        )
+
+    # tokens: the payload column — full selector
+    t = time.perf_counter()
+    st = compute_chunk_stats(flat, n_rows)
+    decision = select_codec(
+        flat, st, forced=overrides.get("tokens"),
+        allow_dict="!dict:tokens" not in overrides,
+    )
+    payload = encode_int_column(flat, decision.codec, outer=cfg.outer_for("tokens"))
+    if len(payload) > len(flat) * 4 + 64 and decision.codec != "plain":
+        # hard guarantee: never worse than plain (R3 escape hatch)
+        decision = select_codec(flat, st, forced="plain")
+        payload = encode_int_column(flat, "plain", outer=cfg.outer_for("tokens"))
+    emit("tokens", payload, len(flat), flat.nbytes, st, decision.rule, t)
+
+    # n_tok: small-int lengths — same selector machinery
+    t = time.perf_counter()
+    lens32 = lens.astype(np.int32)
+    lst = compute_chunk_stats(lens32, n_rows)
+    ldec = select_codec(
+        lens32, lst, forced=overrides.get("n_tok"),
+        allow_dict="!dict:n_tok" not in overrides,
+    )
+    emit("n_tok", encode_int_column(lens32, ldec.codec, outer=cfg.outer_for("n_tok")), n_rows, lens32.nbytes, lst, ldec.rule, t)
+
+    # doc_id: unique strings → plain unless dictionary-friendly (R1 on strings)
+    t = time.perf_counter()
+    forced_doc = overrides.get("doc_id")
+    if forced_doc:
+        doc_codec = forced_doc
+    elif "!dict:doc_id" in overrides:
+        doc_codec = "str_plain"
+    else:
+        doc_codec = "str_dict" if pdf["doc_id"].nunique() < 0.5 * max(n_rows, 1) else "str_plain"
+    dbuf = encode_str_column(pdf["doc_id"].tolist(), doc_codec, outer=cfg.outer_for("doc_id"))
+    emit("doc_id", dbuf, n_rows, int(pdf["doc_id"].str.len().sum()), None, "string-byte-array-encoding", t)
+
+    # source: constant within a chunk by construction → dictionary
+    t = time.perf_counter()
+    sbuf = encode_str_column(pdf["source"].tolist(), overrides.get("source", "str_dict"), outer=cfg.outer_for("source"))
+    emit("source", sbuf, n_rows, int(pdf["source"].str.len().sum()), None, "dictionary-encoding-cardinality", t)
+
+    return pd.DataFrame(rows)
+
+
+def encode_dataframe(
+    df: DataFrame,
+    cfg: EncodeConfig | None = None,
+    max_rows: int = MAX_CHUNK_ROWS,
+    max_values: int = MAX_CHUNK_VALUES,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """sequences DataFrame → encoded DataFrame (lazy; no action triggered)."""
+    cfg = cfg or EncodeConfig()
+    if buckets is None:
+        buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.max_chunk_values or max_values)
+    chunked = assign_chunks(df, buckets)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_chunk(pdf, cfg)
+
+    return chunked.groupBy("chunk_id").applyInPandas(fn, ENCODED_SCHEMA)
+
+
+def lineage_from_encoded(encoded: DataFrame, attempt: int = 1) -> DataFrame:
+    """Derive per-chunk lineage rows from the encoded metrics (FIXTURES.md §2)."""
+    return (
+        encoded.groupBy("chunk_id", "input_fingerprint")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.concat_ws(":", "column", "codec")))
+            ).alias("codec_summary"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.max("elapsed_ms").alias("elapsed_ms"),
+        )
+        .select(
+            "chunk_id",
+            "input_fingerprint",
+            F.lit("complete").alias("status"),
+            "codec_summary",
+            "encoded_bytes",
+            "raw_bytes",
+            "elapsed_ms",
+            F.lit(attempt).alias("attempt"),
+        )
+    )
+
+
+def run(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    cfg: EncodeConfig | None = None,
+    resume: bool = True,
+    max_rows: int = MAX_CHUNK_ROWS,
+    max_values: int = MAX_CHUNK_VALUES,
+) -> dict:
+    """Full checkpointed encode: write encoded + lineage parquet under out_dir.
+
+    Returns a summary dict (chunks encoded, bytes, skipped-on-resume).
+    """
+    enc_path = f"{out_dir}/encoded"
+    lin_path = f"{out_dir}/lineage"
+    cfg = cfg or EncodeConfig()
+    buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.max_chunk_values or max_values)
+    chunked = assign_chunks(df, buckets)
+
+    attempt = 1
+    done: DataFrame | None = None
+    try:
+        existing = spark.read.parquet(lin_path)
+        done = existing.filter(F.col("status") == "complete").select("chunk_id").distinct()
+        attempt = int(existing.agg(F.max("attempt")).first()[0] or 0) + 1
+    except Exception:
+        done = None
+
+    skipped = 0
+    if resume and done is not None:
+        skipped = done.count()
+        chunked = chunked.join(F.broadcast(done), "chunk_id", "left_anti")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_chunk(pdf, cfg)
+
+    encoded = chunked.groupBy("chunk_id").applyInPandas(fn, ENCODED_SCHEMA)
+    encoded.write.mode("append").parquet(enc_path)
+    # lineage is derived from the committed encoded table (checkpoint follows
+    # data; a crash between the two writes only re-encodes, never corrupts)
+    committed = spark.read.parquet(enc_path)
+    if done is not None:
+        committed = committed.join(F.broadcast(done), "chunk_id", "left_anti")
+    lineage = lineage_from_encoded(committed, attempt)
+    lineage.write.mode("append").parquet(lin_path)
+
+    summary = (
+        spark.read.parquet(lin_path)
+        .filter(F.col("status") == "complete")
+        .agg(
+            F.countDistinct("chunk_id").alias("chunks"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+        )
+        .first()
+    )
+    return {
+        "chunks": summary["chunks"],
+        "encoded_bytes": summary["encoded_bytes"],
+        "raw_bytes": summary["raw_bytes"],
+        "skipped_chunks": skipped,
+        "attempt": attempt,
+    }

@@ -1,0 +1,199 @@
+"""Prescription DSL: the plan IR — parse / validate / apply / format.
+
+Same line-oriented grammar as the reference's prescription DSL
+(src/parquet-linter/src/prescription.rs: parse `:282-297`, parse_directive
+`:477-498`, conflict keys `:137-173`, validate `:299-321`, apply-last-wins
+`:323-361`, CLI warning on conflicts `src/parquet-linter-cli/src/main.rs:75-82`):
+
+    # comment
+    set file compression zlib(6)
+    set file max_chunk_rows 65536
+    set file max_chunk_values 67108864
+    set file statistics_truncate_length 64
+    set column tokens encoding fsst
+    set column tokens compression none
+    set column doc_id dictionary false
+
+Directive kinds (reference has 12 over parquet writer properties; ours cover
+the engine's knobs): file{compression, max_chunk_rows, max_chunk_values,
+statistics_truncate_length} and column{compression, encoding, dictionary}.
+
+Validation marks *conflicts* (same key, different value) as errors; exact
+duplicates are allowed (prescription.rs:779-818). `apply` folds in order, so
+the last directive wins — mirroring the reference's apply-despite-conflict
+semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+INT_ENCODINGS = {"plain", "for", "bitpack", "delta", "rle", "dict", "fsst"}
+STR_ENCODINGS = {"str_plain", "str_dict"}
+ENCODINGS = INT_ENCODINGS | STR_ENCODINGS
+
+_COMPRESSION_RE = re.compile(r"^(none|uncompressed|auto|zlib(\((\d)\))?)$")
+
+
+@dataclass
+class Directive:
+    scope: str              # "file" | "column"
+    column: str | None      # None for file scope
+    prop: str
+    value: str
+
+    def conflict_key(self) -> tuple:
+        """Directives with the same key but different values conflict
+        (prescription.rs:137-173)."""
+        return (self.scope, self.column, self.prop)
+
+    def format(self) -> str:
+        if self.scope == "file":
+            return f"set file {self.prop} {self.value}"
+        return f"set column {self.column} {self.prop} {self.value}"
+
+
+class PlanError(ValueError):
+    pass
+
+
+@dataclass
+class EncodeConfig:
+    """The WriterProperties analog consumed by encode_job."""
+
+    overrides: dict[str, str] = field(default_factory=dict)  # column -> encoding
+    outer: dict[str, str] = field(default_factory=dict)      # column|"" -> outer codec
+    max_chunk_rows: int | None = None
+    max_chunk_values: int | None = None
+    statistics_truncate_length: int | None = None
+
+    def outer_for(self, column: str) -> str:
+        return self.outer.get(column, self.outer.get("", "auto"))
+
+
+@dataclass
+class Prescription:
+    directives: list[Directive] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, text: str) -> "Prescription":
+        out = []
+        for lineno, raw in enumerate(text.splitlines(), 1):
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            if parts[0] != "set" or len(parts) < 4:
+                raise PlanError(f"line {lineno}: expected `set file|column ...`: {raw!r}")
+            if parts[1] == "file":
+                if len(parts) != 4:
+                    raise PlanError(f"line {lineno}: `set file PROP VALUE`: {raw!r}")
+                d = Directive("file", None, parts[2], parts[3])
+            elif parts[1] == "column":
+                if len(parts) != 5:
+                    raise PlanError(f"line {lineno}: `set column COL PROP VALUE`: {raw!r}")
+                d = Directive("column", parts[2], parts[3], parts[4])
+            else:
+                raise PlanError(f"line {lineno}: unknown scope {parts[1]!r}")
+            _check_directive(d, lineno)
+            out.append(d)
+        return cls(out)
+
+    def validate(self) -> list[str]:
+        """Conflicting keys with differing values → error strings."""
+        seen: dict[tuple, str] = {}
+        errors = []
+        for d in self.directives:
+            k = d.conflict_key()
+            if k in seen and seen[k] != d.value:
+                errors.append(
+                    f"conflicting directives for {k}: {seen[k]!r} vs {d.value!r}"
+                )
+            seen[k] = d.value
+        return errors
+
+    def apply(self, base: EncodeConfig | None = None) -> EncodeConfig:
+        """Fold directives into an EncodeConfig; last directive wins.
+        Untouched settings keep their `base` values (X1 preserve-untouched
+        semantics, reference fix.rs:25-70)."""
+        cfg = base or EncodeConfig()
+        cfg = EncodeConfig(
+            overrides=dict(cfg.overrides),
+            outer=dict(cfg.outer),
+            max_chunk_rows=cfg.max_chunk_rows,
+            max_chunk_values=cfg.max_chunk_values,
+            statistics_truncate_length=cfg.statistics_truncate_length,
+        )
+        for d in self.directives:
+            if d.scope == "file":
+                if d.prop == "compression":
+                    cfg.outer[""] = _norm_outer(d.value)
+                elif d.prop == "max_chunk_rows":
+                    cfg.max_chunk_rows = int(d.value)
+                elif d.prop == "max_chunk_values":
+                    cfg.max_chunk_values = int(d.value)
+                elif d.prop == "statistics_truncate_length":
+                    cfg.statistics_truncate_length = int(d.value)
+            else:
+                if d.prop == "encoding":
+                    cfg.overrides[d.column] = d.value
+                elif d.prop == "compression":
+                    cfg.outer[d.column] = _norm_outer(d.value)
+                elif d.prop == "dictionary":
+                    if d.value == "true":
+                        cfg.overrides[d.column] = (
+                            "str_dict" if d.column in ("doc_id", "source") else "dict"
+                        )
+                    else:
+                        # disable dict: fall back to auto-selection minus dict
+                        cfg.overrides.pop(d.column, None)
+                        cfg.overrides[f"!dict:{d.column}"] = "1"
+        return cfg
+
+    def format(self) -> str:
+        return "\n".join(d.format() for d in self.directives)
+
+    def merged_with(self, other: "Prescription") -> "Prescription":
+        return Prescription(self.directives + other.directives)
+
+
+def _norm_outer(v: str) -> str:
+    if v in ("none", "uncompressed"):
+        return "none"
+    if v == "auto":
+        return "auto"
+    m = _COMPRESSION_RE.match(v)
+    if not m:
+        raise PlanError(f"bad compression value {v!r}")
+    return v if ":" in v or "(" not in v else f"zlib:{m.group(3)}"
+
+
+def _check_directive(d: Directive, lineno: int) -> None:
+    file_props = {"compression", "max_chunk_rows", "max_chunk_values", "statistics_truncate_length"}
+    col_props = {"compression", "encoding", "dictionary"}
+    if d.scope == "file":
+        if d.prop not in file_props:
+            raise PlanError(f"line {lineno}: unknown file property {d.prop!r}")
+        if d.prop == "compression":
+            _norm_outer(d.value)
+        elif not d.value.isdigit():
+            raise PlanError(f"line {lineno}: {d.prop} expects an integer, got {d.value!r}")
+    else:
+        if d.prop not in col_props:
+            raise PlanError(f"line {lineno}: unknown column property {d.prop!r}")
+        if d.prop == "encoding" and d.value not in ENCODINGS:
+            raise PlanError(f"line {lineno}: unknown encoding {d.value!r}")
+        if d.prop == "dictionary" and d.value not in ("true", "false"):
+            raise PlanError(f"line {lineno}: dictionary expects true/false")
+        if d.prop == "compression":
+            _norm_outer(d.value)
+
+
+def plan_from_decisions(decisions: list[dict]) -> Prescription:
+    """Decisions DataFrame rows → prescription text (the lint → DSL export
+    path, reference cli/main.rs:103-118)."""
+    dirs = []
+    for r in decisions:
+        dirs.append(Directive("column", r["column"], "encoding", r["codec"]))
+    return Prescription(dirs)

@@ -62,7 +62,7 @@ def estimate_bytes(stats: ChunkStats, codec: str) -> int:
         return _HEADER
     if codec == "plain":
         return 4 * n + _HEADER
-    if codec == "for":
+    if codec in ("for", "bitpack"):
         w = width_for(stats.max_val - stats.min_val)
         return (w * n + 7) // 8 + _HEADER
     if codec == "delta":
@@ -83,11 +83,11 @@ def estimate_bytes(stats: ChunkStats, codec: str) -> int:
     raise ValueError(f"no analytical estimate for {codec}")
 
 
-def candidate_codecs(stats: ChunkStats) -> list[str]:
+def candidate_codecs(stats: ChunkStats, allow_dict: bool = True) -> list[str]:
     """Rule-threshold pruning → candidate set (cheap, no data pass)."""
     cands = ["plain", "for"]
     ratio = stats.cardinality_ratio
-    if ratio < DICT_REJECT_RATIO:           # R1: >0.5 ⇒ never dictionary
+    if allow_dict and ratio < DICT_REJECT_RATIO:  # R1: >0.5 ⇒ never dictionary
         cands.append("dict")
     if stats.run_ratio < RLE_RUN_RATIO:
         cands.append("rle")
@@ -114,11 +114,16 @@ def _fsst_trial_bytes(flat: np.ndarray, stats: ChunkStats) -> int:
     return int(per_value * stats.n_values) + _HEADER
 
 
-def select_codec(flat: np.ndarray, stats: ChunkStats, forced: str | None = None) -> Decision:
+def select_codec(
+    flat: np.ndarray,
+    stats: ChunkStats,
+    forced: str | None = None,
+    allow_dict: bool = True,
+) -> Decision:
     """Pick the minimum-estimated-size codec; R3 escape hatch to plain."""
     if forced is not None:
         return Decision(forced, estimate_bytes(stats, forced) if forced != "fsst" else _fsst_trial_bytes(flat, stats), "forced", "suggestion")
-    cands = candidate_codecs(stats)
+    cands = candidate_codecs(stats, allow_dict)
     ests = {}
     for c in cands:
         ests[c] = _fsst_trial_bytes(flat, stats) if c == "fsst" else estimate_bytes(stats, c)

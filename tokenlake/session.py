@@ -1,0 +1,41 @@
+"""SparkSession factory with the engine's required configuration.
+
+Arrow execution + AQE (skew handling, partition coalescing) are load-bearing:
+every encode/decode kernel is an Arrow-batched applyInPandas, and AQE is the
+runtime half of the skew strategy (the planning half is n_tok-aware bucket
+fan-out in chunking.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "tokenlake",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # one Arrow batch should comfortably hold a full encode chunk's rows
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        .config("spark.driver.memory", os.environ.get("TOKENLAKE_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    return builder.getOrCreate()
