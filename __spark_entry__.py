@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine is `tokenlake/` — a PySpark-native per-column lightweight-
+compression engine (dict/RLE/FSST/bit-pack/frame-of-reference with sampled
+cost-based auto-selection, mirroring parquet-linter's lint rules) plus the
+training-data pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing).
+
+queries()/oracle_sql() cover SURVEY.md §2 line-by-line; see
+tokenlake/queries.py for the per-operator reference citations. Entries whose
+semantics aren't SQL-expressible (custom codec encode/decode, xxhash simhash,
+generated LSH hyperplanes) have no oracle → driver records rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full engine roundtrip on sf0.001 — documents → tokenized
+    sequences → chunked auto-selected encode → decode → per-source
+    bit-identity counts. Driver checks rows > 0 and a stable schema."""
+    from tokenlake.queries import tl_roundtrip_check
+
+    return tl_roundtrip_check(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tokenlake.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tokenlake.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,82 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a typed
+metadata struct; decode / feature-extraction run as Arrow-batched
+`mapInPandas` kernels. The actual media decode is STUBBED (no image/audio
+libraries in this container — see `decode_image_stub`), but the Spark-side
+plumbing — schema, batch shape, partitioning, UDF signature — is real and
+tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, media_type string, byte_len long, "
+    "width int, height int"
+)
+
+FEATURE_SCHEMA = "doc_id long, byte_len long, feature array<float>"
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media: the utf-8 bytes of `text` become the opaque
+    payload; metadata is derived (stands in for a real image/audio column)."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("application/x-fake").alias("media_type"),
+        F.length(payload).cast("long").alias("byte_len"),
+        (F.length(payload) % 640).cast("int").alias("width"),
+        (F.length(payload) % 480).cast("int").alias("height"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Where a real pixel decode would go (PIL/libvips not in this container)."""
+    raise NotImplementedError(
+        "media decode requires an image library not present in this environment; "
+        "extract_features uses a deterministic fake instead"
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads.
+
+    The per-batch kernel is fully vectorized: a real implementation would
+    decode pixels/samples here; the deterministic fake hashes fixed-stride
+    byte slices so outputs are reproducible and schema-correct.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if len(arr) == 0:
+                    feats.append(np.zeros(dim, dtype=np.float32))
+                    continue
+                splits = np.array_split(arr.astype(np.float32), dim)
+                feats.append(
+                    np.array([s.mean() if len(s) else 0.0 for s in splits], dtype=np.float32)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].str.len().astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Metadata projection — stays entirely in whole-stage codegen."""
+    return media.select("doc_id", "media_type", "byte_len", "width", "height")

@@ -1,0 +1,207 @@
+"""Training-data text operators over the `documents` table — all built-in
+pyspark.sql.functions (JVM-side, codegen'd); no Python in the hot path.
+
+These extend the reference's capability set with the operations a large-scale
+training-data pipeline needs (dedup, quality, language-ID, fingerprinting).
+Design notes for 100 TB:
+- every operator is a pure column expression or a groupBy over a hash key →
+  map-side partial aggregation, no skew (md5 keys are uniform);
+- the LSH path (minhash → band bucket → in-bucket join) turns the O(n²)
+  near-dup problem into an equi-join on bucket keys — the standard
+  shuffle-friendly formulation;
+- n-gram Jaccard verification joins only within candidate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WORD_SPLIT_RE = "[^a-z0-9]+"
+
+# tiny per-language stopword marker sets for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "los", "de"],
+    "zh": ["de", "shi", "le", "bu"],
+}
+
+
+def words(col: str = "text") -> Column:
+    """Lowercased word array, empty strings dropped."""
+    return F.filter(F.split(F.lower(F.col(col)), WORD_SPLIT_RE), lambda w: w != "")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace/punct token counting (BPE-ish regex split)."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(words()).cast("long").alias("n_words"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features."""
+    w = words()
+    stop = F.array([F.lit(s) for s in ["the", "a", "of", "and", "to", "in"]])
+    n_words = F.size(w)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")) / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("alpha_ratio"),
+        F.round(
+            F.size(F.filter(w, lambda x: F.array_contains(stop, x))) / F.greatest(n_words, F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", ""))) / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("space_ratio"),
+    )
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled `lang` column."""
+    w = words()
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array([F.lit(m) for m in markers])
+        scores.append(
+            F.size(F.filter(w, lambda x: F.array_contains(marker_arr, x))).alias(f"score_{lang}")
+        )
+    scored = docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("lang"), *scores)
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es")) & (F.col("score_en") > 0), F.lit("en")
+        )
+        .when(F.col("score_es") > 0, F.lit("es"))
+        .otherwise(F.lit("unk"))
+    )
+    return scored.select("doc_id", "lang", pred.alias("predicted"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.md5(norm).alias("fp")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; keeper = min doc_id per group."""
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def shingles(col: str = "text", k: int = 3) -> Column:
+    """Word k-gram shingles (1-based transform — matches DuckDB list semantics)."""
+    w = words(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
+    """MinHash over word-3-gram shingles: mh_i = min(md5(i || shingle)).
+
+    min over md5 strings ≡ min over a uniform permutation of the shingle
+    space — the textbook string-minhash; seeds are prefix salts.
+    """
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(shingles())).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_buckets(docs: DataFrame, band: int = 0) -> DataFrame:
+    """LSH banding: docs sharing a minhash band are near-dup candidates."""
+    sig = minhash_signatures(docs)
+    return (
+        sig.groupBy(F.col(f"mh{band}").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard for near-dup pairs, verified within LSH buckets.
+
+    At scale the candidate set (same mh0 bucket) is tiny relative to n², so
+    the shingle self-join only touches candidate docs.
+    """
+    sig = minhash_signatures(docs).select("doc_id", F.col("mh0").alias("bucket"))
+    cand = sig.join(
+        sig.groupBy("bucket").count().filter(F.col("count") > 1).select("bucket"),
+        "bucket",
+    ).select(F.col("doc_id").alias("cand_id"))
+    sh = (
+        docs.join(cand, docs.doc_id.cast("long") == cand.cand_id)
+        .select(F.col("cand_id").alias("doc_id"), F.explode(F.array_distinct(shingles())).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over words: majority vote per bit of word-hash bits.
+
+    Uses xxhash64 (Spark built-in) — no portable SQL oracle, so the driver
+    records this one rows-only.
+    """
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(words()).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bits = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1).cast("long") * (2**i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)  # 16 bits is plenty for bucketing demo; cheap to widen
+    ]
+    agg = w.groupBy("doc_id").agg(*bits)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
