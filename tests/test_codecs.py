@@ -124,10 +124,11 @@ def test_str_dict_compresses_lowcard():
 
 
 def test_fsst_table_bounded():
-    """FSST symbol budget ≤ 255 composite symbols (FSST paper table size)."""
-    from tokenlake.codecs.intcodecs import enc_fsst
+    """FSST composite-symbol budget is bounded (token-alphabet variant of the
+    FSST paper's fixed-size table; ours is _FSST_MAX_SYMBOLS entries)."""
+    from tokenlake.codecs.intcodecs import _FSST_MAX_SYMBOLS, enc_fsst
     import struct
     body = enc_fsst(PROFILES["ngram"])
     (vlen,) = struct.unpack_from("<I", body, 4)
     (npairs,) = struct.unpack_from("<H", body, 8 + vlen)
-    assert npairs <= 255
+    assert npairs <= _FSST_MAX_SYMBOLS

@@ -7,20 +7,19 @@ src/parquet-linter/src/rules/float_encoding.rs:17-90). The reference never
 implements packing itself (it delegates to arrow-rs writers); we implement it
 here because the engine IS the encoder.
 
-Performance model (measured in this sandbox):
-- widths 8/16/32/64 → pure dtype casts (~2-4 GB/s)
-- other widths → unpackbits/packbits matrix transform (~50-60 MB/s per core)
-Packing runs block-wise so a multi-million-value chunk never materializes an
-n×64 bit matrix at once. BLOCK is divisible by 8, so every full block is
-byte-aligned and blocks concatenate into one contiguous bitstream; only the
-final partial block is zero-padded to a byte boundary.
+Wire layout for width w (k = w//8 byte planes, r = w%8 bit planes):
+- k byte planes, LSB first, n bytes each: plane b = byte b of each value
+- r bit planes, each ceil(n/8) bytes: plane j = np.packbits of bit 8k+j
+This is the BYTE_STREAM_SPLIT idea (float_encoding.rs) applied to packed
+integers: every plane is produced/consumed by one contiguous vectorized pass
+(a strided byte copy or a shift+packbits), so throughput is memory-bound
+instead of the O(64 bits/value) matrix expansion a naive row-major bitstream
+costs with numpy.
 """
 
 from __future__ import annotations
 
 import numpy as np
-
-BLOCK = 1 << 18  # values per packing block; % 8 == 0 → no inter-block padding
 
 _CAST_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
 
@@ -30,22 +29,40 @@ def width_for(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def packed_nbytes(n: int, width: int) -> int:
+    """Exact byte length of pack_uints(n values, width)."""
+    if width == 0 or n == 0:
+        return 0
+    k, r = divmod(width, 8)
+    return n * k + r * ((n + 7) // 8)
+
+
+def _carrier(width: int) -> np.dtype:
+    """Smallest unsigned dtype that holds `width` bits."""
+    for bits, dt in ((8, np.uint8), (16, np.uint16), (32, np.uint32), (64, np.uint64)):
+        if width <= bits:
+            return np.dtype(dt)
+    raise ValueError(f"width out of range: {width}")
+
+
 def pack_uints(vals: np.ndarray, width: int) -> bytes:
-    """Pack unsigned integers (< 2**width) into a little-endian bitstream."""
+    """Pack unsigned integers (< 2**width) into the plane layout."""
     if width < 0 or width > 64:
         raise ValueError(f"width out of range: {width}")
     n = len(vals)
     if width == 0 or n == 0:
         return b""
-    v = np.ascontiguousarray(vals, dtype=np.uint64)
     if width in _CAST_DTYPES:  # byte-aligned fast path: a cast IS the packing
-        return v.astype(_CAST_DTYPES[width]).tobytes()
-    parts = []
-    for i in range(0, n, BLOCK):
-        blk = v[i : i + BLOCK]
-        bytes_le = blk.view(np.uint8).reshape(-1, 8)
-        bits = np.unpackbits(bytes_le, axis=1, bitorder="little")
-        parts.append(np.packbits(bits[:, :width], bitorder="little").tobytes())
+        return np.ascontiguousarray(vals, dtype="<u8").astype(_CAST_DTYPES[width]).tobytes()
+    dt = _carrier(width)
+    v = np.ascontiguousarray(vals, dtype="<u8").astype(dt)
+    vv = v.view(np.uint8).reshape(n, dt.itemsize)  # little-endian byte matrix
+    k, r = divmod(width, 8)
+    parts = [np.ascontiguousarray(vv[:, b]).tobytes() for b in range(k)]
+    if r:
+        top = vv[:, k]
+        for j in range(r):
+            parts.append(np.packbits((top >> j) & 1, bitorder="little").tobytes())
     return b"".join(parts)
 
 
@@ -56,18 +73,22 @@ def unpack_uints(buf, n: int, width: int) -> np.ndarray:
     if width in _CAST_DTYPES:
         return np.frombuffer(buf, dtype=_CAST_DTYPES[width], count=n).astype(np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    out = np.empty(n, dtype=np.uint64)
-    full_block_bytes = BLOCK * width // 8
+    dt = _carrier(width)
+    k, r = divmod(width, 8)
+    vv = np.zeros((n, dt.itemsize), dtype=np.uint8)
     pos = 0
-    for i in range(0, n, BLOCK):
-        cnt = min(BLOCK, n - i)
-        nbytes = (cnt * width + 7) // 8
-        bits = np.unpackbits(raw[pos : pos + nbytes], bitorder="little", count=cnt * width)
-        full = np.zeros((cnt, 64), dtype=np.uint8)
-        full[:, :width] = bits.reshape(cnt, width)
-        out[i : i + cnt] = np.packbits(full, axis=1, bitorder="little").view(np.uint64).ravel()
-        pos += full_block_bytes if cnt == BLOCK else nbytes
-    return out
+    for b in range(k):
+        vv[:, b] = raw[pos : pos + n]
+        pos += n
+    if r:
+        nbb = (n + 7) // 8
+        top = np.zeros(n, dtype=np.uint8)
+        for j in range(r):
+            bits = np.unpackbits(raw[pos : pos + nbb], bitorder="little", count=n)
+            top |= bits << j
+            pos += nbb
+        vv[:, k] = top
+    return vv.ravel().view(dt.newbyteorder("<")).astype(np.uint64)
 
 
 def sorted_factorize(arr: np.ndarray):
@@ -80,6 +101,16 @@ def sorted_factorize(arr: np.ndarray):
     rank = np.empty_like(order)
     rank[order] = np.arange(len(order))
     return np.asarray(vals)[order], rank[codes]
+
+
+def ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]-1, 0..lens[1]-1, ...] vectorized (zero-length runs fine)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.repeat(np.cumsum(np.r_[0, lens[:-1]]), lens)
+    return np.arange(total, dtype=np.int64) - starts
 
 
 def zigzag_encode(vals: np.ndarray) -> np.ndarray:

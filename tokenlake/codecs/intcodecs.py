@@ -28,6 +28,8 @@ import numpy as np
 
 from .bitio import (
     pack_uints,
+    packed_nbytes,
+    ragged_arange,
     sorted_factorize,
     unpack_uints,
     width_for,
@@ -140,7 +142,7 @@ def dec_delta(body: memoryview) -> np.ndarray:
             continue
         sel = widths == w
         cnt = int(sel.sum()) * _DELTA_BLOCK
-        nbytes = (cnt * int(w) + 7) // 8
+        nbytes = packed_nbytes(cnt, int(w))
         zzp[sel] = unpack_uints(body[pos : pos + nbytes], cnt, int(w)).reshape(-1, _DELTA_BLOCK)
         pos += nbytes
     zz = zzp.ravel()[:m]
@@ -204,16 +206,60 @@ def dec_dict(body: memoryview) -> np.ndarray:
 
 # ---------------------------------------------------------------- FSST over token n-grams (RePair-style)
 
-_FSST_MAX_SYMBOLS = 255      # new composite symbols budget (mirrors FSST's 255-entry table)
+_FSST_MAX_SYMBOLS = 1 << 13  # composite-symbol budget; table cost is ~2*pw bits
+                             # per entry so even 8 Ki entries is a few KB
+_FSST_PER_ROUND = 1 << 12    # new symbols per round
 _FSST_ROUNDS = 8             # pairing rounds → captures n-grams up to 2**rounds tokens
-_FSST_MIN_COUNT = 4          # a digram must appear this often to earn a symbol
+_FSST_MIN_COUNT = 4          # a digram must appear this often (in the sample) to earn a symbol
+_FSST_SAMPLE = 1 << 19       # symbols examined to pick each round's pair table
+                             # (sampled cost estimation, reference SAMPLE_ROWS analog)
+
+
+def _dedup_by_hash(chosen: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pick a power-of-two LUT size and drop pairs whose low bits collide.
+
+    Dropping a colliding pair only costs a sliver of compression (it just isn't
+    replaced this round); it buys an exact one-gather membership test. Returns
+    (kept_chosen_sorted, lut, mask)."""
+    m = 1 << max(16, (len(chosen) * 16 - 1).bit_length())
+    m = min(m, 1 << 22)
+    h = (chosen & (m - 1)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    first = np.r_[True, hs[1:] != hs[:-1]]
+    kept = np.sort(chosen[order[first]])
+    lut = np.full(m, -1, np.int32)
+    lut[kept & (m - 1)] = np.arange(len(kept), dtype=np.int32)
+    return kept, lut, m - 1
+
+
+def _pair_membership(ph: np.ndarray, chosen: np.ndarray, lut: np.ndarray, mask: int):
+    """(cand_mask, chosen_index) per position: one AND + one small-table gather
+    + one verify gather — all cache-resident, no per-value Python."""
+    ci = lut[ph & mask]
+    cand = (ci >= 0) & (chosen[np.maximum(ci, 0)] == ph)
+    return cand, ci
+
+
+def _greedy_nonoverlap(cand: np.ndarray) -> np.ndarray:
+    """Left-to-right greedy over overlapping candidate pair starts: inside each
+    run of consecutive candidates keep even offsets. One maximum.accumulate
+    pass instead of per-run bookkeeping."""
+    n = len(cand)
+    pos = np.arange(n, dtype=np.int64)
+    run_start = np.where(cand & ~np.r_[False, cand[:-1]], pos, 0)
+    np.maximum.accumulate(run_start, out=run_start)
+    return np.flatnonzero(cand & (((pos - run_start) & 1) == 0))
 
 
 def enc_fsst(arr: np.ndarray) -> bytes:
     """Symbol-table compression: dictionary-map tokens, then RePair digram rounds.
 
-    Each round finds the most frequent adjacent symbol pairs, assigns them new
-    symbol ids, and replaces non-overlapping occurrences (greedy left-to-right,
+    Each round picks the most frequent adjacent symbol pairs *from a bounded
+    head sample* (the reference's 16 Ki-row sampling discipline,
+    cardinality.rs:29 — counting pairs over the full stream would make encode
+    O(rounds × n log n)), assigns them new symbol ids, and replaces
+    non-overlapping occurrences across the full stream (greedy left-to-right,
     resolved vectorized via run-parity). Composite symbols therefore expand to
     token n-grams of length up to 2**rounds — the "frequent phrase" structure
     the ngram fixture profile carries (FIXTURES.md §1).
@@ -230,48 +276,41 @@ def enc_fsst(arr: np.ndarray) -> bytes:
     stream = stream.astype(np.int64)
     base = len(base_vals)
     nsym = base
-    pair_left: list[int] = []
-    pair_right: list[int] = []
+    pair_left: list[np.ndarray] = []
+    pair_right: list[np.ndarray] = []
     budget = _FSST_MAX_SYMBOLS
     for _ in range(_FSST_ROUNDS):
-        if budget <= 0 or len(stream) < 2 or nsym > (1 << 31):
+        if budget <= 0 or len(stream) < 2 or nsym > (1 << 30):
             break
         K = np.int64(nsym)
         ph = stream[:-1] * K + stream[1:]
-        uniq, counts = np.unique(ph, return_counts=True)
+        uniq, counts = np.unique(ph[: _FSST_SAMPLE - 1], return_counts=True)
         order = np.argsort(-counts, kind="stable")
-        take = order[: min(budget, 64)]
+        take = order[: min(budget, _FSST_PER_ROUND)]
         take = take[counts[take] >= _FSST_MIN_COUNT]
         if len(take) == 0:
             break
-        chosen = np.sort(uniq[take])
-        # candidate positions: start of a chosen pair
-        cand = np.isin(ph, chosen)
+        chosen, lut, mask = _dedup_by_hash(uniq[take])
+        cand, ci = _pair_membership(ph, chosen, lut, mask)
         if not cand.any():
             break
-        # greedy non-overlap: within each run of consecutive candidate
-        # positions keep even offsets (== left-to-right greedy), vectorized
-        idx = np.flatnonzero(cand)
-        gaps = np.diff(idx) > 1
-        run_id = np.r_[0, np.cumsum(gaps)]
-        run_first = idx[np.r_[0, np.flatnonzero(gaps) + 1]]
-        offset_in_run = idx - run_first[run_id]
-        keep = idx[offset_in_run % 2 == 0]
+        keep = _greedy_nonoverlap(cand)
         if len(keep) == 0:
             break
-        # assign symbol ids to the chosen pairs in sorted-hash order
-        sym_of = np.searchsorted(chosen, ph[keep]) + nsym
-        pair_left.extend((chosen // K).astype(np.int64).tolist())
-        pair_right.extend((chosen % K).astype(np.int64).tolist())
-        new_stream = stream.copy()
-        new_stream[keep] = sym_of
+        # symbol id of each chosen pair = its rank in the sorted chosen array
+        sym_of = ci[keep].astype(np.int64) + nsym
+        pair_left.append((chosen // K).astype(np.int64))
+        pair_right.append((chosen % K).astype(np.int64))
+        stream[keep] = sym_of
         drop = np.zeros(len(stream), dtype=bool)
         drop[keep + 1] = True
-        stream = new_stream[~drop]
+        stream = stream[~drop]
         nsym += len(chosen)
         budget -= len(chosen)
     vbuf = enc_delta(base_vals.astype(np.int32))
-    npairs = len(pair_left)
+    lefts = np.concatenate(pair_left) if pair_left else np.empty(0, np.int64)
+    rights = np.concatenate(pair_right) if pair_right else np.empty(0, np.int64)
+    npairs = len(lefts)
     pw = width_for(nsym - 1) if nsym > 1 else 0
     sw = width_for(nsym - 1) if nsym > 1 else 0
     out = [
@@ -280,8 +319,8 @@ def enc_fsst(arr: np.ndarray) -> bytes:
         vbuf,
         struct.pack("<H", npairs),
         bytes([pw]),
-        pack_uints(np.asarray(pair_left, dtype=np.uint64), pw),
-        pack_uints(np.asarray(pair_right, dtype=np.uint64), pw),
+        pack_uints(lefts.astype(np.uint64), pw),
+        pack_uints(rights.astype(np.uint64), pw),
         _U32.pack(len(stream)),
         bytes([sw]),
         pack_uints(stream.astype(np.uint64), sw),
@@ -298,8 +337,7 @@ def dec_fsst(body: memoryview) -> np.ndarray:
     pos += 2
     pw = body[pos]
     pos += 1
-    # pack_uints block layout: npairs ≤ 255 < BLOCK → single block, byte-rounded
-    pb = (npairs * pw + 7) // 8
+    pb = packed_nbytes(npairs, pw)
     left = unpack_uints(bytes(body[pos : pos + pb]), npairs, pw).astype(np.int64)
     pos += pb
     right = unpack_uints(bytes(body[pos : pos + pb]), npairs, pw).astype(np.int64)
@@ -311,32 +349,28 @@ def dec_fsst(body: memoryview) -> np.ndarray:
     stream = unpack_uints(bytes(body[pos:]), slen, sw).astype(np.int64)
     base = len(base_vals)
     nsym = base + npairs
-    # expansion lengths per symbol (composite symbols reference lower ids only)
+    # symbol heap: concatenated full expansions of every symbol. Base symbols
+    # are singles at offsets 0..base-1; each composite's expansion is built
+    # bottom-up from two earlier heap slices (≤255 table entries → tiny loop
+    # over table size, never over data values).
     exp_len = np.ones(nsym, dtype=np.int64)
     for i in range(npairs):
-        s = base + i
-        exp_len[s] = exp_len[left[i]] + exp_len[right[i]]
-    # full expansions, built bottom-up (≤255 table entries → tiny python loop)
-    expansions: list[np.ndarray] = []
-    def expand(sym: int) -> np.ndarray:
-        if sym < base:
-            return base_vals[sym : sym + 1]
-        return expansions[sym - base]
+        exp_len[base + i] = exp_len[left[i]] + exp_len[right[i]]
+    heap_off = np.zeros(nsym + 1, dtype=np.int64)
+    np.cumsum(exp_len, out=heap_off[1:])
+    heap = np.empty(int(heap_off[-1]), dtype=np.int64)
+    heap[:base] = base_vals.astype(np.int64)
     for i in range(npairs):
-        expansions.append(np.concatenate([expand(int(left[i])), expand(int(right[i]))]))
+        s = base + i
+        o = int(heap_off[s])
+        l, r = int(left[i]), int(right[i])
+        ll = int(exp_len[l])
+        heap[o : o + ll] = heap[heap_off[l] : heap_off[l] + ll]
+        heap[o + ll : o + int(exp_len[s])] = heap[heap_off[r] : heap_off[r] + int(exp_len[r])]
+    # one gather expands the whole stream: out[i] = heap[start(sym_i) + j]
     lens = exp_len[stream]
-    offsets = np.r_[0, np.cumsum(lens)]
-    out = np.empty(n, dtype=np.int64)
-    # base symbols: single writes, vectorized
-    is_base = stream < base
-    out[offsets[:-1][is_base]] = base_vals[stream[is_base]]
-    # composite symbols: one vectorized scatter per distinct composite symbol
-    comp_syms = np.unique(stream[~is_base])
-    for s in comp_syms:
-        exp = expansions[int(s) - base]
-        starts = offsets[:-1][stream == s]
-        out[(starts[:, None] + np.arange(len(exp))).ravel()] = np.tile(exp, len(starts))
-    return out.astype(np.int32)
+    idx = np.repeat(heap_off[stream], lens) + ragged_arange(lens)
+    return heap[idx].astype(np.int32)
 
 
 # ---------------------------------------------------------------- dispatch
