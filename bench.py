@@ -41,11 +41,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from tokenlake import decode_job, encode_job
-    from tokenlake.schema import (
-        SEQUENCES_SPARK_SCHEMA,
-        generate_sequences,
-        sequences_from_documents,
-    )
+    from tokenlake.schema import generate_sequences, sequences_from_documents
     from tokenlake.session import get_spark
     from tokenlake.verify import verify_bit_identical
 
@@ -58,23 +54,43 @@ def main() -> None:
     try:
         # ---- build input (not part of the timed encode path)
         t0 = time.perf_counter()
-        synth = spark.createDataFrame(
-            generate_sequences(scale=synth_scale).to_pandas(),
-            schema=SEQUENCES_SPARK_SCHEMA,
+        input_path = f"{workdir}/input"
+        os.makedirs(input_path)
+        # synth rows: straight pyarrow write (a driver-side detour through
+        # pandas object-lists is ~10× slower for array columns)
+        import pyarrow.parquet as pq
+
+        # small row groups keep the file splittable: one giant row group would
+        # collapse the downstream scan to a single task
+        pq.write_table(
+            generate_sequences(scale=synth_scale),
+            f"{input_path}/synth.parquet",
+            row_group_size=8192,
         )
         docs = sequences_from_documents(spark, sf_dir)
-        input_path = f"{workdir}/input"
-        synth.unionByName(docs).write.parquet(input_path)
+        docs.write.mode("append").parquet(input_path)
         seq = spark.read.parquet(input_path)
         n_rows, n_tokens, raw_bytes = seq.agg(
             F.count("*"), F.sum("n_tok"), F.sum(F.col("n_tok") * 4)
         ).first()
         timings["build_input"] = time.perf_counter() - t0
 
-        # ---- encode (headline)
-        t0 = time.perf_counter()
-        summary = encode_job.run(spark, seq, f"{workdir}/out")
-        timings["encode"] = time.perf_counter() - t0
+        # Timed phases run best-of-N (reference leaderboard measures best-of-3,
+        # src/parquet-linter-leaderboard/src/benchmark.rs:16-42) — this sandbox
+        # host has multi-× run-to-run CPU variance, so a single sample is noise.
+        iters = int(os.environ.get("SPARK_GRAFT_ITERS", "3"))
+
+        # ---- encode (headline); fresh out dir per iter (resume would skip)
+        enc_times = []
+        summary = None
+        for i in range(iters):
+            t0 = time.perf_counter()
+            s = encode_job.run(spark, seq, f"{workdir}/out{i}")
+            enc_times.append(time.perf_counter() - t0)
+            summary = summary or s
+        out_dir = f"{workdir}/out0"
+        timings["encode"] = min(enc_times)
+        extras["encode_s_all"] = [round(t, 3) for t in enc_times]
         extras["chunks"] = summary["chunks"]
         extras["compressed_bytes"] = int(summary["encoded_bytes"])
         extras["raw_token_bytes"] = int(raw_bytes)
@@ -84,30 +100,37 @@ def main() -> None:
         extras["encode_GBps"] = round(raw_bytes / timings["encode"] / 1e9, 4)
 
         # ---- decode (headline)
-        t0 = time.perf_counter()
-        decoded = decode_job.decode(spark, f"{workdir}/out")
-        dec_tokens = decoded.agg(F.sum("n_tok")).first()[0]
-        timings["decode"] = time.perf_counter() - t0
+        dec_times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            decoded = decode_job.decode(spark, out_dir)
+            dec_tokens = decoded.agg(F.sum("n_tok")).first()[0]
+            dec_times.append(time.perf_counter() - t0)
+        timings["decode"] = min(dec_times)
+        extras["decode_s_all"] = [round(t, 3) for t in dec_times]
         extras["decode_tokens_per_s"] = round(dec_tokens / timings["decode"])
         extras["decode_GBps"] = round(dec_tokens * 4 / timings["decode"] / 1e9, 4)
 
-        # ---- verify bit-identical
+        # ---- verify bit-identical (includes its own decode pass)
         t0 = time.perf_counter()
-        result = verify_bit_identical(seq, decode_job.decode(spark, f"{workdir}/out"))
+        result = verify_bit_identical(seq, decode_job.decode(spark, out_dir))
         timings["verify"] = time.perf_counter() - t0
         extras["bit_identical"] = bool(result["pass"])
         extras["verify_rows"] = int(result["rows"])
 
         # ---- parquet baseline (reference output: default snappy parquet)
-        t0 = time.perf_counter()
-        base_dir = f"{workdir}/baseline"
-        seq.write.parquet(base_dir)
+        base_times = []
+        for i in range(iters):
+            base_dir = f"{workdir}/baseline{i}"
+            t0 = time.perf_counter()
+            seq.write.parquet(base_dir)
+            base_times.append(time.perf_counter() - t0)
+        timings["parquet_baseline"] = min(base_times)
         parquet_bytes = sum(
-            os.path.getsize(os.path.join(base_dir, f))
-            for f in os.listdir(base_dir)
+            os.path.getsize(os.path.join(f"{workdir}/baseline0", f))
+            for f in os.listdir(f"{workdir}/baseline0")
             if f.endswith(".parquet")
         )
-        timings["parquet_baseline"] = time.perf_counter() - t0
         extras["parquet_baseline_bytes"] = parquet_bytes
         extras["bytes_vs_parquet"] = round(extras["compressed_bytes"] / parquet_bytes, 4)
 

@@ -20,9 +20,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# R7 caps (page_size.rs:7-10): 64 Ki rows; 256 MB → /4 B per token value
+# R7 row cap (page_size.rs:7-10): 64 Ki rows per chunk.
 MAX_CHUNK_ROWS = 64 * 1024
-MAX_CHUNK_VALUES = 64 * 1024 * 1024  # 256 MB of int32
+# Value cap: 4 Mi tokens (16 MB of int32) per chunk. R7's byte cap is 256 MB,
+# but the encode kernels are memory-bandwidth-bound, so many medium chunks beat
+# few huge ones: stragglers shrink (critical path = largest chunk) and the
+# per-chunk working set stays cache-friendlier. Codec tables (dict/FSST) are
+# KB-sized and amortize fully well below 16 MB.
+MAX_CHUNK_VALUES = 4 * 1024 * 1024
 
 
 def plan_buckets(

@@ -46,16 +46,22 @@ def _carrier(width: int) -> np.dtype:
 
 
 def pack_uints(vals: np.ndarray, width: int) -> bytes:
-    """Pack unsigned integers (< 2**width) into the plane layout."""
+    """Pack unsigned integers (< 2**width) into the plane layout.
+
+    Values may arrive in any integer dtype; a direct cast to the carrier dtype
+    truncates to the low bits, which is exact for non-negative values < 2**width
+    (the caller's contract) and avoids widening everything to 8 B/value first —
+    these kernels are memory-bound, so intermediate bytes are the cost model.
+    """
     if width < 0 or width > 64:
         raise ValueError(f"width out of range: {width}")
     n = len(vals)
     if width == 0 or n == 0:
         return b""
     if width in _CAST_DTYPES:  # byte-aligned fast path: a cast IS the packing
-        return np.ascontiguousarray(vals, dtype="<u8").astype(_CAST_DTYPES[width]).tobytes()
+        return np.ascontiguousarray(vals).astype(_CAST_DTYPES[width], copy=False).tobytes()
     dt = _carrier(width)
-    v = np.ascontiguousarray(vals, dtype="<u8").astype(dt)
+    v = np.ascontiguousarray(vals).astype(dt, copy=False)
     vv = v.view(np.uint8).reshape(n, dt.itemsize)  # little-endian byte matrix
     k, r = divmod(width, 8)
     parts = [np.ascontiguousarray(vv[:, b]).tobytes() for b in range(k)]
@@ -66,12 +72,13 @@ def pack_uints(vals: np.ndarray, width: int) -> bytes:
     return b"".join(parts)
 
 
-def unpack_uints(buf, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_uints`; returns uint64 array of length n."""
+def unpack_uints(buf, n: int, width: int, dtype=np.uint64) -> np.ndarray:
+    """Inverse of :func:`pack_uints`; returns an array of `dtype` (must be an
+    unsigned type at least `width` bits wide) of length n."""
     if width == 0 or n == 0:
-        return np.zeros(n, dtype=np.uint64)
+        return np.zeros(n, dtype=dtype)
     if width in _CAST_DTYPES:
-        return np.frombuffer(buf, dtype=_CAST_DTYPES[width], count=n).astype(np.uint64)
+        return np.frombuffer(buf, dtype=_CAST_DTYPES[width], count=n).astype(dtype, copy=False)
     raw = np.frombuffer(buf, dtype=np.uint8)
     dt = _carrier(width)
     k, r = divmod(width, 8)
@@ -88,7 +95,7 @@ def unpack_uints(buf, n: int, width: int) -> np.ndarray:
             top |= bits << j
             pos += nbb
         vv[:, k] = top
-    return vv.ravel().view(dt.newbyteorder("<")).astype(np.uint64)
+    return vv.ravel().view(dt.newbyteorder("<")).astype(dtype, copy=False)
 
 
 def sorted_factorize(arr: np.ndarray):

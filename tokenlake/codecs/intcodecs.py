@@ -67,14 +67,21 @@ def dec_plain(body: memoryview) -> np.ndarray:
 # ---------------------------------------------------------------- frame-of-reference (+ pure bitpack)
 
 def enc_for(arr: np.ndarray) -> bytes:
-    """FOR: subtract min, bit-pack the non-negative deltas."""
+    """FOR: subtract min, bit-pack the non-negative deltas.
+
+    When the value range fits 32 bits the deltas are computed with uint32
+    wraparound arithmetic (exact: true delta < 2**32), halving memory traffic —
+    these kernels are bandwidth-bound when many chunks encode concurrently.
+    """
     n = len(arr)
     if n == 0:
         return _U32.pack(0) + _I64.pack(0) + b"\x00"
-    a = _as_i64(arr)
-    ref = int(a.min())
-    deltas = (a - ref).astype(np.uint64)
-    w = width_for(int(deltas.max()))
+    ref = int(arr.min())
+    w = width_for(int(arr.max()) - ref)
+    if w <= 32 and arr.dtype in (np.int32, np.uint32):
+        deltas = arr.view(np.uint32) - np.uint32(ref & 0xFFFFFFFF)
+    else:
+        deltas = (_as_i64(arr) - ref).astype(np.uint64)
     return _U32.pack(n) + _I64.pack(ref) + bytes([w]) + pack_uints(deltas, w)
 
 
@@ -82,6 +89,10 @@ def dec_for(body: memoryview) -> np.ndarray:
     (n,) = _U32.unpack_from(body, 0)
     (ref,) = _I64.unpack_from(body, 4)
     w = body[12]
+    if w <= 32:
+        # uint32 wraparound add is exact: result is an in-range int32
+        deltas = unpack_uints(bytes(body[13:]), n, w, dtype=np.uint32)
+        return (deltas + np.uint32(ref & 0xFFFFFFFF)).view(np.int32)
     deltas = unpack_uints(bytes(body[13:]), n, w)
     return (deltas.astype(np.int64) + ref).astype(np.int32)
 
@@ -200,7 +211,7 @@ def dec_dict(body: memoryview) -> np.ndarray:
     (vlen,) = _U32.unpack_from(body, 4)
     vals = dec_delta(body[8 : 8 + vlen])
     w = body[8 + vlen]
-    idx = unpack_uints(bytes(body[9 + vlen :]), n, w).astype(np.int64)
+    idx = unpack_uints(bytes(body[9 + vlen :]), n, w, dtype=np.uint32)
     return vals[idx] if n else np.empty(0, dtype=np.int32)
 
 
@@ -273,7 +284,9 @@ def enc_fsst(arr: np.ndarray) -> bytes:
             + _U32.pack(0) + b"\x00"          # stream len, stream width
         )
     base_vals, stream = sorted_factorize(arr)
-    stream = stream.astype(np.int64)
+    # symbols stay int32 (nsym < 2**30 guard below); only the pair hash needs
+    # 64 bits — the round loop is bandwidth-bound, so stream bytes = cost
+    stream = stream.astype(np.int32, copy=False)
     base = len(base_vals)
     nsym = base
     pair_left: list[np.ndarray] = []
@@ -295,13 +308,13 @@ def enc_fsst(arr: np.ndarray) -> bytes:
         if not cand.any():
             break
         keep = _greedy_nonoverlap(cand)
-        if len(keep) == 0:
+        # stop when a round stops paying: <2% of positions replaced
+        if len(keep) < max(1, len(stream) // 50):
             break
         # symbol id of each chosen pair = its rank in the sorted chosen array
-        sym_of = ci[keep].astype(np.int64) + nsym
+        stream[keep] = ci[keep] + np.int32(nsym)
         pair_left.append((chosen // K).astype(np.int64))
         pair_right.append((chosen % K).astype(np.int64))
-        stream[keep] = sym_of
         drop = np.zeros(len(stream), dtype=bool)
         drop[keep + 1] = True
         stream = stream[~drop]

@@ -193,6 +193,23 @@ FROM (SELECT user_id, count(*) AS rows FROM events GROUP BY user_id)
 """
 
 
+def q_a2_bool_minmax(spark, sf_dir):
+    """A2: boolean AND-min / OR-max (column_context.rs:383-400) over a derived
+    boolean column (value > 0) per event_type — min(bool)=all, max(bool)=any."""
+    b = (F.col("value") > 0).cast("boolean")
+    return _events(spark, sf_dir).groupBy("event_type").agg(
+        F.min(b).alias("bool_min"), F.max(b).alias("bool_max")
+    )
+
+
+SQL_A2 = """
+SELECT event_type,
+       min(value > 0) AS bool_min,
+       max(value > 0) AS bool_max
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.3 cardinality estimation
 # --------------------------------------------------------------------------
@@ -241,6 +258,27 @@ WITH s AS (SELECT source, count(DISTINCT text) AS sd, count(*) AS sn
 SELECT s.source, s.sd, s.sn, t.n,
        least(greatest(floor(s.sd::DOUBLE / s.sn * t.n + 0.5)::BIGINT, s.sd), t.n) AS distinct_est
 FROM s JOIN t USING (source)
+"""
+
+
+def q_c2_sample_group_pick(spark, sf_dir):
+    """C2: pick-first-non-empty-row-group (pick_sample_row_group,
+    cardinality.rs:116-122) — per source, the first doc_id bucket (doc_id // 64)
+    that has rows; deterministic head-of-table sampling analog."""
+    d = _docs(spark, sf_dir).withColumn("bucket", (F.col("doc_id") / 64).cast("long"))
+    g = d.groupBy("source", "bucket").agg(F.count("*").alias("rows"))
+    return (
+        g.filter(F.col("rows") > 0)
+        .groupBy("source")
+        .agg(F.min("bucket").alias("sample_bucket"))
+    )
+
+
+SQL_C2 = """
+SELECT source, min(bucket) AS sample_bucket
+FROM (SELECT source, (doc_id // 64)::BIGINT AS bucket, count(*) AS rows
+      FROM documents GROUP BY 1, 2)
+WHERE rows > 0 GROUP BY source
 """
 
 
@@ -332,6 +370,57 @@ FROM documents GROUP BY source
 """
 
 
+def q_r4_float_bss(spark, sf_dir):
+    """R4 float-byte-stream-split (float_encoding.rs:17-90): scalar float
+    column with cardinality ratio ≥ 0.1 ⇒ BYTE_STREAM_SPLIT."""
+    stats = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.round(F.countDistinct("value") / F.count("*"), 6).alias("ratio")
+    )
+    return stats.select(
+        "event_type",
+        "ratio",
+        F.when(F.col("ratio") >= 0.1, F.lit("byte-stream-split"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+    )
+
+
+SQL_R4 = """
+SELECT event_type, round(count(DISTINCT value)::DOUBLE / count(*), 6) AS ratio,
+       CASE WHEN round(count(DISTINCT value)::DOUBLE / count(*), 6) >= 0.1
+            THEN 'byte-stream-split' ELSE 'keep' END AS decision
+FROM events GROUP BY event_type
+"""
+
+
+def q_r5_string_encoding(spark, sf_dir):
+    """R5 string-byte-array-encoding (string_encoding.rs:57-188): text columns
+    in the dictionary-unfriendly middle band (ratio window + size floor) ⇒
+    DELTA_LENGTH_BYTE_ARRAY with dictionary off (FSST-candidate trigger in the
+    engine). Size floor scaled to test data (32 KB vs the reference's 32 MB)."""
+    g = _docs(spark, sf_dir).groupBy("source").agg(
+        F.sum("n_chars").alias("bytes"),
+        F.round(F.countDistinct("text") / F.count("*"), 6).alias("ratio"),
+    )
+    hit = (F.col("bytes") >= 32_000) & (F.col("ratio") >= 0.35) & (F.col("ratio") <= 0.75)
+    return g.select(
+        "source",
+        "bytes",
+        "ratio",
+        F.when(hit, F.lit("delta-length-no-dict")).otherwise(F.lit("keep")).alias("decision"),
+    )
+
+
+SQL_R5 = """
+SELECT source, sum(n_chars) AS bytes,
+       round(count(DISTINCT text)::DOUBLE / count(*), 6) AS ratio,
+       CASE WHEN sum(n_chars) >= 32000
+                 AND round(count(DISTINCT text)::DOUBLE / count(*), 6) BETWEEN 0.35 AND 0.75
+            THEN 'delta-length-no-dict' ELSE 'keep' END AS decision
+FROM documents GROUP BY source
+"""
+
+
 def q_r6_delta_detection(spark, sf_dir):
     """R6 (timestamp_encoding.rs:66-87): monotone-ish streams ⇒ delta. The
     sortedness statistic = fraction of non-negative lag deltas per group."""
@@ -398,6 +487,30 @@ SELECT source, count(*) AS rows, sum(n_chars) AS bytes,
             THEN least(100::BIGINT, greatest(1::BIGINT,
                  floor(count(*) * 20000.0 / sum(n_chars) + 0.5)::BIGINT))
        END AS suggested_max_rows
+FROM documents GROUP BY source
+"""
+
+
+def q_r8_missing_stats(spark, sf_dir):
+    """R8 missing-page-statistics (page_statistics.rs:13-51): any group with
+    absent stats (NULL text here plays the missing-column-index role) ⇒
+    enable-statistics; the metrics-completeness check of the engine."""
+    g = _docs(spark, sf_dir).groupBy("source").agg(
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("missing")
+    )
+    return g.select(
+        "source",
+        "missing",
+        F.when(F.col("missing") > 0, F.lit("enable-statistics"))
+        .otherwise(F.lit("ok"))
+        .alias("decision"),
+    )
+
+
+SQL_R8 = """
+SELECT source, sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS missing,
+       CASE WHEN sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) > 0
+            THEN 'enable-statistics' ELSE 'ok' END AS decision
 FROM documents GROUP BY source
 """
 
@@ -741,6 +854,7 @@ def tl_multimodal_features(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_column_totals": q_a1_column_totals,
+    "a2_bool_minmax": q_a2_bool_minmax,
     "a3_int_minmax": q_a3_int_minmax,
     "a4_float_minmax": q_a4_float_minmax,
     "a5_string_minmax": q_a5_string_minmax,
@@ -750,12 +864,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_mode": q_a9_mode,
     "a10_largest_group": q_a10_largest_group,
     "c_cardinality": q_c_cardinality,
+    "c2_sample_group_pick": q_c2_sample_group_pick,
     "c6_scale_up": q_c6_scale_up,
     "r1_dictionary_decision": q_r1_dictionary_decision,
     "r2_codec_upgrade": q_r2_codec_upgrade,
     "r3_low_compression": q_r3_low_compression,
+    "r4_float_bss": q_r4_float_bss,
+    "r5_string_encoding": q_r5_string_encoding,
     "r6_delta_detection": q_r6_delta_detection,
     "r7_chunk_sizing": q_r7_chunk_sizing,
+    "r8_missing_stats": q_r8_missing_stats,
     "r9_stats_truncate": q_r9_stats_truncate,
     "r10_embedding_pagesize": q_r10_embedding_pagesize,
     "severity_ordering": q_severity_ordering,
@@ -781,6 +899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "a1_column_totals": SQL_A1,
+    "a2_bool_minmax": SQL_A2,
     "a3_int_minmax": SQL_A3,
     "a4_float_minmax": SQL_A4,
     "a5_string_minmax": SQL_A5,
@@ -790,12 +909,16 @@ ORACLES: dict[str, str] = {
     "a9_mode": SQL_A9,
     "a10_largest_group": SQL_A10,
     "c_cardinality": SQL_C,
+    "c2_sample_group_pick": SQL_C2,
     "c6_scale_up": SQL_C6,
     "r1_dictionary_decision": SQL_R1,
     "r2_codec_upgrade": SQL_R2,
     "r3_low_compression": SQL_R3,
+    "r4_float_bss": SQL_R4,
+    "r5_string_encoding": SQL_R5,
     "r6_delta_detection": SQL_R6,
     "r7_chunk_sizing": SQL_R7,
+    "r8_missing_stats": SQL_R8,
     "r9_stats_truncate": SQL_R9,
     "r10_embedding_pagesize": SQL_R10,
     "severity_ordering": SQL_SEVERITY,

@@ -34,6 +34,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # one Arrow batch should comfortably hold a full encode chunk's rows
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # token-array rows expand several × from parquet to in-memory Arrow;
+        # smaller splits keep scan tasks balanced and fan out single big files
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("TOKENLAKE_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
