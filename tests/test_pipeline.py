@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from tokenlake import decode_job, encode_job
 from tokenlake.schema import SEQUENCES_SPARK_SCHEMA, generate_sequences
-from tokenlake.verify import verify_bit_identical
+from tokenlake.verify import verify_bit_identical, verify_by_hash
 
 SCALE = 0.02  # ~4.5k rows across all profiles
 
@@ -28,6 +28,24 @@ def test_roundtrip_bit_identical(spark, seq_df, tmp_out):
     decoded = decode_job.decode(spark, tmp_out)
     result = verify_bit_identical(seq_df, decoded)
     assert result["pass"], result
+
+
+def test_verify_by_hash_agrees_and_detects(spark, seq_df, tmp_out):
+    """Scale-path verifier: passes on an honest roundtrip, fails when a row
+    is tampered with (single-token flip) — same verdicts as the exact join."""
+    encode_job.run(spark, seq_df, tmp_out, max_rows=2000, max_values=500_000)
+    decoded = decode_job.decode(spark, tmp_out)
+    ok = verify_by_hash(seq_df, decoded)
+    assert ok["pass"], ok
+    tampered = decoded.withColumn(
+        "tokens",
+        F.when(
+            F.col("doc_id") == "lowcard-000000000000",
+            F.concat(F.array(F.lit(999)), F.slice("tokens", 2, 1_000_000)),
+        ).otherwise(F.col("tokens")),
+    )
+    bad = verify_by_hash(seq_df, tampered)
+    assert not bad["pass"] and bad["mismatched_sources"] == ["lowcard"], bad
 
 
 def test_compressed_leq_parquet_baseline(spark, seq_df, tmp_out, tmp_path):

@@ -13,6 +13,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def verify_by_hash(source: DataFrame, decoded: DataFrame) -> dict:
+    """Scale-path verification: no join. Each side is reduced to
+    (count, sum(xxhash64(doc_id, tokens, n_tok, source))) per source — two
+    scans and a tiny aggregate instead of shuffling both full datasets.
+    A single differing row flips the sum with probability 1 - 2^-64; use
+    verify_bit_identical for the exact per-row certificate.
+
+    At 10^12 rows this is the only verification shape that stays one pass:
+    the full-outer join variant shuffles 2× the corpus.
+    """
+    def digest(df: DataFrame) -> DataFrame:
+        # decimal(38,0) sum: 10^12 rows × |2^63| stays within 38 digits, and
+        # never trips the ANSI long-overflow that sum(bigint) would
+        h = F.xxhash64("doc_id", "tokens", "n_tok", "source").cast("decimal(38,0)")
+        return df.groupBy("source").agg(
+            F.count("*").alias("rows"), F.sum(h).alias("h")
+        )
+
+    s = {r["source"]: (r["rows"], r["h"]) for r in digest(source).collect()}
+    d = {r["source"]: (r["rows"], r["h"]) for r in digest(decoded).collect()}
+    mismatched = sorted(k for k in s.keys() | d.keys() if s.get(k) != d.get(k))
+    rows = sum(r for r, _ in s.values())
+    return {
+        "rows": rows,
+        "sources": len(s),
+        "mismatched_sources": mismatched,
+        "pass": not mismatched,
+    }
+
+
 def verify_bit_identical(source: DataFrame, decoded: DataFrame) -> dict:
     """Returns {'rows': n, 'matched': m, 'missing': k, 'mismatched': j}.
 
