@@ -50,7 +50,7 @@ PROFILES["ngram"] = make_ngram_profile()
 @pytest.mark.parametrize("profile", sorted(PROFILES))
 def test_int_roundtrip_bit_identical(codec, profile):
     arr = PROFILES[profile]
-    for outer in ("none", "auto", "zlib:1"):
+    for outer in ("none", "auto", "zlib:1", "zstd:3", "lz4"):
         buf = encode_int_column(arr, codec, outer=outer)
         out = decode_column(buf)
         assert out.dtype == np.int32
@@ -103,8 +103,8 @@ def test_random_stays_near_plain():
 def test_auto_outer_skipped_when_incompressible():
     arr = PROFILES["random_full"]
     buf = encode_int_column(arr, "plain", outer="auto")
-    name, zlibbed = codec_of(buf)
-    assert name == "plain" and not zlibbed  # R3: ratio>0.95 ⇒ no outer layer
+    name, outer = codec_of(buf)
+    assert name == "plain" and outer == "none"  # R3: ratio>0.95 ⇒ no outer layer
 
 
 def test_str_roundtrip():

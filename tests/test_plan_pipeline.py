@@ -63,4 +63,4 @@ def test_file_outer_none_respected(spark, small_df, tmp_path):
     cfg = Prescription.parse("set file compression none").apply()
     encode_job.run(spark, small_df, out, cfg=cfg)
     enc = spark.read.parquet(f"{out}/encoded")
-    assert enc.filter(F.col("outer_zlib")).count() == 0
+    assert enc.filter(F.col("outer") != "none").count() == 0

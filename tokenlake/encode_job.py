@@ -29,7 +29,7 @@ from .select import select_codec
 from .stats import compute_chunk_stats
 
 ENCODED_SCHEMA = (
-    "chunk_id string, column string, codec string, outer_zlib boolean, "
+    "chunk_id string, column string, codec string, outer string, "
     "payload binary, n_rows long, n_values long, encoded_bytes long, "
     "raw_bytes long, doc_id_min string, doc_id_max string, rule string, "
     "min_val long, max_val long, distinct_est long, "
@@ -75,13 +75,13 @@ def encode_chunk(pdf: pd.DataFrame, cfg: EncodeConfig | None = None) -> pd.DataF
     rows = []
 
     def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None):
-        codec, zl = codec_of(payload)
+        codec, outer_name = codec_of(payload)
         rows.append(
             {
                 "chunk_id": chunk_id,
                 "column": column,
                 "codec": codec,
-                "outer_zlib": zl,
+                "outer": outer_name,
                 "payload": payload,
                 "n_rows": n_rows,
                 "n_values": n_values,
@@ -162,9 +162,15 @@ def encode_dataframe(
 
 
 def lineage_from_encoded(encoded: DataFrame, attempt: int = 1) -> DataFrame:
-    """Derive per-chunk lineage rows from the encoded metrics (FIXTURES.md §2)."""
+    """Derive per-chunk lineage rows from the encoded metrics (FIXTURES.md §2).
+
+    A crash between the encoded and lineage writes can leave duplicate
+    (chunk_id, column) rows; content is deterministic, so dedup before
+    aggregating to keep byte totals exact.
+    """
     return (
-        encoded.groupBy("chunk_id", "input_fingerprint")
+        encoded.dropDuplicates(["chunk_id", "column"])
+        .groupBy("chunk_id", "input_fingerprint")
         .agg(
             F.concat_ws(
                 ",", F.sort_array(F.collect_list(F.concat_ws(":", "column", "codec")))
@@ -223,12 +229,15 @@ def run(
         return encode_chunk(pdf, cfg)
 
     encoded = chunked.groupBy("chunk_id").applyInPandas(fn, ENCODED_SCHEMA)
-    encoded.write.mode("append").parquet(enc_path)
+    # each attempt writes its own partition dir so the lineage derivation
+    # below re-reads ONLY this attempt's files — at 10^12 rows re-reading the
+    # whole encoded table per resume would be a full extra scan
+    encoded.write.mode("append").parquet(f"{enc_path}/attempt={attempt}")
     # lineage is derived from the committed encoded table (checkpoint follows
-    # data; a crash between the two writes only re-encodes, never corrupts)
-    committed = spark.read.parquet(enc_path)
-    if done is not None:
-        committed = committed.join(F.broadcast(done), "chunk_id", "left_anti")
+    # data; a crash between the two writes only re-encodes, never corrupts).
+    # Explicit schema: a fully-skipped resume writes zero data files, which
+    # schema inference would reject.
+    committed = spark.read.schema(ENCODED_SCHEMA).parquet(f"{enc_path}/attempt={attempt}")
     lineage = lineage_from_encoded(committed, attempt)
     lineage.write.mode("append").parquet(lin_path)
 

@@ -33,7 +33,12 @@ INT_ENCODINGS = {"plain", "for", "bitpack", "delta", "rle", "dict", "fsst"}
 STR_ENCODINGS = {"str_plain", "str_dict"}
 ENCODINGS = INT_ENCODINGS | STR_ENCODINGS
 
-_COMPRESSION_RE = re.compile(r"^(none|uncompressed|auto|zlib(\((\d)\))?)$")
+# same codec grammar as the reference prescription DSL (prescription.rs:583-622)
+_COMPRESSION_RE = re.compile(
+    r"^(?:none|uncompressed|auto|snappy|lz4|lz4_raw"
+    r"|(?P<name>zlib|gzip|zstd|brotli)(?:\((?P<level>\d{1,2})\))?)$"
+)
+_LEVEL_RANGES = {"zlib": (0, 9), "gzip": (0, 9), "zstd": (1, 22), "brotli": (0, 11)}
 
 
 @dataclass
@@ -159,6 +164,9 @@ class Prescription:
 
 
 def _norm_outer(v: str) -> str:
+    """Normalize DSL codec syntax (`zstd(3)`, `lz4`, `uncompressed`) to the
+    container's `name[:level]` form; validates level ranges like the
+    reference parser (prescription.rs:583-622)."""
     if v in ("none", "uncompressed"):
         return "none"
     if v == "auto":
@@ -166,7 +174,16 @@ def _norm_outer(v: str) -> str:
     m = _COMPRESSION_RE.match(v)
     if not m:
         raise PlanError(f"bad compression value {v!r}")
-    return v if ":" in v or "(" not in v else f"zlib:{m.group(3)}"
+    name = m.group("name")
+    if name is None:
+        return "lz4" if v == "lz4_raw" else v  # snappy / lz4 (no level)
+    level = m.group("level")
+    if level is not None:
+        lo, hi = _LEVEL_RANGES[name]
+        if not lo <= int(level) <= hi:
+            raise PlanError(f"{name} level out of range [{lo},{hi}]: {v!r}")
+        return f"{name}:{int(level)}"
+    return name
 
 
 def _check_directive(d: Directive, lineno: int) -> None:
