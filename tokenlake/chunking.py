@@ -53,11 +53,17 @@ def plan_buckets(
     )
 
 
-def assign_chunks(df: DataFrame, buckets: DataFrame) -> DataFrame:
-    """Add deterministic chunk_id; broadcast join keeps this shuffle-free."""
+def assign_chunks(df: DataFrame, buckets: DataFrame, salt: str | None = None) -> DataFrame:
+    """Add deterministic chunk_id; broadcast join keeps this shuffle-free.
+
+    `salt` namespaces chunk ids (streaming uses the micro-batch id): two
+    batches may route different row sets to the same (source, bucket), and
+    chunk payloads must stay self-contained per chunk_id.
+    """
+    parts = [F.col("source")]
+    if salt is not None:
+        parts.append(F.lit(salt))
+    parts.append(F.pmod(F.xxhash64("doc_id"), F.col("nbuckets")))
     return df.join(F.broadcast(buckets), "source").withColumn(
-        "chunk_id",
-        F.concat_ws(
-            "#", F.col("source"), F.pmod(F.xxhash64("doc_id"), F.col("nbuckets"))
-        ),
+        "chunk_id", F.concat_ws("#", *parts)
     ).drop("nbuckets")

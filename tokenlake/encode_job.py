@@ -19,7 +19,8 @@ import time
 import zlib
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .chunking import MAX_CHUNK_ROWS, MAX_CHUNK_VALUES, assign_chunks, plan_buckets
@@ -36,6 +37,28 @@ ENCODED_SCHEMA = (
     "input_fingerprint string, elapsed_ms double"
 )
 
+ENCODED_ARROW_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("outer", pa.string()),
+        ("payload", pa.binary()),
+        ("n_rows", pa.int64()),
+        ("n_values", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("doc_id_min", pa.string()),
+        ("doc_id_max", pa.string()),
+        ("rule", pa.string()),
+        ("min_val", pa.int64()),
+        ("max_val", pa.int64()),
+        ("distinct_est", pa.int64()),
+        ("input_fingerprint", pa.string()),
+        ("elapsed_ms", pa.float64()),
+    ]
+)
+
 LINEAGE_SCHEMA = (
     "chunk_id string, input_fingerprint string, status string, "
     "codec_summary string, encoded_bytes long, raw_bytes long, "
@@ -45,32 +68,39 @@ LINEAGE_SCHEMA = (
 SEQ_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
 
 
-def _fingerprint(doc_ids: pd.Series, flat: np.ndarray) -> str:
-    """Cheap order-stable content hash for lineage (crc32 over both buffers)."""
+def _fingerprint(doc_ids: pa.Array, flat: np.ndarray) -> str:
+    """Cheap order-stable content hash for lineage: crc32 over the flat token
+    buffer plus the doc_id utf8 data + lengths (buffer-level, no per-row work)."""
     c = zlib.crc32(flat.tobytes())
-    c = zlib.crc32("\x00".join(doc_ids.astype(str)).encode(), c)
+    c = zlib.crc32(np.asarray(pc.utf8_length(doc_ids), dtype=np.int64).tobytes(), c)
+    for buf in doc_ids.buffers():
+        if buf is not None:
+            c = zlib.crc32(buf, c)
     return f"{c:08x}-{len(doc_ids)}-{len(flat)}"
 
 
-def encode_chunk(pdf: pd.DataFrame, cfg: EncodeConfig | None = None) -> pd.DataFrame:
+def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     """Encode one chunk (all four columns) → one metrics+payload row per column.
 
-    Vectorized throughout: flatten via np.concatenate over the row arrays,
-    stats + selection + codec kernels are numpy (stats.py / select.py /
-    codecs/). Rows are sorted by doc_id so chunk content, fingerprint, and
-    decode order are independent of Spark's shuffle arrival order.
+    Arrow-native (applyInArrow): the token flatten is a zero-copy view of the
+    list array's value buffer — no pandas object columns, no per-row Python.
+    Rows are sorted by doc_id so chunk content, fingerprint, and decode order
+    are independent of Spark's shuffle arrival order.
     """
     t0 = time.perf_counter()
     cfg = cfg or EncodeConfig()
     overrides = cfg.overrides
-    pdf = pdf.sort_values("doc_id", kind="stable").reset_index(drop=True)
-    chunk_id = pdf["chunk_id"].iloc[0]
-    n_rows = len(pdf)
-    lens = pdf["n_tok"].to_numpy().astype(np.int64)
-    tok_arrays = [np.asarray(a, dtype=np.int32) for a in pdf["tokens"]]
-    flat = np.concatenate(tok_arrays) if tok_arrays else np.empty(0, dtype=np.int32)
-    fp = _fingerprint(pdf["doc_id"], flat)
-    did_min, did_max = pdf["doc_id"].iloc[0], pdf["doc_id"].iloc[-1]
+    t = t.sort_by("doc_id").combine_chunks()
+    chunk_id = t.column("chunk_id")[0].as_py()
+    n_rows = t.num_rows
+    doc = t.column("doc_id").chunk(0) if t.column("doc_id").num_chunks else pa.array([], pa.string())
+    src = t.column("source").chunk(0) if t.column("source").num_chunks else pa.array([], pa.string())
+    toks = t.column("tokens").chunk(0) if t.column("tokens").num_chunks else pa.array([], pa.list_(pa.int32()))
+    lens = t.column("n_tok").to_numpy().astype(np.int64)
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    fp = _fingerprint(doc, flat)
+    did_min = doc[0].as_py() if n_rows else ""
+    did_max = doc[n_rows - 1].as_py() if n_rows else ""
 
     rows = []
 
@@ -130,16 +160,19 @@ def encode_chunk(pdf: pd.DataFrame, cfg: EncodeConfig | None = None) -> pd.DataF
     elif "!dict:doc_id" in overrides:
         doc_codec = "str_plain"
     else:
-        doc_codec = "str_dict" if pdf["doc_id"].nunique() < 0.5 * max(n_rows, 1) else "str_plain"
-    dbuf = encode_str_column(pdf["doc_id"].tolist(), doc_codec, outer=cfg.outer_for("doc_id"))
-    emit("doc_id", dbuf, n_rows, int(pdf["doc_id"].str.len().sum()), None, "string-byte-array-encoding", t)
+        ndv_doc = pc.count_distinct(doc).as_py() if n_rows else 0
+        doc_codec = "str_dict" if ndv_doc < 0.5 * max(n_rows, 1) else "str_plain"
+    dbuf = encode_str_column(doc, doc_codec, outer=cfg.outer_for("doc_id"))
+    doc_bytes = int(pc.sum(pc.binary_length(doc)).as_py() or 0)
+    emit("doc_id", dbuf, n_rows, doc_bytes, None, "string-byte-array-encoding", t)
 
     # source: constant within a chunk by construction → dictionary
     t = time.perf_counter()
-    sbuf = encode_str_column(pdf["source"].tolist(), overrides.get("source", "str_dict"), outer=cfg.outer_for("source"))
-    emit("source", sbuf, n_rows, int(pdf["source"].str.len().sum()), None, "dictionary-encoding-cardinality", t)
+    sbuf = encode_str_column(src, overrides.get("source", "str_dict"), outer=cfg.outer_for("source"))
+    src_bytes = int(pc.sum(pc.binary_length(src)).as_py() or 0)
+    emit("source", sbuf, n_rows, src_bytes, None, "dictionary-encoding-cardinality", t)
 
-    return pd.DataFrame(rows)
+    return pa.Table.from_pylist(rows, schema=ENCODED_ARROW_SCHEMA)
 
 
 def encode_dataframe(
@@ -155,10 +188,10 @@ def encode_dataframe(
         buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.max_chunk_values or max_values)
     chunked = assign_chunks(df, buckets)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_chunk(pdf, cfg)
+    def fn(t: pa.Table) -> pa.Table:
+        return encode_chunk(t, cfg)
 
-    return chunked.groupBy("chunk_id").applyInPandas(fn, ENCODED_SCHEMA)
+    return chunked.groupBy("chunk_id").applyInArrow(fn, ENCODED_SCHEMA)
 
 
 def lineage_from_encoded(encoded: DataFrame, attempt: int = 1) -> DataFrame:
@@ -200,16 +233,18 @@ def run(
     resume: bool = True,
     max_rows: int = MAX_CHUNK_ROWS,
     max_values: int = MAX_CHUNK_VALUES,
+    salt: str | None = None,
 ) -> dict:
     """Full checkpointed encode: write encoded + lineage parquet under out_dir.
 
     Returns a summary dict (chunks encoded, bytes, skipped-on-resume).
+    `salt` namespaces chunk ids (streaming passes the micro-batch id).
     """
     enc_path = f"{out_dir}/encoded"
     lin_path = f"{out_dir}/lineage"
     cfg = cfg or EncodeConfig()
     buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.max_chunk_values or max_values)
-    chunked = assign_chunks(df, buckets)
+    chunked = assign_chunks(df, buckets, salt=salt)
 
     attempt = 1
     done: DataFrame | None = None
@@ -225,10 +260,10 @@ def run(
         skipped = done.count()
         chunked = chunked.join(F.broadcast(done), "chunk_id", "left_anti")
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_chunk(pdf, cfg)
+    def fn(t: pa.Table) -> pa.Table:
+        return encode_chunk(t, cfg)
 
-    encoded = chunked.groupBy("chunk_id").applyInPandas(fn, ENCODED_SCHEMA)
+    encoded = chunked.groupBy("chunk_id").applyInArrow(fn, ENCODED_SCHEMA)
     # each attempt writes its own partition dir so the lineage derivation
     # below re-reads ONLY this attempt's files — at 10^12 rows re-reading the
     # whole encoded table per resume would be a full extra scan

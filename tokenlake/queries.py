@@ -848,6 +848,35 @@ def tl_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def tl_streaming_ingest(spark, sf_dir):
+    """Structured-Streaming ingest roundtrip (streaming.py): drop the
+    docs-derived sequences as a file, drain with availableNow, decode, and
+    report per-source bit-identity counts. Rows-only (streaming has no SQL
+    oracle; the reference has no streaming operators at all, SURVEY.md §2.8)."""
+    import tempfile
+
+    from . import decode_job, streaming
+    from .schema import sequences_from_documents
+
+    wd = tempfile.mkdtemp(prefix="tl_stream_")
+    seq = sequences_from_documents(spark, sf_dir)
+    seq.write.mode("overwrite").parquet(f"{wd}/incoming")
+    q = streaming.encode_stream(spark, f"{wd}/incoming", f"{wd}/out")
+    q.awaitTermination(300)
+    dec = decode_job.decode(spark, f"{wd}/out").select(
+        "doc_id", F.col("tokens").alias("d_tokens")
+    )
+    j = spark.read.parquet(f"{wd}/incoming").join(dec, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").alias("rows"),
+        F.sum(
+            F.when(
+                F.col("d_tokens").isNotNull() & (F.col("tokens") == F.col("d_tokens")), 1
+            ).otherwise(0)
+        ).alias("bit_identical_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -895,6 +924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_simhash": tl_simhash,
     "tl_lsh_cosine": tl_lsh_cosine,
     "tl_multimodal_features": tl_multimodal_features,
+    "tl_streaming_ingest": tl_streaming_ingest,
 }
 
 ORACLES: dict[str, str] = {
