@@ -10,7 +10,7 @@ path over Iceberg-shaped tables of pre-tokenized training sequences
 
 Architecture: DataFrame-declarative everywhere Catalyst can help (stats
 aggregation, rule predicates, chunk planning, verification joins); Arrow-
-vectorized applyInPandas only for the encode/decode kernels themselves.
+vectorized applyInArrow only for the encode/decode kernels themselves.
 """
 
 __version__ = "0.1.0"

@@ -106,10 +106,19 @@ bit-packing moves ~2-4 B per token; that is what makes them fast). On one box,
 CPU time *inflates* (Σ chunk CPU grows with thread count on identical input)
 while the scheduler keeps cores busy — the limiter is shared hardware, not
 coordination. The job graph has no serialization point: every chunk is an
-independent `applyInPandas` task (47 here, ~10^6 at 10^12 rows), chunk ids are
+independent `applyInArrow` task (47 here, ~10^6 at 10^12 rows), chunk ids are
 pure functions of the data, and the driver never collects row data. On a real
 cluster, 4N executors bring 4N memory controllers, so per-task cost stays flat
 and throughput follows task parallelism.
+
+Two controlled probes pin this down further: (a) a pure-ALU spin test scales
+to ~26 effective cores on this VM (the CPUs are real), while (b) a *trivial*
+grouped-Arrow UDF (return the group's row count — zero kernel work) already
+runs 3-5× slower at local[32] than local[8] on identical input. The collapse
+is therefore in local-mode's single-JVM shuffle + Arrow-IPC path under thread
+pressure plus host-level interference (identical runs vary multi-×), not in
+the engine's kernels or plan shape. Real executors each own a JVM, a shuffle
+service, and an IPC channel — exactly the resources that are shared here.
 
 ## 3. Compute-bound configuration (`set file compression zlib(9)` via the plan DSL)
 

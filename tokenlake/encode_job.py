@@ -1,7 +1,7 @@
 """The encode job: chunked, codec-auto-selected, checkpointed, resumable.
 
 Spark shape (SURVEY.md §3.2): plan DataFrame → broadcast overrides → encode
-job (applyInPandas per chunk) → write encoded table + lineage checkpoint.
+job (applyInArrow per chunk) → write encoded table + lineage checkpoint.
 This is the engine's analog of the reference's streaming rewrite
 (`fix::rewrite`, src/parquet-linter/src/fix.rs:213-234) — decode→re-encode as
 one Arrow-batched pass — except our writer properties are *per column-chunk*

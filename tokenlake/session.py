@@ -1,7 +1,7 @@
 """SparkSession factory with the engine's required configuration.
 
 Arrow execution + AQE (skew handling, partition coalescing) are load-bearing:
-every encode/decode kernel is an Arrow-batched applyInPandas, and AQE is the
+every encode/decode kernel is an Arrow-native grouped UDF (applyInArrow), and AQE is the
 runtime half of the skew strategy (the planning half is n_tok-aware bucket
 fan-out in chunking.py).
 """
@@ -32,8 +32,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # one Arrow batch should comfortably hold a full encode chunk's rows
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # rows carry ~1.6 KB token arrays: 8192-row Arrow batches ≈ 13 MB keep
+        # per-task JVM buffering bounded with many concurrent grouped-UDF tasks
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # token-array rows expand several × from parquet to in-memory Arrow;
         # smaller splits keep scan tasks balanced and fan out single big files
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
