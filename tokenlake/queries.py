@@ -768,6 +768,21 @@ SELECT centroid_id, count(*) AS n_vecs FROM ranked WHERE rk = 1 GROUP BY centroi
 """
 
 
+def q_dedup_embedding(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     from . import multimodal
 
@@ -916,6 +931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_buckets": q_ann_ivf_buckets,
+    "dedup_embedding": q_dedup_embedding,
     "multimodal_meta": q_multimodal_meta,
     # engine ops — rows-only (no SQL equivalent for custom codecs / hashes)
     "tl_encode_metrics": tl_encode_metrics,
@@ -962,5 +978,6 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_buckets": SQL_ANN_IVF,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

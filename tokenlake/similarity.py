@@ -70,6 +70,24 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     return assigned.groupBy("centroid_id").agg(F.count("*").cast("long").alias("n_vecs"))
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with cos ≥ threshold.
+
+    This exact variant is O(n²) and exists as the correctness baseline /
+    in-bucket verifier; the scale path blocks candidates first with
+    `lsh_hyperplane_buckets` (random-hyperplane signatures turn near-dup
+    search into an equi-join on bucket keys) and runs this join only within
+    buckets — same two-stage shape as MinHash-LSH text dedup."""
+    a = emb.select(F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 4)
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH for cosine: bucket = sign-bit string of
     hyperplane dot products. Deterministic numpy hyperplanes inlined as
