@@ -64,6 +64,8 @@ def assign_chunks(df: DataFrame, buckets: DataFrame, salt: str | None = None) ->
     if salt is not None:
         parts.append(F.lit(salt))
     parts.append(F.pmod(F.xxhash64("doc_id"), F.col("nbuckets")))
+    # nbuckets rides along into the chunk metrics: lookups re-derive a doc's
+    # candidate chunk ids from (prefix, nbuckets) without scanning payloads
     return df.join(F.broadcast(buckets), "source").withColumn(
         "chunk_id", F.concat_ws("#", *parts)
-    ).drop("nbuckets")
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .codecs import decode_column
 
@@ -62,3 +62,39 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def decode(spark: SparkSession, out_dir: str) -> DataFrame:
     return decode_dataframe(read_encoded(spark, out_dir))
+
+
+def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
+    """Point lookup: decode ONLY the chunks that can contain a requested id.
+
+    Chunk assignment is a pure function of the data (`prefix # xxhash64(doc_id)
+    % nbuckets`, chunking.py), and every metrics row carries its group's
+    nbuckets — so a doc's candidate chunk ids are recomputed exactly, with the
+    same Spark hash, from the tiny distinct (prefix, nbuckets) set. The
+    resulting `chunk_id IN (...)` predicate is pushed into the parquet scan of
+    the encoded table (row-group pruning skips cold chunks without touching
+    payloads), and only candidate chunks pay the decode UDF. At 10^12 rows a
+    lookup touches O(#ids × #sources) chunks, not the corpus.
+    """
+    if not doc_ids:
+        return decode(spark, out_dir).limit(0)
+    enc = read_encoded(spark, out_dir)
+    prefix = F.expr(
+        "substring(chunk_id, 1, length(chunk_id)"
+        " - length(element_at(split(chunk_id, '#'), -1)) - 1)"
+    )
+    groups = enc.select(prefix.alias("prefix"), "nbuckets").distinct()
+    ids = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+    cands = [
+        r["cid"]
+        for r in groups.crossJoin(F.broadcast(ids))
+        .select(
+            F.concat_ws(
+                "#", "prefix", F.pmod(F.xxhash64("doc_id"), F.col("nbuckets"))
+            ).alias("cid")
+        )
+        .distinct()
+        .collect()
+    ]
+    pruned = enc.filter(F.col("chunk_id").isin(cands))
+    return decode_dataframe(pruned).filter(F.col("doc_id").isin(list(doc_ids)))

@@ -34,7 +34,7 @@ ENCODED_SCHEMA = (
     "payload binary, n_rows long, n_values long, encoded_bytes long, "
     "raw_bytes long, doc_id_min string, doc_id_max string, rule string, "
     "min_val long, max_val long, distinct_est long, "
-    "input_fingerprint string, elapsed_ms double"
+    "input_fingerprint string, elapsed_ms double, nbuckets int"
 )
 
 ENCODED_ARROW_SCHEMA = pa.schema(
@@ -56,6 +56,7 @@ ENCODED_ARROW_SCHEMA = pa.schema(
         ("distinct_est", pa.int64()),
         ("input_fingerprint", pa.string()),
         ("elapsed_ms", pa.float64()),
+        ("nbuckets", pa.int32()),
     ]
 )
 
@@ -92,6 +93,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     overrides = cfg.overrides
     t = t.sort_by("doc_id").combine_chunks()
     chunk_id = t.column("chunk_id")[0].as_py()
+    nbuckets = t.column("nbuckets")[0].as_py()
     n_rows = t.num_rows
     doc = t.column("doc_id").chunk(0) if t.column("doc_id").num_chunks else pa.array([], pa.string())
     src = t.column("source").chunk(0) if t.column("source").num_chunks else pa.array([], pa.string())
@@ -125,6 +127,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "distinct_est": stats.distinct_est if stats else 0,
                 "input_fingerprint": fp,
                 "elapsed_ms": (time.perf_counter() - (t_start or t0)) * 1000,
+                "nbuckets": nbuckets,
             }
         )
 

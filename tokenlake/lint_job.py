@@ -1,0 +1,122 @@
+"""The lint job: sampled plan-only analysis — the reference's primary entry.
+
+`parquet-linter FILE` (reference src/parquet-linter/src/lib.rs:18-46) reads
+footer metadata plus one ≤16,384-row sample and emits diagnostics WITHOUT
+touching the rest of the data. The engine's analog: sample a fraction of rows
+*before* the chunk shuffle (mirroring the 5% ambiguous-row-group sampling of
+dictionary_encoding.rs:155-172), run the stats + selector on the sample only,
+and emit a decisions DataFrame (the Diagnostic analog, diagnostic.rs:55-61) —
+no payload encode, no full-data pass beyond the planning aggregate.
+
+Spark shape: `sample → assign_chunks → applyInArrow(lint_chunk)` — identical
+plan skeleton to the encode job so lint decisions predict encode decisions,
+but the shuffle moves only the sampled fraction.
+
+Lifecycle parity with the reference (SURVEY.md §3.1-3.2):
+    decisions = lint_job.lint(spark, df)                  # lint
+    rx = lint_job.prescription_from_decisions(decisions)  # merge → DSL
+    encode_job.run(spark, df, out, cfg=rx.apply())        # rewrite
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from .chunking import MAX_CHUNK_ROWS, MAX_CHUNK_VALUES, assign_chunks, plan_buckets
+from .plan import EncodeConfig, Prescription, plan_from_decisions
+from .select import select_codec
+from .stats import compute_chunk_stats
+
+LINT_SCHEMA = (
+    "chunk_id string, column string, codec string, rule string, "
+    "severity string, est_bytes long, sample_rows long, sample_values long, "
+    "cardinality_ratio double, run_ratio double, sorted_frac double"
+)
+
+
+def lint_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
+    """Stats + selection over one chunk's sampled rows → decision rows."""
+    cfg = cfg or EncodeConfig()
+    t = t.combine_chunks()
+    chunk_id = t.column("chunk_id")[0].as_py()
+    n_rows = t.num_rows
+    toks = t.column("tokens").chunk(0) if t.column("tokens").num_chunks else pa.array([], pa.list_(pa.int32()))
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    lens = t.column("n_tok").to_numpy().astype(np.int32)
+
+    rows = []
+    for column, values, nv in (("tokens", flat, len(flat)), ("n_tok", lens, n_rows)):
+        st = compute_chunk_stats(values, n_rows)
+        d = select_codec(
+            values, st, forced=cfg.overrides.get(column),
+            allow_dict=f"!dict:{column}" not in cfg.overrides,
+        )
+        plain_bytes = 4 * max(nv, 1)
+        saving = 1.0 - d.est_bytes / plain_bytes
+        # Severity ordering mirrors diagnostic.rs:8-12: big wins are warnings
+        # (you are leaving >50% on the table), marginal ones suggestions.
+        severity = "warning" if saving > 0.5 else "suggestion"
+        rows.append(
+            {
+                "chunk_id": chunk_id,
+                "column": column,
+                "codec": d.codec,
+                "rule": d.rule,
+                "severity": severity,
+                "est_bytes": int(d.est_bytes),
+                "sample_rows": n_rows,
+                "sample_values": nv,
+                "cardinality_ratio": float(st.cardinality_ratio),
+                "run_ratio": float(st.run_ratio),
+                "sorted_frac": float(st.sorted_frac),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def lint(
+    spark: SparkSession,
+    df: DataFrame,
+    fraction: float = 0.05,
+    seed: int = 42,
+    cfg: EncodeConfig | None = None,
+    max_rows: int = MAX_CHUNK_ROWS,
+    max_values: int = MAX_CHUNK_VALUES,
+) -> DataFrame:
+    """Sampled plan-only lint: decisions DataFrame, ordered by severity
+    (lib.rs:44 sort_by_key(severity))."""
+    from pyspark.sql import functions as F
+
+    cfg = cfg or EncodeConfig()
+    buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.max_chunk_values or max_values)
+    sampled = df.sample(fraction=fraction, seed=seed)
+    chunked = assign_chunks(sampled, buckets)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return lint_chunk(t, cfg)
+
+    decisions = chunked.groupBy("chunk_id").applyInArrow(fn, LINT_SCHEMA)
+    rank = F.when(F.col("severity") == "error", 2).when(F.col("severity") == "warning", 1).otherwise(0)
+    return decisions.orderBy(rank.desc(), "chunk_id", "column")
+
+
+def prescription_from_decisions(decisions: DataFrame) -> Prescription:
+    """Collapse per-chunk decisions to a per-column prescription: majority
+    codec per column (the reference's most_frequent property inference,
+    fix.rs:196-211), emitted in the same `set column …` DSL."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("column").orderBy(F.desc("count"), "codec")
+    majority = (
+        decisions.groupBy("column", "codec")
+        .count()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("column", "codec")
+        .collect()
+    )
+    return plan_from_decisions([{"column": r["column"], "codec": r["codec"]} for r in majority])

@@ -863,6 +863,18 @@ def tl_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def tl_lint(spark, sf_dir):
+    """Plan-only sampled lint (lint_job.py) over the docs-derived sequences —
+    the reference's primary `parquet-linter FILE` entry point (lib.rs:18-46):
+    decisions DataFrame ordered by severity, no payload encode. Rows-only
+    (decision logic is the numpy cost model — no SQL equivalent)."""
+    from . import lint_job
+    from .schema import sequences_from_documents
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return lint_job.lint(spark, seq, fraction=0.5)
+
+
 def tl_streaming_ingest(spark, sf_dir):
     """Structured-Streaming ingest roundtrip (streaming.py): drop the
     docs-derived sequences as a file, drain with availableNow, decode, and
@@ -940,6 +952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_simhash": tl_simhash,
     "tl_lsh_cosine": tl_lsh_cosine,
     "tl_multimodal_features": tl_multimodal_features,
+    "tl_lint": tl_lint,
     "tl_streaming_ingest": tl_streaming_ingest,
 }
 
