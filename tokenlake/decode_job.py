@@ -14,6 +14,7 @@ pandas object columns).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -62,6 +63,33 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def decode(spark: SparkSession, out_dir: str) -> DataFrame:
     return decode_dataframe(read_encoded(spark, out_dir))
+
+
+def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
+    """Chunk ids whose token bloom filter admits `token` (parity with the
+    reference's bloom directives, prescription.rs:113-130 / fix.rs:168-182).
+
+    Chunks encoded without a filter can't be pruned and are kept. The probe
+    is an Arrow-batched pandas UDF over the tiny metrics rows (one per chunk)
+    — payloads are never read."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .codecs.bloom import might_contain
+
+    @pandas_udf("boolean")
+    def probe(blooms: pd.Series) -> pd.Series:
+        return blooms.map(lambda b: True if b is None else might_contain(b, token))
+
+    enc = read_encoded(spark, out_dir).filter(F.col("column") == "tokens")
+    return enc.filter(probe(F.col("bloom"))).select("chunk_id")
+
+
+def scan_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
+    """All rows whose token array contains `token`, decoding only chunks the
+    bloom filters admit (semi-join — candidate sets never hit the driver)."""
+    cands = chunks_containing_token(spark, out_dir, token)
+    pruned = read_encoded(spark, out_dir).join(cands, "chunk_id", "left_semi")
+    return decode_dataframe(pruned).filter(F.array_contains("tokens", F.lit(int(token))))
 
 
 def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:

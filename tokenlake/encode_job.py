@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .chunking import MAX_CHUNK_ROWS, MAX_CHUNK_VALUES, assign_chunks, plan_buckets
 from .codecs import codec_of, encode_int_column, encode_str_column
+from .codecs.bloom import build_bloom
 from .plan import EncodeConfig
 from .select import select_codec
 from .stats import compute_chunk_stats
@@ -34,7 +35,7 @@ ENCODED_SCHEMA = (
     "payload binary, n_rows long, n_values long, encoded_bytes long, "
     "raw_bytes long, doc_id_min string, doc_id_max string, rule string, "
     "min_val long, max_val long, distinct_est long, "
-    "input_fingerprint string, elapsed_ms double, nbuckets int"
+    "input_fingerprint string, elapsed_ms double, nbuckets int, bloom binary"
 )
 
 ENCODED_ARROW_SCHEMA = pa.schema(
@@ -57,6 +58,7 @@ ENCODED_ARROW_SCHEMA = pa.schema(
         ("input_fingerprint", pa.string()),
         ("elapsed_ms", pa.float64()),
         ("nbuckets", pa.int32()),
+        ("bloom", pa.binary()),
     ]
 )
 
@@ -106,7 +108,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
 
     rows = []
 
-    def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None):
+    def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None, bloom=None):
         codec, outer_name = codec_of(payload)
         rows.append(
             {
@@ -128,6 +130,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "input_fingerprint": fp,
                 "elapsed_ms": (time.perf_counter() - (t_start or t0)) * 1000,
                 "nbuckets": nbuckets,
+                "bloom": bloom,
             }
         )
 
@@ -143,7 +146,9 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         # hard guarantee: never worse than plain (R3 escape hatch)
         decision = select_codec(flat, st, forced="plain")
         payload = encode_int_column(flat, "plain", outer=cfg.outer_for("tokens"))
-    emit("tokens", payload, len(flat), flat.nbytes, st, decision.rule, t)
+    bp = cfg.bloom_for("tokens")
+    bloom_buf = build_bloom(flat, fpp=bp["fpp"], ndv=bp["ndv"]) if bp else None
+    emit("tokens", payload, len(flat), flat.nbytes, st, decision.rule, t, bloom=bloom_buf)
 
     # n_tok: small-int lengths — same selector machinery
     t = time.perf_counter()

@@ -69,12 +69,18 @@ class EncodeConfig:
 
     overrides: dict[str, str] = field(default_factory=dict)  # column -> encoding
     outer: dict[str, str] = field(default_factory=dict)      # column|"" -> outer codec
+    bloom: dict[str, dict] = field(default_factory=dict)     # column -> {fpp, ndv}
     max_chunk_rows: int | None = None
     max_chunk_values: int | None = None
     statistics_truncate_length: int | None = None
 
     def outer_for(self, column: str) -> str:
         return self.outer.get(column, self.outer.get("", "auto"))
+
+    def bloom_for(self, column: str) -> dict | None:
+        """Bloom params for a column, or None when not directed (reference
+        default: bloom only when present/prescribed, fix.rs:168-182)."""
+        return self.bloom.get(column)
 
 
 @dataclass
@@ -126,6 +132,7 @@ class Prescription:
         cfg = EncodeConfig(
             overrides=dict(cfg.overrides),
             outer=dict(cfg.outer),
+            bloom={k: dict(v) for k, v in cfg.bloom.items()},
             max_chunk_rows=cfg.max_chunk_rows,
             max_chunk_values=cfg.max_chunk_values,
             statistics_truncate_length=cfg.statistics_truncate_length,
@@ -154,6 +161,15 @@ class Prescription:
                         # disable dict: fall back to auto-selection minus dict
                         cfg.overrides.pop(d.column, None)
                         cfg.overrides[f"!dict:{d.column}"] = "1"
+                elif d.prop == "bloom_filter":
+                    if d.value == "true":
+                        cfg.bloom.setdefault(d.column, {"fpp": 0.01, "ndv": None})
+                    else:
+                        cfg.bloom.pop(d.column, None)
+                elif d.prop == "bloom_filter_ndv":
+                    cfg.bloom.setdefault(d.column, {"fpp": 0.01, "ndv": None})["ndv"] = int(d.value)
+                elif d.prop == "bloom_filter_fpp":
+                    cfg.bloom.setdefault(d.column, {"fpp": 0.01, "ndv": None})["fpp"] = float(d.value)
         return cfg
 
     def format(self) -> str:
@@ -188,7 +204,10 @@ def _norm_outer(v: str) -> str:
 
 def _check_directive(d: Directive, lineno: int) -> None:
     file_props = {"compression", "max_chunk_rows", "max_chunk_values", "statistics_truncate_length"}
-    col_props = {"compression", "encoding", "dictionary"}
+    col_props = {
+        "compression", "encoding", "dictionary",
+        "bloom_filter", "bloom_filter_ndv", "bloom_filter_fpp",
+    }
     if d.scope == "file":
         if d.prop not in file_props:
             raise PlanError(f"line {lineno}: unknown file property {d.prop!r}")
@@ -201,8 +220,17 @@ def _check_directive(d: Directive, lineno: int) -> None:
             raise PlanError(f"line {lineno}: unknown column property {d.prop!r}")
         if d.prop == "encoding" and d.value not in ENCODINGS:
             raise PlanError(f"line {lineno}: unknown encoding {d.value!r}")
-        if d.prop == "dictionary" and d.value not in ("true", "false"):
-            raise PlanError(f"line {lineno}: dictionary expects true/false")
+        if d.prop in ("dictionary", "bloom_filter") and d.value not in ("true", "false"):
+            raise PlanError(f"line {lineno}: {d.prop} expects true/false")
+        if d.prop == "bloom_filter_ndv" and not d.value.isdigit():
+            raise PlanError(f"line {lineno}: bloom_filter_ndv expects an integer")
+        if d.prop == "bloom_filter_fpp":
+            try:
+                fpp = float(d.value)
+            except ValueError:
+                fpp = -1.0
+            if not 0.0 < fpp < 1.0:
+                raise PlanError(f"line {lineno}: bloom_filter_fpp expects a float in (0,1)")
         if d.prop == "compression":
             _norm_outer(d.value)
 
