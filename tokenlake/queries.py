@@ -875,6 +875,31 @@ def tl_lint(spark, sf_dir):
     return lint_job.lint(spark, seq, fraction=0.5)
 
 
+def tl_point_lookup(spark, sf_dir):
+    """Point lookup + bloom token scan over the engine's own format
+    (decode_job.lookup / scan_token): encode the docs-derived sequences, look
+    up three known doc ids via exact chunk-candidate pruning, and return the
+    rows (tokens summarized as n_tok + a checksum). Rows-only."""
+    import tempfile
+
+    from . import decode_job, encode_job
+    from .plan import Prescription
+    from .schema import sequences_from_documents
+
+    wd = tempfile.mkdtemp(prefix="tl_lookup_")
+    seq = sequences_from_documents(spark, sf_dir)
+    cfg = Prescription.parse("set column tokens bloom_filter true").apply()
+    encode_job.run(spark, seq, f"{wd}/out", cfg=cfg, max_rows=256, max_values=200_000)
+    want = [r["doc_id"] for r in seq.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    hit = decode_job.lookup(spark, f"{wd}/out", want)
+    return hit.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.xxhash64("tokens").alias("token_hash"),
+    ).orderBy("doc_id")
+
+
 def tl_streaming_ingest(spark, sf_dir):
     """Structured-Streaming ingest roundtrip (streaming.py): drop the
     docs-derived sequences as a file, drain with availableNow, decode, and
@@ -953,6 +978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_lsh_cosine": tl_lsh_cosine,
     "tl_multimodal_features": tl_multimodal_features,
     "tl_lint": tl_lint,
+    "tl_point_lookup": tl_point_lookup,
     "tl_streaming_ingest": tl_streaming_ingest,
 }
 
