@@ -75,6 +75,20 @@ def main() -> None:
     z_eff = eff("zlib9", "encode_tokens_per_s")
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    # carry forward earlier runs' raw JSON: cross-run disagreement is itself
+    # evidence (this host's external interference varies multi-×)
+    prior: list[str] = []
+    path = os.path.join(repo, "BENCH", "BASELINE.md")
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = [l.rstrip() for l in f if l.startswith('{"metric"')]
+    history = ""
+    if prior:
+        history = (
+            "\n## History — raw JSON of earlier runs (same input, different times)\n\n```json\n"
+            + "\n".join(prior)
+            + "\n```\n"
+        )
     md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
 
 Sandbox stand-in for N vs 4N executors: identical input ({sf_dir}),
@@ -139,8 +153,7 @@ multi-executor clusters are in — the same job scales with threads:
 {json.dumps(z_lo)}
 {json.dumps(z_hi)}
 ```
-"""
-    path = os.path.join(repo, "BENCH", "BASELINE.md")
+{history}"""
     with open(path, "w") as f:
         f.write(md)
     print(
