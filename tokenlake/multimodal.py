@@ -56,21 +56,24 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for b in pdf["payload"]:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                if len(arr) == 0:
-                    feats.append(np.zeros(dim, dtype=np.float32))
-                    continue
-                splits = np.array_split(arr.astype(np.float32), dim)
-                feats.append(
-                    np.array([s.mean() if len(s) else 0.0 for s in splits], dtype=np.float32)
-                )
+            lens = pdf["payload"].str.len().to_numpy(np.int64)
+            # one C-level concat of the batch, then pure array math: segment
+            # boundaries floor(start + i*len/dim), means via prefix-sum
+            # differences — no per-row Python loop (batch-vectorized).
+            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            bounds = starts[:, None] + (np.arange(dim + 1, dtype=np.int64)[None, :] * lens[:, None]) // dim
+            prefix = np.zeros(len(buf) + 1, dtype=np.float64)
+            np.cumsum(buf, out=prefix[1:], dtype=np.float64)
+            seg_sum = prefix[bounds[:, 1:]] - prefix[bounds[:, :-1]]
+            seg_cnt = bounds[:, 1:] - bounds[:, :-1]
+            means = np.where(seg_cnt > 0, seg_sum / np.maximum(seg_cnt, 1), 0.0).astype(np.float32)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": pdf["payload"].str.len().astype("int64"),
-                    "feature": feats,
+                    "byte_len": lens,
+                    "feature": list(means),
                 }
             )
 

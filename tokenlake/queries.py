@@ -59,8 +59,8 @@ def q_a1_column_totals(spark, sf_dir):
 SQL_A1 = """
 SELECT source,
        count(*) AS num_values,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_count,
-       sum(n_chars) AS raw_bytes
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
+       sum(n_chars)::BIGINT AS raw_bytes
 FROM documents GROUP BY source
 """
 
@@ -342,7 +342,7 @@ def q_r2_codec_upgrade(spark, sf_dir):
 
 
 SQL_R2 = """
-SELECT source, sum(n_chars) AS bytes,
+SELECT source, sum(n_chars)::BIGINT AS bytes,
        CASE WHEN sum(n_chars) >= 100000 THEN 'lz4-speed'
             WHEN sum(n_chars) >= 10000 THEN 'zstd3-size'
             ELSE 'keep' END AS codec_decision
@@ -412,7 +412,7 @@ def q_r5_string_encoding(spark, sf_dir):
 
 
 SQL_R5 = """
-SELECT source, sum(n_chars) AS bytes,
+SELECT source, sum(n_chars)::BIGINT AS bytes,
        round(count(DISTINCT text)::DOUBLE / count(*), 6) AS ratio,
        CASE WHEN sum(n_chars) >= 32000
                  AND round(count(DISTINCT text)::DOUBLE / count(*), 6) BETWEEN 0.35 AND 0.75
@@ -481,7 +481,7 @@ def q_r7_chunk_sizing(spark, sf_dir):
 
 
 SQL_R7 = """
-SELECT source, count(*) AS rows, sum(n_chars) AS bytes,
+SELECT source, count(*) AS rows, sum(n_chars)::BIGINT AS bytes,
        (count(*) > 100 OR sum(n_chars) > 20000) AS oversize,
        CASE WHEN (count(*) > 100 OR sum(n_chars) > 20000)
             THEN least(100::BIGINT, greatest(1::BIGINT,
@@ -508,7 +508,7 @@ def q_r8_missing_stats(spark, sf_dir):
 
 
 SQL_R8 = """
-SELECT source, sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS missing,
+SELECT source, sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
        CASE WHEN sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) > 0
             THEN 'enable-statistics' ELSE 'ok' END AS decision
 FROM documents GROUP BY source
@@ -769,17 +769,81 @@ SELECT centroid_id, count(*) AS n_vecs FROM ranked WHERE rk = 1 GROUP BY centroi
 
 
 def q_dedup_embedding(spark, sf_dir):
-    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    """Banded-LSH embedding near-dup (the scale path, no cartesian): the
+    DuckDB oracle below replays the identical algorithm with the same
+    hyperplane literals. The O(n²) exact variant is this query's pytest
+    oracle (tests assert LSH ⊆ exact and recall), not a driver entry."""
+    return similarity.embedding_near_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
 
 
-SQL_DEDUP_EMBEDDING = """
-WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+def _duck_arr(row) -> str:
+    return "[" + ",".join(repr(float(v)) for v in row) + "]"
+
+
+def _sql_dedup_embedding_lsh(threshold=0.45, n_planes=4, n_bands=8) -> str:
+    """Generate the DuckDB replay of embedding_near_dup_pairs_lsh with the
+    same deterministic hyperplanes inlined as double literals (repr() is the
+    shortest round-trip form, so both engines see bit-identical planes)."""
+    planes = similarity.hyperplanes(n_bands * n_planes)
+    band_selects = []
+    for b in range(n_bands):
+        bits = []
+        for i in range(n_planes):
+            w = 2 ** (n_planes - 1 - i)
+            p = planes[b * n_planes + i]
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {_duck_arr(p)}) >= 0 THEN 1 ELSE 0 END)*{w}"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({' + '.join(bits)})::BIGINT AS bucket FROM e"
+        )
+    sig = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS ({sig}),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+p AS (SELECT c.vec_a, c.vec_b,
+             round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cos_sim
+      FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= {threshold}
+"""
+
+
+SQL_DEDUP_EMBEDDING = _sql_dedup_embedding_lsh()
+
+
+def q_ann_ivf_search(spark, sf_dir):
+    """IVF search (assign → nprobe nearest centroid lists → exact within):
+    the missing half of round-1's assignment-only IVF."""
+    return similarity.ivf_search(_emb(spark, sf_dir), query_vec_id=0, n_centroids=8, nprobe=2, k=10)
+
+
+SQL_ANN_IVF_SEARCH = """
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM e ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT e.vec_id, cents.centroid_id,
+         round(list_dot_product(e.v, cents.c)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.c, cents.c))), 6) AS sim
+  FROM e CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
+    FROM scored) WHERE rk = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probed AS (
+  SELECT centroid_id FROM cents, q
+  ORDER BY round(list_dot_product(c, qv)
+                 / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))), 6) DESC, centroid_id
+  LIMIT 2)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM e JOIN assigned USING (vec_id), q
+WHERE assigned.centroid_id IN (SELECT centroid_id FROM probed) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
@@ -852,15 +916,30 @@ def tl_simhash(spark, sf_dir):
     return textops.simhash64(_docs(spark, sf_dir))
 
 
+def tl_simhash_candidates(spark, sf_dir):
+    """Hamming-band blocking over 64-bit simhash → candidate near-dup pairs
+    (equi-join on band value, no cartesian). Rows-only: xxhash64 has no
+    portable DuckDB equivalent."""
+    return textops.simhash_candidates(_docs(spark, sf_dir))
+
+
 def tl_lsh_cosine(spark, sf_dir):
     return similarity.lsh_hyperplane_buckets(_emb(spark, sf_dir))
 
 
 def tl_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction (multimodal.extract_features). The raw
+    array<float> column is summarized as a rounded comma-joined string — the
+    driver's canonicalizer sorts column values and can't order raw arrays
+    (round-1 `unhashable type: 'list'`); pytest keeps the array assertions."""
     from . import multimodal
 
     media = multimodal.attach_fake_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media)
+    feat = multimodal.extract_features(media)
+    sig = F.concat_ws(
+        ",", F.transform("feature", lambda v: F.round(v.cast("double"), 2).cast("string"))
+    )
+    return feat.select("doc_id", "byte_len", sig.alias("feature_sig"))
 
 
 def tl_lint(spark, sf_dir):
@@ -968,6 +1047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_buckets": q_ann_ivf_buckets,
+    "ann_ivf_search": q_ann_ivf_search,
     "dedup_embedding": q_dedup_embedding,
     "multimodal_meta": q_multimodal_meta,
     # engine ops — rows-only (no SQL equivalent for custom codecs / hashes)
@@ -975,6 +1055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_roundtrip_check": tl_roundtrip_check,
     "tl_codec_plan": tl_codec_plan,
     "tl_simhash": tl_simhash,
+    "tl_simhash_candidates": tl_simhash_candidates,
     "tl_lsh_cosine": tl_lsh_cosine,
     "tl_multimodal_features": tl_multimodal_features,
     "tl_lint": tl_lint,
@@ -1017,6 +1098,7 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_buckets": SQL_ANN_IVF,
+    "ann_ivf_search": SQL_ANN_IVF_SEARCH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

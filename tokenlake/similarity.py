@@ -49,6 +49,63 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
     )
 
 
+def _centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic centroids = embeddings of the n smallest vec_ids."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").cast("long").alias("centroid_id"), F.col("embedding").alias("c"))
+    )
+
+
+def ivf_search(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF search: assign → probe the query's `nprobe` nearest centroid
+    buckets → exact cosine within those inverted lists → top-k.
+
+    Scale shape: the centroid table is tiny and broadcast twice (assignment
+    and probe); the exact pass scans only ~nprobe/n_centroids of the corpus.
+    Similarities are rounded to 6 decimals before argmax with a centroid_id
+    tiebreak so assignment is reproducible across engines (DuckDB oracle)."""
+    from pyspark.sql import Window
+
+    cents = _centroids(emb, n_centroids)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.col("centroid_id"),
+        F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id", F.round(cosine(F.col("c"), F.col("q")), 6).alias("qsim"))
+        .orderBy(F.col("qsim").desc(), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probed), "centroid_id", "left_semi")
+    sims = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("cos_sim")
+    )
+    return (
+        sims.filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     """IVF-lite: deterministic centroids = embeddings of the n smallest
     vec_ids; every vector is assigned to its max-cosine centroid. Returns
@@ -73,11 +130,10 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with cos ≥ threshold.
 
-    This exact variant is O(n²) and exists as the correctness baseline /
-    in-bucket verifier; the scale path blocks candidates first with
-    `lsh_hyperplane_buckets` (random-hyperplane signatures turn near-dup
-    search into an equi-join on bucket keys) and runs this join only within
-    buckets — same two-stage shape as MinHash-LSH text dedup."""
+    This exact variant is O(n²) and exists as the correctness baseline and
+    pytest oracle for `embedding_near_dup_pairs_lsh`, which is the scale
+    path (random-hyperplane band buckets → equi-join candidates → exact
+    cosine within) and the registered `dedup_embedding` driver query."""
     a = emb.select(F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -88,20 +144,84 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFra
     )
 
 
+def hyperplanes(n: int, dim: int = 64, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes shared by the Spark plan and the
+    DuckDB oracle (both inline the same literals)."""
+    return np.random.default_rng(seed).standard_normal((n, dim))
+
+
+def _bucket_expr(planes: np.ndarray) -> Column:
+    """Sign-bit signature of one band's hyperplane dot products."""
+    bucket = None
+    for row in planes:
+        lit = F.array([F.lit(float(v)) for v in row])
+        bit = F.when(_dot(F.col("embedding"), lit) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket * 2 + bit
+    return bucket.cast("long")
+
+
 def lsh_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH for cosine: bucket = sign-bit string of
     hyperplane dot products. Deterministic numpy hyperplanes inlined as
     literal arrays (broadcast with the plan). Rows-only check (no portable
     SQL oracle for the generated planes)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket = None
-    for i in range(n_planes):
-        lit = F.array([F.lit(float(v)) for v in planes[i]])
-        bit = F.when(_dot(F.col("embedding"), lit) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket * 2 + bit
+    bucket = _bucket_expr(hyperplanes(n_planes, dim, seed))
     return (
         emb.select(F.col("vec_id").cast("long").alias("vec_id"), bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").cast("long").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH embedding near-dup: hyperplane sign buckets per band →
+    candidate pairs = equal (band, bucket) equi-join → exact cosine only
+    within candidates. The scale path the O(n²) `embedding_near_dup_pairs`
+    baseline verifies (same two-stage shape as MinHash-LSH text dedup,
+    textops.py:149-184).
+
+    Per-band collision probability for a pair at angle θ is (1-θ/π)^n_planes;
+    n_bands independent bands lift recall to 1-(1-p)^b. Defaults (4 bits × 8
+    bands) target the test corpus's cos≈0.45 near-dups at ~80% recall; at
+    corpus scale raise n_planes so bucket population stays bounded (bucket
+    count = 2^n_planes per band) and add bands to recover recall.
+
+    The plan is cartesian-free: one scan computes all band signatures
+    (explode), candidates come from an equi-join on (band, bucket), and the
+    exact join touches candidate pairs only."""
+    planes = hyperplanes(n_bands * n_planes, dim, seed)
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _bucket_expr(planes[b * n_planes : (b + 1) * n_planes]).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sig = base.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 4)
+    return pairs.select("vec_a", "vec_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
     )

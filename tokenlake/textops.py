@@ -188,20 +188,57 @@ def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over words: majority vote per bit of word-hash bits.
 
     Uses xxhash64 (Spark built-in) — no portable SQL oracle, so the driver
-    records this one rows-only.
+    records this one rows-only. All 64 bits are real (round 1 computed only
+    16); bit 63 rides the sign bit via shiftleft/bitwiseOR, so the result
+    spans the full signed-long range.
     """
     w = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(words()).alias("w")
     ).withColumn("h", F.xxhash64("w"))
+    one = F.lit(1).cast("long")
     bits = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1).cast("long") * (2**i)) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(16)  # 16 bits is plenty for bucketing demo; cheap to widen
+        for i in range(64)
     ]
     agg = w.groupBy("doc_id").agg(*bits)
-    sim = None
-    for i in range(16):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_band(col: Column, band: int, band_bits: int = 16) -> Column:
+    """One Hamming band of a simhash: bits [band*band_bits, (band+1)*band_bits)."""
+    return F.shiftrightunsigned(col, band * band_bits).bitwiseAND(
+        F.lit((1 << band_bits) - 1).cast("long")
+    )
+
+
+def simhash_candidates(docs: DataFrame, band_bits: int = 16) -> DataFrame:
+    """SimHash near-dup candidate pairs: docs agreeing on ANY 16-bit band of
+    their 64-bit simhash (standard Hamming-distance blocking — a pair within
+    Hamming distance 3 of 64 bits must agree on at least one of 4 bands).
+    Equi-join on (band, band_value); no cartesian."""
+    n_bands = 64 // band_bits
+    sh = simhash64(docs)
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), simhash_band(F.col("simhash"), b, band_bits).alias("bv"))
+            for b in range(n_bands)
+        ]
+    )
+    sig = sh.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "bv")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

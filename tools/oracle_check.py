@@ -18,15 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def kinds(df: pd.DataFrame) -> dict:
+    """Type kinds per column — the driver hashes raw values, so an int64
+    column on one side vs float64 (e.g. uncast DuckDB sum() → HUGEINT) on the
+    other is a hash mismatch even when the numbers are equal. No coercion
+    here, so this check predicts the driver (round-1 lesson)."""
+    return {c: df[c].dtype.kind for c in df.columns}
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
-        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64")
         elif str(df[c].dtype) == "bool":
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
@@ -73,6 +77,11 @@ def main() -> None:
         if list(g.columns) != list(w.columns):
             failures.append((name, f"columns {list(g.columns)} vs {list(w.columns)}"))
             print(f"✗ {name}: column mismatch {list(g.columns)} vs {list(w.columns)}")
+            continue
+        if kinds(g) != kinds(w):
+            bad = {c: (kinds(g)[c], kinds(w)[c]) for c in g.columns if kinds(g)[c] != kinds(w)[c]}
+            failures.append((name, f"dtype kind mismatch {bad}"))
+            print(f"✗ {name}: dtype kind mismatch {bad}")
             continue
         if len(g) != len(w):
             failures.append((name, f"rows {len(g)} vs {len(w)}"))
