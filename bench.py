@@ -144,7 +144,11 @@ def main() -> None:
             result = verify_by_hash(seq, decode_job.decode(spark, out_dir))
             extras["verify_mode"] = "hash_digest"
         timings["verify"] = time.perf_counter() - t0
-        extras["bit_identical"] = bool(result["pass"])
+        extras["verify_pass"] = bool(result["pass"])
+        if extras["verify_mode"] == "exact_join":
+            # only the exact join is a per-row certificate; the digest path is
+            # a probabilistic per-source count+hash-sum equality
+            extras["bit_identical"] = bool(result["pass"])
         extras["verify_rows"] = int(result["rows"])
 
         # ---- parquet baseline (reference output: default snappy parquet)
@@ -163,12 +167,17 @@ def main() -> None:
         extras["parquet_baseline_bytes"] = parquet_bytes
         extras["bytes_vs_parquet"] = round(extras["compressed_bytes"] / parquet_bytes, 4)
 
-        total = sum(timings.values())
+        # headline value = the ENGINE phases; input synthesis and the
+        # parquet-baseline write are itemized in `queries` but not charged to
+        # the engine (build_input alone is ~60% of wall and is pure test rig)
+        engine_phases = ("encode", "decode", "verify")
+        total = sum(timings[k] for k in engine_phases)
         out = {
             "metric": "encode_decode_verify_pipeline",
             "value": round(total, 3),
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in timings.items()},
+            "value_phases": list(engine_phases),
             "sf": sf,
             "cpus": cpus,
             **extras,

@@ -58,8 +58,9 @@ def test_lookup_prunes_and_returns_exact_rows(spark, seq_df, tmp_out):
     # pruning: the decode must touch far fewer chunks than exist
     total_chunks = spark.read.parquet(f"{tmp_out}/encoded").select("chunk_id").distinct().count()
     assert total_chunks > 6  # the fixture actually fans out
-    # candidate set ≤ #ids × #sources
-    assert len(want) * 3 < total_chunks or True
+    # candidate set ≤ #ids × #sources, and that bound must actually prune
+    n_sources = seq_df.select("source").distinct().count()
+    assert len(want) * n_sources < total_chunks
     empty = decode_job.lookup(spark, tmp_out, [])
     assert empty.count() == 0
     missing = decode_job.lookup(spark, tmp_out, ["no-such-doc"])

@@ -105,7 +105,7 @@ variance from outside the VM).
 | decode tokens/s | {a_lo['decode_tokens_per_s']:,} | {a_hi['decode_tokens_per_s']:,} | **{dec_eff:.3f}** |
 | compressed bytes | {a_lo['compressed_bytes']:,} | {a_hi['compressed_bytes']:,} | identical input |
 | vs parquet-snappy baseline | {a_lo['bytes_vs_parquet']} | {a_hi['bytes_vs_parquet']} | ≤ 1.0 required |
-| bit-identical decode | {a_lo['bit_identical']} | {a_hi['bit_identical']} | must be true |
+| verify pass ({a_lo['verify_mode']}) | {a_lo['verify_pass']} | {a_hi['verify_pass']} | must be true |
 
 ## 2. Why single-box thread-scaling under-reports executor-scaling
 

@@ -61,18 +61,17 @@ def build_bloom(values: np.ndarray, fpp: float = 0.01, ndv: int | None = None) -
 
 
 def might_contain(bloom: bytes, value: int) -> bool:
-    """Probe one value against a serialized filter."""
+    """Probe one value against a serialized filter. The k probe offsets are
+    computed vectorized in uint64 (mod-2^64 wraparound matches the build
+    path); scalar h1+i*h2 arithmetic would emit an overflow RuntimeWarning
+    per probe — noisy at one-probe-per-chunk-row scale."""
     magic, k, m = _HDR.unpack_from(bloom, 0)
     if magic != b"BF":
         raise ValueError("bad bloom header")
     bits = np.frombuffer(bloom, dtype=np.uint8, offset=_HDR.size)
     h1, h2 = _hashes(np.array([value], dtype=np.int32))
-    mm = np.uint64(m)
-    for i in range(k):
-        pos = int((h1[0] + np.uint64(i) * h2[0]) % mm)
-        if not (bits[pos >> 3] >> (pos & 7)) & 1:
-            return False
-    return True
+    pos = (h1 + np.arange(k, dtype=np.uint64) * h2) % np.uint64(m)
+    return bool(np.all((bits[(pos >> np.uint64(3)).astype(np.int64)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1))
 
 
 def might_contain_many(blooms: "list[bytes] | np.ndarray", value: int) -> np.ndarray:

@@ -36,10 +36,14 @@ def decode_chunk(t: pa.Table) -> pa.Table:
     flat = decode_column(by_col["tokens"])
     doc_id = decode_column(by_col["doc_id"]).cast(pa.string())
     source = decode_column(by_col["source"]).cast(pa.string())
-    offsets = np.zeros(len(lens) + 1, dtype=np.int32)
-    np.cumsum(lens, out=offsets[1:], dtype=np.int32)
+    offsets64 = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets64[1:], dtype=np.int64)
+    if offsets64[-1] > np.iinfo(np.int32).max:
+        # reachable only by overriding max_chunk_values far past the default;
+        # fail loudly instead of letting an int32 cumsum wrap into corrupt rows
+        raise ValueError(f"chunk token count {offsets64[-1]} overflows int32 list offsets")
     tokens = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+        pa.array(offsets64.astype(np.int32), type=pa.int32()), pa.array(flat, type=pa.int32())
     )
     return pa.table(
         {

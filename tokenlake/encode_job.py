@@ -71,6 +71,37 @@ LINEAGE_SCHEMA = (
 SEQ_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
 
 
+MAX_STAT_LENGTH = 64  # reference string_statistics.rs:8
+
+
+def truncate_stat_min(s: str, limit: int = MAX_STAT_LENGTH) -> str:
+    """Truncate a stored min statistic (R9, string_statistics.rs:16-81).
+    A prefix is lexicographically ≤ the original, so plain truncation keeps
+    the lower bound valid."""
+    return s if len(s.encode()) <= limit else s.encode()[:limit].decode(errors="ignore")
+
+
+def truncate_stat_max(s: str, limit: int = MAX_STAT_LENGTH) -> str:
+    """Truncate a stored max statistic, keeping it a valid UPPER bound
+    (parquet's truncate semantics): cut to ≤limit bytes on a character
+    boundary, then increment the last character's code point (surrogates
+    skipped). The incremented prefix compares greater than the original at
+    the first differing position, so the bound stays valid even for
+    multi-byte characters. If nothing is incrementable, store untruncated."""
+    if len(s.encode()) <= limit:
+        return s
+    chars = list(s.encode()[:limit].decode(errors="ignore"))
+    while chars:
+        cp = ord(chars[-1])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return "".join(chars[:-1]) + chr(nxt)
+        chars.pop()
+    return s
+
+
 def _fingerprint(doc_ids: pa.Array, flat: np.ndarray) -> str:
     """Cheap order-stable content hash for lineage: crc32 over the flat token
     buffer plus the doc_id utf8 data + lengths (buffer-level, no per-row work)."""
@@ -103,8 +134,9 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     lens = t.column("n_tok").to_numpy().astype(np.int64)
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     fp = _fingerprint(doc, flat)
-    did_min = doc[0].as_py() if n_rows else ""
-    did_max = doc[n_rows - 1].as_py() if n_rows else ""
+    stat_limit = cfg.statistics_truncate_length or MAX_STAT_LENGTH
+    did_min = truncate_stat_min(doc[0].as_py(), stat_limit) if n_rows else ""
+    did_max = truncate_stat_max(doc[n_rows - 1].as_py(), stat_limit) if n_rows else ""
 
     rows = []
 
@@ -231,6 +263,48 @@ def lineage_from_encoded(encoded: DataFrame, attempt: int = 1) -> DataFrame:
             F.lit(attempt).alias("attempt"),
         )
     )
+
+
+def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
+    """X1 property inference (reference infer_writer_properties,
+    fix.rs:25-70): reconstruct an EncodeConfig from an existing encoded table
+    so a re-encode preserves untouched columns' codec / outer layer / bloom
+    presence. Per column: majority codec and outer (most_frequent,
+    fix.rs:196-211, deterministic tiebreak on name), bloom iff any chunk
+    carries a filter (fix.rs:168-182). One aggregate; O(#columns) rows reach
+    the driver."""
+    enc = spark.read.parquet(f"{out_dir}/encoded")
+
+    def majority(col: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("column").orderBy(F.desc("cnt"), col)
+        return (
+            enc.groupBy("column", col)
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("column", col)
+        )
+
+    rows = (
+        majority("codec")
+        .join(majority("outer"), "column")
+        .join(
+            enc.groupBy("column").agg(
+                F.max(F.col("bloom").isNotNull()).alias("has_bloom")
+            ),
+            "column",
+        )
+        .collect()
+    )
+    cfg = EncodeConfig()
+    for r in rows:
+        cfg.overrides[r["column"]] = r["codec"]
+        cfg.outer[r["column"]] = r["outer"]
+        if r["has_bloom"]:
+            cfg.bloom[r["column"]] = {"fpp": 0.01, "ndv": None}
+    return cfg
 
 
 def run(

@@ -34,8 +34,11 @@ from .stats import compute_chunk_stats
 LINT_SCHEMA = (
     "chunk_id string, column string, codec string, rule string, "
     "severity string, est_bytes long, sample_rows long, sample_values long, "
-    "cardinality_ratio double, run_ratio double, sorted_frac double"
+    "cardinality_ratio double, run_ratio double, sorted_frac double, "
+    "body_bytes long, outer_ratio double"
 )
+
+_OUTER_TRIAL_BYTES = 1 << 16  # bounded zstd-3 trial sample per chunk
 
 
 def lint_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
@@ -58,8 +61,17 @@ def lint_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         plain_bytes = 4 * max(nv, 1)
         saving = 1.0 - d.est_bytes / plain_bytes
         # Severity ordering mirrors diagnostic.rs:8-12: big wins are warnings
-        # (you are leaving >50% on the table), marginal ones suggestions.
+        # (you are leaving >50% on the table), marginal ones suggestions;
+        # `error` is reserved for broken invariants (lint_lineage).
         severity = "warning" if saving > 0.5 else "suggestion"
+        # R2 inputs: real sampled encode body + bounded zstd-3 trial ratio
+        # (the reference samples one row group, column_context.rs:543)
+        from .codecs import encode_int_column
+        from .codecs.container import _outer_compress
+
+        body = encode_int_column(values, d.codec, outer="none")
+        trial = bytes(body[-_OUTER_TRIAL_BYTES:]) if len(body) > _OUTER_TRIAL_BYTES else bytes(body)
+        outer_ratio = len(_outer_compress("zstd", 3, trial)) / max(len(trial), 1)
         rows.append(
             {
                 "chunk_id": chunk_id,
@@ -73,6 +85,8 @@ def lint_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "cardinality_ratio": float(st.cardinality_ratio),
                 "run_ratio": float(st.run_ratio),
                 "sorted_frac": float(st.sorted_frac),
+                "body_bytes": len(body),
+                "outer_ratio": float(outer_ratio),
             }
         )
     return pa.Table.from_pylist(rows)
@@ -104,11 +118,21 @@ def lint(
     return decisions.orderBy(rank.desc(), "chunk_id", "column")
 
 
-def prescription_from_decisions(decisions: DataFrame) -> Prescription:
+def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Prescription:
     """Collapse per-chunk decisions to a per-column prescription: majority
     codec per column (the reference's most_frequent property inference,
-    fix.rs:196-211), emitted in the same `set column …` DSL."""
+    fix.rs:196-211) plus the R2 outer-codec majority vote (outer_policy.py),
+    emitted in the same `set column …` DSL.
+
+    `scale` rescales sampled body bytes to full-data bytes (pass
+    1/sample_fraction when the decisions come from a sampled lint) so the
+    reference's absolute size thresholds (8 MB column floor, 4 MB speed
+    threshold, …) see full-corpus magnitudes. Both votes are Spark
+    aggregates: one row per column reaches the driver."""
     from pyspark.sql import Window, functions as F
+
+    from . import outer_policy as OP
+    from .plan import Directive
 
     w = Window.partitionBy("column").orderBy(F.desc("count"), "codec")
     majority = (
@@ -119,4 +143,78 @@ def prescription_from_decisions(decisions: DataFrame) -> Prescription:
         .select("column", "codec")
         .collect()
     )
-    return plan_from_decisions([{"column": r["column"], "codec": r["codec"]} for r in majority])
+    rx = plan_from_decisions([{"column": r["column"], "codec": r["codec"]} for r in majority])
+
+    b = F.col("body_bytes") * F.lit(float(scale))
+    vote = (
+        F.when(F.col("outer_ratio") > OP.RATIO_SKIP, F.lit("none"))
+        .when(b > OP.SPEED_THRESHOLD_BYTES, F.lit("lz4"))
+        .otherwise(F.lit("zstd"))
+    )
+    agg = (
+        decisions.groupBy("column")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(b).alias("total_bytes"),
+            F.max(b).alias("max_chunk_bytes"),
+            (F.sum(b * F.col("outer_ratio")) / F.sum(b)).alias("weighted_ratio"),
+            F.sum(F.when(vote == "lz4", 1).otherwise(0)).alias("lz4_votes"),
+            F.sum(F.when(vote == "zstd", 1).otherwise(0)).alias("zstd_votes"),
+        )
+        .collect()
+    )
+    for r in sorted(agg, key=lambda r: r["column"]):
+        v = OP.decide(
+            r["n_chunks"],
+            float(r["total_bytes"] or 0),
+            float(r["max_chunk_bytes"] or 0),
+            float(r["weighted_ratio"] if r["weighted_ratio"] is not None else 1.0),
+            r["lz4_votes"],
+            r["zstd_votes"],
+        )
+        if v is not None:
+            rx.directives.append(Directive("column", r["column"], "compression", v))
+    return rx
+
+
+def lint_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Invariant lint over an encoded table: `error`-severity decisions for
+    chunks whose lineage row is missing/incomplete or whose recorded
+    fingerprint disagrees with the encoded metrics (the R8
+    missing-page-statistics analog on the engine's own format,
+    page_statistics.rs:13-51; Severity::Error, diagnostic.rs:8-12)."""
+    from pyspark.sql import functions as F
+
+    enc = (
+        spark.read.parquet(f"{out_dir}/encoded")
+        .select("chunk_id", "input_fingerprint")
+        .distinct()
+    )
+    lin = (
+        spark.read.parquet(f"{out_dir}/lineage")
+        .filter(F.col("status") == "complete")
+        .select("chunk_id", F.col("input_fingerprint").alias("lin_fp"))
+        .distinct()
+    )
+    j = enc.join(lin, "chunk_id", "left")
+    return j.select(
+        "chunk_id",
+        F.when(F.col("lin_fp").isNull(), F.lit("lineage-missing"))
+        .when(F.col("lin_fp") != F.col("input_fingerprint"), F.lit("lineage-fingerprint-mismatch"))
+        .otherwise(F.lit("ok"))
+        .alias("rule"),
+    ).select(
+        "chunk_id",
+        "rule",
+        F.when(F.col("rule") == "ok", F.lit("suggestion")).otherwise(F.lit("error")).alias("severity"),
+    )
+
+
+def has_warnings_or_errors(decisions: DataFrame) -> bool:
+    """Gate for CI-style lint runs (reference has_warnings_or_errors,
+    lib.rs:48-52; the CLI exits 1 on it, cli/main.rs:131-133)."""
+    from pyspark.sql import functions as F
+
+    return (
+        decisions.filter(F.col("severity").isin("warning", "error")).limit(1).count() > 0
+    )

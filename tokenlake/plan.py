@@ -222,8 +222,10 @@ def _check_directive(d: Directive, lineno: int) -> None:
             raise PlanError(f"line {lineno}: unknown encoding {d.value!r}")
         if d.prop in ("dictionary", "bloom_filter") and d.value not in ("true", "false"):
             raise PlanError(f"line {lineno}: {d.prop} expects true/false")
-        if d.prop == "bloom_filter_ndv" and not d.value.isdigit():
-            raise PlanError(f"line {lineno}: bloom_filter_ndv expects an integer")
+        if d.prop == "bloom_filter_ndv" and (not d.value.isdigit() or int(d.value) < 1):
+            # ndv=0 would divide by zero in build_bloom's k sizing — reject
+            # at parse time, not inside the encode UDF
+            raise PlanError(f"line {lineno}: bloom_filter_ndv expects an integer ≥ 1")
         if d.prop == "bloom_filter_fpp":
             try:
                 fpp = float(d.value)

@@ -954,6 +954,24 @@ def tl_lint(spark, sf_dir):
     return lint_job.lint(spark, seq, fraction=0.5)
 
 
+def tl_lineage_lint(spark, sf_dir):
+    """Invariant lint over a freshly encoded table (lint_job.lint_lineage):
+    exercises the `error` severity level and the has_warnings_or_errors gate
+    (reference lib.rs:48-52). A clean encode must produce zero errors.
+    Rows-only (the engine's lineage format has no SQL oracle)."""
+    import tempfile
+
+    from . import encode_job, lint_job
+    from .schema import sequences_from_documents
+
+    wd = tempfile.mkdtemp(prefix="tl_linlint_")
+    seq = sequences_from_documents(spark, sf_dir)
+    encode_job.run(spark, seq, f"{wd}/out", max_rows=2048, max_values=1_000_000)
+    d = lint_job.lint_lineage(spark, f"{wd}/out")
+    assert not lint_job.has_warnings_or_errors(d), "clean encode must lint clean"
+    return d.groupBy("severity", "rule").agg(F.count("*").alias("n")).orderBy("severity", "rule")
+
+
 def tl_point_lookup(spark, sf_dir):
     """Point lookup + bloom token scan over the engine's own format
     (decode_job.lookup / scan_token): encode the docs-derived sequences, look
@@ -1059,6 +1077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_lsh_cosine": tl_lsh_cosine,
     "tl_multimodal_features": tl_multimodal_features,
     "tl_lint": tl_lint,
+    "tl_lineage_lint": tl_lineage_lint,
     "tl_point_lookup": tl_point_lookup,
     "tl_streaming_ingest": tl_streaming_ingest,
 }
