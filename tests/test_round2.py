@@ -281,3 +281,155 @@ def test_bloom_ndv_zero_rejected_at_parse():
     with pytest.raises(PlanError):
         Prescription.parse("set column tokens bloom_filter_ndv 0")
     Prescription.parse("set column tokens bloom_filter_ndv 1")
+
+
+def test_new_directive_kinds_parse_and_apply():
+    cfg = Prescription.parse(
+        "set column tokens statistics page\n"
+        "set column doc_id statistics none\n"
+        "set column tokens dictionary_page_size_limit 1048576\n"
+        "set file data_page_size_limit 400\n"
+    ).apply()
+    assert cfg.stats_for("tokens") == "page"
+    assert cfg.stats_for("doc_id") == "none"
+    assert cfg.stats_for("n_tok") == "chunk"  # default
+    assert cfg.bloom_for("tokens") is not None  # page level implies the index
+    assert cfg.dict_limit_for("tokens") == 1048576
+    assert cfg.effective_max_values(10_000) == 100  # 400 B / 4 B per token
+    with pytest.raises(PlanError):
+        Prescription.parse("set column tokens statistics everything")
+    with pytest.raises(PlanError):
+        Prescription.parse("set column tokens dictionary_page_size_limit 0")
+
+
+def test_statistics_directives_flow_into_metrics(spark, tmp_path):
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    out = str(tmp_path / "stats")
+    cfg = Prescription.parse(
+        "set column tokens statistics none\nset column doc_id statistics none"
+    ).apply()
+    encode_job.run(spark, df, out, cfg=cfg)
+    enc = spark.read.parquet(f"{out}/encoded")
+    tok = enc.filter(F.col("column") == "tokens").first()
+    assert tok["min_val"] == 0 and tok["max_val"] == 0 and tok["distinct_est"] == 0
+    assert tok["doc_id_min"] == "" and not tok["stats_exact"]
+    # page level on tokens → membership index built without a bloom directive
+    out2 = str(tmp_path / "page")
+    cfg2 = Prescription.parse("set column tokens statistics page").apply()
+    encode_job.run(spark, df, out2, cfg=cfg2)
+    enc2 = spark.read.parquet(f"{out2}/encoded")
+    assert enc2.filter((F.col("column") == "tokens") & F.col("bloom").isNotNull()).count() > 0
+    assert enc2.filter(~F.col("stats_exact")).count() == 0
+    # decode stays bit-identical with stats off
+    from tokenlake import decode_job
+
+    dec = decode_job.decode(spark, out).select("doc_id", F.col("tokens").alias("d"))
+    bad = df.join(dec, "doc_id", "left").filter(
+        F.col("d").isNull() | (F.col("tokens") != F.col("d"))
+    ).count()
+    assert bad == 0
+
+
+def test_dictionary_growth_policy():
+    from tokenlake import select
+
+    # sizing math mirrors dictionary_encoding.rs:484-525
+    assert select.suggested_dictionary_page_size_limit(1 << 20) == 2 << 20
+    assert select.suggested_dictionary_page_size_limit(3 << 20) == 4 << 20
+    assert select.suggested_dictionary_page_size_limit(16 << 20) == 16 << 20
+    assert select.suggested_dictionary_page_size_limit((16 << 20) + 1) is None
+    assert select.suggested_max_chunk_rows(65536, 32 << 20) == 65536 * 16 // 32
+    assert select.suggested_max_chunk_rows(100, 1 << 20) == 100  # already fits
+
+    from tokenlake.stats import compute_chunk_stats
+
+    rng = np.random.default_rng(3)
+    vocab = np.arange(0, 100 * 9_000_001, 9_000_001, dtype=np.int32)  # sparse ids
+    vals = rng.permutation(np.repeat(vocab, 50))  # ndv=100, wide range, no runs
+    st = compute_chunk_stats(vals, 100)
+    assert select.classify_dict_chunk(st, None) == "DictOnly"
+    assert select.classify_dict_chunk(st, 100) == "Fallback"  # 100 B limit
+    assert select.estimate_dictionary_payload_bytes(st) == int(100 * 4 * 1.25)
+    hi = np.arange(5000, dtype=np.int32)  # all distinct
+    assert select.classify_dict_chunk(compute_chunk_stats(hi, 100), None) == "NoDict"
+    # a Fallback-tight limit removes dict from the candidate set
+    d = select.select_codec(vals, st, dict_page_limit=100)
+    assert d.codec != "dict"
+    d2 = select.select_codec(vals, st, dict_page_limit=1 << 20)
+    assert d2.codec == "dict"
+
+
+def test_dict_page_limit_directive_reaches_encoder(spark, tmp_path):
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    out = str(tmp_path / "dlim")
+    cfg = Prescription.parse("set column tokens dictionary_page_size_limit 16").apply()
+    encode_job.run(spark, df, out, cfg=cfg)
+    enc = spark.read.parquet(f"{out}/encoded")
+    assert enc.filter((F.col("column") == "tokens") & (F.col("codec") == "dict")).count() == 0
+
+
+def test_prescription_dictionary_growth(spark):
+    """R1 growth flow: dict-winning column whose table overflows the 2 MB
+    start page → grow the limit (doubling); >16 MB → shrink chunks instead
+    (dictionary_encoding.rs:155-240)."""
+
+    def mkrow(payload):
+        return ("c#0", "tokens", "dict", "dictionary-encoding-cardinality",
+                "suggestion", 100, 1000, 50000, 0.01, 1.0, 0.5, 1000, 0.5, payload)
+
+    grow = spark.createDataFrame([mkrow(5 << 20)], schema=lint_job.LINT_SCHEMA)
+    rx = lint_job.prescription_from_decisions(grow)
+    assert f"set column tokens dictionary_page_size_limit {8 << 20}" in rx.format()
+
+    shrink = spark.createDataFrame([mkrow(32 << 20)], schema=lint_job.LINT_SCHEMA)
+    rx2 = lint_job.prescription_from_decisions(shrink)
+    assert "set file max_chunk_rows 500" in rx2.format()  # 1000 × 16/32
+    assert f"set column tokens dictionary_page_size_limit {16 << 20}" in rx2.format()
+    rx2.apply()  # emitted directives must be valid DSL
+
+
+# --------------------------------------------------------------------- CLI
+
+def test_cli_lint_gate_and_prescription(spark, tmp_path):
+    from tokenlake import cli
+
+    tbl = generate_sequences(scale=0.02, profiles=["lowcard", "random"], skew=False)
+    in_p = str(tmp_path / "in.parquet")
+    spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA).write.parquet(in_p)
+    rx_p = str(tmp_path / "rx.txt")
+    # lowcard leaves >50% on the table → warning → exit 1 (the CI gate)
+    code = cli.main(
+        ["lint", in_p, "--fraction", "0.5", "--prescription-out", rx_p], spark=spark
+    )
+    assert code == 1
+    text = open(rx_p).read()
+    assert "set column tokens encoding" in text
+    # severity filter + rule filter paths run
+    assert cli.main(
+        ["lint", in_p, "--fraction", "0.5", "--severity", "error", "--rules", "no-such-rule"],
+        spark=spark,
+    ) in (0, 1)
+
+
+def test_cli_rewrite_dry_run_and_from_prescription(spark, tmp_path, capsys):
+    from tokenlake import cli
+
+    tbl = generate_sequences(scale=0.01, profiles=["sorted_ts"], skew=False)
+    in_p = str(tmp_path / "in2.parquet")
+    spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA).write.parquet(in_p)
+    out = str(tmp_path / "cliout")
+    assert cli.main(["rewrite", in_p, "-o", out, "--dry-run", "--fraction", "0.5"], spark=spark) == 0
+    printed = capsys.readouterr().out
+    assert "set column tokens encoding" in printed
+    import os
+
+    assert not os.path.exists(f"{out}/encoded")  # dry run wrote nothing
+    rx_p = str(tmp_path / "force.txt")
+    with open(rx_p, "w") as f:
+        f.write("set column tokens encoding plain\nset column tokens encoding for\n")
+    assert cli.main(["rewrite", in_p, "-o", out, "--from-prescription", rx_p], spark=spark) == 0
+    enc = spark.read.parquet(f"{out}/encoded")
+    # conflicting directives warn and the LAST wins (cli/main.rs:75-82)
+    assert {r["codec"] for r in enc.filter(F.col("column") == "tokens").collect()} == {"for"}

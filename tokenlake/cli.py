@@ -1,0 +1,138 @@
+"""CLI lifecycle surface — parity with parquet-linter-cli
+(src/parquet-linter-cli/src/main.rs:88-230).
+
+    python -m tokenlake lint INPUT.parquet [--fraction F] [--rules a,b]
+        [--severity suggestion|warning|error] [--prescription-out FILE]
+    python -m tokenlake rewrite INPUT.parquet -o OUTDIR
+        [--from-prescription FILE] [--dry-run]
+
+Reference parity points:
+- `lint` is the default-style analysis: sampled decisions printed as a table,
+  filtered by `--severity` (cli/main.rs:98-129), optional merged-prescription
+  export (`--prescription-out`, cli/main.rs:103-118), **exit 1** when any
+  warning/error remains (has_warnings_or_errors, lib.rs:48-52 /
+  cli/main.rs:131-133).
+- `rewrite` re-lints by default (cli/main.rs:186-199) or loads a prescription
+  with `--from-prescription` (:148-184); conflicts are warnings and the last
+  directive wins (warn_if_conflicting_for_apply, :75-82); `--dry-run` prints
+  the directives without encoding (:213-219).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+SEVERITY_RANK = {"suggestion": 0, "warning": 1, "error": 2}
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tokenlake")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    lint = sub.add_parser("lint", help="sampled plan-only analysis of a sequences parquet")
+    lint.add_argument("input")
+    lint.add_argument("--fraction", type=float, default=0.05)
+    lint.add_argument("--rules", default=None, help="comma-separated rule-name filter")
+    lint.add_argument(
+        "--severity", default="suggestion", choices=list(SEVERITY_RANK),
+        help="print only diagnostics at or above this level",
+    )
+    lint.add_argument("--prescription-out", default=None)
+    lint.add_argument("--cpus", type=int, default=8)
+
+    rw = sub.add_parser("rewrite", help="lint-and-fix: encode with the merged prescription")
+    rw.add_argument("input")
+    rw.add_argument("-o", "--out", required=True)
+    rw.add_argument("--from-prescription", default=None)
+    rw.add_argument("--dry-run", action="store_true")
+    rw.add_argument("--fraction", type=float, default=0.05)
+    rw.add_argument("--cpus", type=int, default=8)
+    return p
+
+
+def _get_spark(spark, cpus: int):
+    if spark is not None:
+        return spark, False
+    from .session import get_spark
+
+    s = get_spark(master=f"local[{cpus}]", app_name="tokenlake-cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s, True
+
+
+def cmd_lint(args, spark=None) -> int:
+    from pyspark.sql import functions as F
+
+    from . import lint_job
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        df = spark.read.parquet(args.input)
+        decisions = lint_job.lint(spark, df, fraction=args.fraction)
+        if args.rules:
+            decisions = decisions.filter(F.col("rule").isin(args.rules.split(",")))
+        decisions = decisions.cache()
+        rows = decisions.collect()
+        floor = SEVERITY_RANK[args.severity]
+        shown = [r for r in rows if SEVERITY_RANK.get(r["severity"], 0) >= floor]
+        for r in shown:
+            print(
+                f"{r['severity']:<10} {r['rule']:<32} {r['chunk_id']}:{r['column']}"
+                f" -> {r['codec']} (~{r['est_bytes']} B)"
+            )
+        print(f"{len(shown)} diagnostics ({len(rows)} total before severity filter)")
+        if args.prescription_out:
+            rx = lint_job.prescription_from_decisions(
+                decisions, scale=1.0 / max(args.fraction, 1e-9)
+            )
+            with open(args.prescription_out, "w") as f:
+                f.write(rx.format() + "\n")
+            print(f"prescription written to {args.prescription_out}")
+        # exit 1 on warnings/errors — the CI gate (lib.rs:48-52)
+        gate = any(SEVERITY_RANK.get(r["severity"], 0) >= 1 for r in rows)
+        decisions.unpersist()
+        return 1 if gate else 0
+    finally:
+        if own:
+            spark.stop()
+
+
+def cmd_rewrite(args, spark=None) -> int:
+    from . import encode_job, lint_job
+    from .plan import Prescription
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        df = spark.read.parquet(args.input)
+        if args.from_prescription:
+            with open(args.from_prescription) as f:
+                rx = Prescription.parse(f.read())
+        else:
+            decisions = lint_job.lint(spark, df, fraction=args.fraction)
+            rx = lint_job.prescription_from_decisions(
+                decisions, scale=1.0 / max(args.fraction, 1e-9)
+            )
+        for err in rx.validate():
+            print(f"warning: {err}; applying anyway (last directive wins)", file=sys.stderr)
+        if args.dry_run:
+            print(rx.format())
+            return 0
+        summary = encode_job.run(spark, df, args.out, cfg=rx.apply())
+        print(json.dumps(summary))
+        return 0
+    finally:
+        if own:
+            spark.stop()
+
+
+def main(argv=None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.command == "lint":
+        return cmd_lint(args, spark)
+    return cmd_rewrite(args, spark)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

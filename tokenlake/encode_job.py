@@ -33,8 +33,8 @@ from .stats import compute_chunk_stats
 ENCODED_SCHEMA = (
     "chunk_id string, column string, codec string, outer string, "
     "payload binary, n_rows long, n_values long, encoded_bytes long, "
-    "raw_bytes long, doc_id_min string, doc_id_max string, rule string, "
-    "min_val long, max_val long, distinct_est long, "
+    "raw_bytes long, doc_id_min string, doc_id_max string, stats_exact boolean, "
+    "rule string, min_val long, max_val long, distinct_est long, "
     "input_fingerprint string, elapsed_ms double, nbuckets int, bloom binary"
 )
 
@@ -51,6 +51,7 @@ ENCODED_ARROW_SCHEMA = pa.schema(
         ("raw_bytes", pa.int64()),
         ("doc_id_min", pa.string()),
         ("doc_id_max", pa.string()),
+        ("stats_exact", pa.bool_()),
         ("rule", pa.string()),
         ("min_val", pa.int64()),
         ("max_val", pa.int64()),
@@ -135,13 +136,22 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     fp = _fingerprint(doc, flat)
     stat_limit = cfg.statistics_truncate_length or MAX_STAT_LENGTH
-    did_min = truncate_stat_min(doc[0].as_py(), stat_limit) if n_rows else ""
-    did_max = truncate_stat_max(doc[n_rows - 1].as_py(), stat_limit) if n_rows else ""
+    # `statistics none` blanks the stored stats (reference EnabledStatistics,
+    # prescription.rs:113-130); doc_id bounds ride the doc_id column's level
+    doc_stats = cfg.stats_for("doc_id") != "none"
+    raw_min = doc[0].as_py() if n_rows else ""
+    raw_max = doc[n_rows - 1].as_py() if n_rows else ""
+    did_min = truncate_stat_min(raw_min, stat_limit) if n_rows and doc_stats else ""
+    did_max = truncate_stat_max(raw_max, stat_limit) if n_rows and doc_stats else ""
+    # A5 min_is_exact semantics (column_context.rs:478-541): bounds are only
+    # trusted as exact when stored untruncated with stats enabled
+    stats_exact = bool(doc_stats and did_min == raw_min and did_max == raw_max)
 
     rows = []
 
     def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None, bloom=None):
         codec, outer_name = codec_of(payload)
+        keep_stats = cfg.stats_for(column) != "none"
         rows.append(
             {
                 "chunk_id": chunk_id,
@@ -155,10 +165,11 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "raw_bytes": raw_bytes,
                 "doc_id_min": did_min,
                 "doc_id_max": did_max,
+                "stats_exact": stats_exact,
                 "rule": rule,
-                "min_val": stats.min_val if stats else 0,
-                "max_val": stats.max_val if stats else 0,
-                "distinct_est": stats.distinct_est if stats else 0,
+                "min_val": stats.min_val if stats and keep_stats else 0,
+                "max_val": stats.max_val if stats and keep_stats else 0,
+                "distinct_est": stats.distinct_est if stats and keep_stats else 0,
                 "input_fingerprint": fp,
                 "elapsed_ms": (time.perf_counter() - (t_start or t0)) * 1000,
                 "nbuckets": nbuckets,
@@ -172,6 +183,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     decision = select_codec(
         flat, st, forced=overrides.get("tokens"),
         allow_dict="!dict:tokens" not in overrides,
+        dict_page_limit=cfg.dict_limit_for("tokens"),
     )
     payload = encode_int_column(flat, decision.codec, outer=cfg.outer_for("tokens"))
     if len(payload) > len(flat) * 4 + 64 and decision.codec != "plain":
@@ -189,6 +201,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     ldec = select_codec(
         lens32, lst, forced=overrides.get("n_tok"),
         allow_dict="!dict:n_tok" not in overrides,
+        dict_page_limit=cfg.dict_limit_for("n_tok"),
     )
     emit("n_tok", encode_int_column(lens32, ldec.codec, outer=cfg.outer_for("n_tok")), n_rows, lens32.nbytes, lst, ldec.rule, t)
 
@@ -225,7 +238,7 @@ def encode_dataframe(
     """sequences DataFrame → encoded DataFrame (lazy; no action triggered)."""
     cfg = cfg or EncodeConfig()
     if buckets is None:
-        buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.max_chunk_values or max_values)
+        buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.effective_max_values(max_values))
     chunked = assign_chunks(df, buckets)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -325,7 +338,7 @@ def run(
     enc_path = f"{out_dir}/encoded"
     lin_path = f"{out_dir}/lineage"
     cfg = cfg or EncodeConfig()
-    buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.max_chunk_values or max_values)
+    buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.effective_max_values(max_values))
     chunked = assign_chunks(df, buckets, salt=salt)
 
     attempt = 1

@@ -28,14 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .chunking import MAX_CHUNK_ROWS, MAX_CHUNK_VALUES, assign_chunks, plan_buckets
 from .plan import EncodeConfig, Prescription, plan_from_decisions
-from .select import select_codec
+from .select import estimate_dictionary_payload_bytes, select_codec
 from .stats import compute_chunk_stats
 
 LINT_SCHEMA = (
     "chunk_id string, column string, codec string, rule string, "
     "severity string, est_bytes long, sample_rows long, sample_values long, "
     "cardinality_ratio double, run_ratio double, sorted_frac double, "
-    "body_bytes long, outer_ratio double"
+    "body_bytes long, outer_ratio double, dict_payload_bytes long"
 )
 
 _OUTER_TRIAL_BYTES = 1 << 16  # bounded zstd-3 trial sample per chunk
@@ -87,6 +87,7 @@ def lint_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "sorted_frac": float(st.sorted_frac),
                 "body_bytes": len(body),
                 "outer_ratio": float(outer_ratio),
+                "dict_payload_bytes": int(estimate_dictionary_payload_bytes(st)),
             }
         )
     return pa.Table.from_pylist(rows)
@@ -106,7 +107,7 @@ def lint(
     from pyspark.sql import functions as F
 
     cfg = cfg or EncodeConfig()
-    buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.max_chunk_values or max_values)
+    buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.effective_max_values(max_values))
     sampled = df.sample(fraction=fraction, seed=seed)
     chunked = assign_chunks(sampled, buckets)
 
@@ -174,6 +175,46 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
         )
         if v is not None:
             rx.directives.append(Directive("column", r["column"], "compression", v))
+
+    # R1 growth flow (dictionary_encoding.rs:155-240): where dictionary wins
+    # but its table would overflow the 2 MB starting page, grow the page limit
+    # (2 MB doubling ≤16 MB); if even 16 MB can't hold it, shrink chunks
+    # instead. NDV-based payloads don't scale linearly with the sample, so
+    # the sampled maximum is used as-is (growth is by powers of two anyway).
+    from .select import (
+        DICT_PAGE_SIZE_MAX,
+        DICT_PAGE_SIZE_START,
+        suggested_dictionary_page_size_limit,
+        suggested_max_chunk_rows,
+    )
+
+    dict_cols = {
+        r["column"]
+        for r in majority
+        if r["codec"] in ("dict", "str_dict")
+    }
+    if dict_cols:
+        pay = (
+            decisions.filter(F.col("column").isin(list(dict_cols)))
+            .groupBy("column")
+            .agg(F.max("dict_payload_bytes").alias("payload"), F.max("sample_rows").alias("rows"))
+            .collect()
+        )
+        for r in sorted(pay, key=lambda r: r["column"]):
+            payload = int(r["payload"] or 0)
+            if payload <= DICT_PAGE_SIZE_START:
+                continue
+            limit = suggested_dictionary_page_size_limit(payload)
+            if limit is not None:
+                rx.directives.append(
+                    Directive("column", r["column"], "dictionary_page_size_limit", str(limit))
+                )
+            else:
+                shrink = suggested_max_chunk_rows(int(r["rows"]), payload, DICT_PAGE_SIZE_MAX)
+                rx.directives.append(Directive("file", None, "max_chunk_rows", str(shrink)))
+                rx.directives.append(
+                    Directive("column", r["column"], "dictionary_page_size_limit", str(DICT_PAGE_SIZE_MAX))
+                )
     return rx
 
 

@@ -14,9 +14,20 @@ Same line-oriented grammar as the reference's prescription DSL
     set column tokens compression none
     set column doc_id dictionary false
 
-Directive kinds (reference has 12 over parquet writer properties; ours cover
-the engine's knobs): file{compression, max_chunk_rows, max_chunk_values,
-statistics_truncate_length} and column{compression, encoding, dictionary}.
+Directive kinds (13, covering all 12 of the reference's prescription.rs:113-130
+with engine-native analogs): file{compression, max_chunk_rows,
+max_chunk_values, data_page_size_limit, statistics_truncate_length} and
+column{compression, encoding, dictionary, dictionary_page_size_limit,
+statistics, bloom_filter, bloom_filter_ndv, bloom_filter_fpp}.
+
+Analog mappings (the engine has chunks, not parquet pages):
+- `data_page_size_limit N` (bytes) caps the encode-block payload → effective
+  max_chunk_values = N/4 (int32 tokens), min'd with any explicit cap;
+- `dictionary_page_size_limit N` caps the dictionary table bytes the selector
+  may spend per chunk (R1's growth flow, dictionary_encoding.rs:183-218);
+- `statistics none|chunk|page`: none blanks the per-chunk min/max/ndv metrics,
+  chunk (default) stores them, page additionally builds the chunk's token
+  membership index (bloom) — the engine's finer-than-chunk pruning structure.
 
 Validation marks *conflicts* (same key, different value) as errors; exact
 duplicates are allowed (prescription.rs:779-818). `apply` folds in order, so
@@ -70,8 +81,11 @@ class EncodeConfig:
     overrides: dict[str, str] = field(default_factory=dict)  # column -> encoding
     outer: dict[str, str] = field(default_factory=dict)      # column|"" -> outer codec
     bloom: dict[str, dict] = field(default_factory=dict)     # column -> {fpp, ndv}
+    stats_level: dict[str, str] = field(default_factory=dict)     # column -> none|chunk|page
+    dict_page_limit: dict[str, int] = field(default_factory=dict)  # column -> bytes
     max_chunk_rows: int | None = None
     max_chunk_values: int | None = None
+    data_page_size_limit: int | None = None  # bytes; caps chunk payload
     statistics_truncate_length: int | None = None
 
     def outer_for(self, column: str) -> str:
@@ -79,8 +93,25 @@ class EncodeConfig:
 
     def bloom_for(self, column: str) -> dict | None:
         """Bloom params for a column, or None when not directed (reference
-        default: bloom only when present/prescribed, fix.rs:168-182)."""
-        return self.bloom.get(column)
+        default: bloom only when present/prescribed, fix.rs:168-182).
+        `statistics page` also turns the membership index on."""
+        b = self.bloom.get(column)
+        if b is None and self.stats_level.get(column) == "page":
+            return {"fpp": 0.01, "ndv": None}
+        return b
+
+    def stats_for(self, column: str) -> str:
+        return self.stats_level.get(column, "chunk")
+
+    def dict_limit_for(self, column: str) -> int | None:
+        return self.dict_page_limit.get(column)
+
+    def effective_max_values(self, default: int) -> int:
+        """max_chunk_values folded with the data_page_size_limit byte cap."""
+        v = self.max_chunk_values or default
+        if self.data_page_size_limit is not None:
+            v = min(v, max(1, self.data_page_size_limit // 4))
+        return v
 
 
 @dataclass
@@ -133,8 +164,11 @@ class Prescription:
             overrides=dict(cfg.overrides),
             outer=dict(cfg.outer),
             bloom={k: dict(v) for k, v in cfg.bloom.items()},
+            stats_level=dict(cfg.stats_level),
+            dict_page_limit=dict(cfg.dict_page_limit),
             max_chunk_rows=cfg.max_chunk_rows,
             max_chunk_values=cfg.max_chunk_values,
+            data_page_size_limit=cfg.data_page_size_limit,
             statistics_truncate_length=cfg.statistics_truncate_length,
         )
         for d in self.directives:
@@ -145,6 +179,8 @@ class Prescription:
                     cfg.max_chunk_rows = int(d.value)
                 elif d.prop == "max_chunk_values":
                     cfg.max_chunk_values = int(d.value)
+                elif d.prop == "data_page_size_limit":
+                    cfg.data_page_size_limit = int(d.value)
                 elif d.prop == "statistics_truncate_length":
                     cfg.statistics_truncate_length = int(d.value)
             else:
@@ -161,6 +197,10 @@ class Prescription:
                         # disable dict: fall back to auto-selection minus dict
                         cfg.overrides.pop(d.column, None)
                         cfg.overrides[f"!dict:{d.column}"] = "1"
+                elif d.prop == "statistics":
+                    cfg.stats_level[d.column] = d.value
+                elif d.prop == "dictionary_page_size_limit":
+                    cfg.dict_page_limit[d.column] = int(d.value)
                 elif d.prop == "bloom_filter":
                     if d.value == "true":
                         cfg.bloom.setdefault(d.column, {"fpp": 0.01, "ndv": None})
@@ -203,9 +243,13 @@ def _norm_outer(v: str) -> str:
 
 
 def _check_directive(d: Directive, lineno: int) -> None:
-    file_props = {"compression", "max_chunk_rows", "max_chunk_values", "statistics_truncate_length"}
+    file_props = {
+        "compression", "max_chunk_rows", "max_chunk_values",
+        "data_page_size_limit", "statistics_truncate_length",
+    }
     col_props = {
         "compression", "encoding", "dictionary",
+        "statistics", "dictionary_page_size_limit",
         "bloom_filter", "bloom_filter_ndv", "bloom_filter_fpp",
     }
     if d.scope == "file":
@@ -222,6 +266,10 @@ def _check_directive(d: Directive, lineno: int) -> None:
             raise PlanError(f"line {lineno}: unknown encoding {d.value!r}")
         if d.prop in ("dictionary", "bloom_filter") and d.value not in ("true", "false"):
             raise PlanError(f"line {lineno}: {d.prop} expects true/false")
+        if d.prop == "statistics" and d.value not in ("none", "chunk", "page"):
+            raise PlanError(f"line {lineno}: statistics expects none|chunk|page")
+        if d.prop == "dictionary_page_size_limit" and (not d.value.isdigit() or int(d.value) < 1):
+            raise PlanError(f"line {lineno}: dictionary_page_size_limit expects an integer ≥ 1")
         if d.prop == "bloom_filter_ndv" and (not d.value.isdigit() or int(d.value) < 1):
             # ndv=0 would divide by zero in build_bloom's k sizing — reject
             # at parse time, not inside the encode UDF

@@ -31,6 +31,9 @@ from .stats import ChunkStats, scale_distinct
 DICT_ENABLE_RATIO = 0.1
 DICT_REJECT_RATIO = 0.5
 DICT_HEADROOM = 1.25
+# R1 growth flow (dictionary_encoding.rs:203-218): 2 MB start, doubling to 16 MB
+DICT_PAGE_SIZE_START = 2 << 20
+DICT_PAGE_SIZE_MAX = 16 << 20
 # R3 threshold (compression_ratio.rs:47-57)
 LOW_RATIO = 0.95
 # R6: sortedness needed to consider delta
@@ -83,11 +86,54 @@ def estimate_bytes(stats: ChunkStats, codec: str) -> int:
     raise ValueError(f"no analytical estimate for {codec}")
 
 
-def candidate_codecs(stats: ChunkStats, allow_dict: bool = True) -> list[str]:
+def estimate_dictionary_payload_bytes(stats: ChunkStats) -> int:
+    """Estimated dictionary-table bytes with ×1.25 headroom (reference
+    estimate_dictionary_payload_bytes, dictionary_encoding.rs:183-201):
+    ndv × 4 B per int32 entry, before the value-gap bit-packing."""
+    return int(max(stats.distinct_est, 1) * 4 * DICT_HEADROOM)
+
+
+def classify_dict_chunk(stats: ChunkStats, dict_page_limit: int | None) -> str:
+    """R1's chunk classification (flow chart, dictionary_encoding.rs:21-68):
+    NoDict when cardinality says dictionary can't pay (ratio > 0.5), Fallback
+    when the table would overflow the dictionary page limit mid-chunk,
+    DictOnly otherwise."""
+    if stats.cardinality_ratio > DICT_REJECT_RATIO:
+        return "NoDict"
+    if dict_page_limit is not None and estimate_dictionary_payload_bytes(stats) > dict_page_limit:
+        return "Fallback"
+    return "DictOnly"
+
+
+def suggested_dictionary_page_size_limit(payload_bytes: int) -> int | None:
+    """Smallest power-of-two page size ≥ payload (2 MB doubling to ≤16 MB,
+    dictionary_encoding.rs:203-218); None when even 16 MB can't hold it."""
+    size = DICT_PAGE_SIZE_START
+    while size < payload_bytes:
+        if size >= DICT_PAGE_SIZE_MAX:
+            return None
+        size *= 2
+    return size
+
+
+def suggested_max_chunk_rows(current_rows: int, payload_bytes: int, limit: int = DICT_PAGE_SIZE_MAX) -> int:
+    """When the dictionary can't fit even the max page, shrink the chunk so
+    it can (suggested_max_row_group_size, dictionary_encoding.rs:229-240):
+    rows × limit/payload, floored to ≥1."""
+    if payload_bytes <= limit:
+        return current_rows
+    return max(1, int(current_rows * limit / payload_bytes))
+
+
+def candidate_codecs(
+    stats: ChunkStats, allow_dict: bool = True, dict_page_limit: int | None = None
+) -> list[str]:
     """Rule-threshold pruning → candidate set (cheap, no data pass)."""
     cands = ["plain", "for"]
     ratio = stats.cardinality_ratio
-    if allow_dict and ratio < DICT_REJECT_RATIO:  # R1: >0.5 ⇒ never dictionary
+    # R1: ratio > 0.5 ⇒ never dictionary; a directed page limit the table
+    # would overflow (Fallback) also removes the candidate
+    if allow_dict and classify_dict_chunk(stats, dict_page_limit) == "DictOnly":
         cands.append("dict")
     if stats.run_ratio < RLE_RUN_RATIO:
         cands.append("rle")
@@ -119,11 +165,12 @@ def select_codec(
     stats: ChunkStats,
     forced: str | None = None,
     allow_dict: bool = True,
+    dict_page_limit: int | None = None,
 ) -> Decision:
     """Pick the minimum-estimated-size codec; R3 escape hatch to plain."""
     if forced is not None:
         return Decision(forced, estimate_bytes(stats, forced) if forced != "fsst" else _fsst_trial_bytes(flat, stats), "forced", "suggestion")
-    cands = candidate_codecs(stats, allow_dict)
+    cands = candidate_codecs(stats, allow_dict, dict_page_limit)
     ests = {}
     for c in cands:
         ests[c] = _fsst_trial_bytes(flat, stats) if c == "fsst" else estimate_bytes(stats, c)
