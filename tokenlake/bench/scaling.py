@@ -75,13 +75,22 @@ def main() -> None:
     z_eff = eff("zlib9", "encode_tokens_per_s")
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-    # carry forward earlier runs' raw JSON: cross-run disagreement is itself
-    # evidence (this host's external interference varies multi-×)
+    # carry forward earlier runs' raw JSON (cross-run disagreement is itself
+    # evidence: this host's external interference varies multi-×) and the
+    # engine-isolated probe section written by tokenlake.bench.probe
     prior: list[str] = []
+    probe_section = ""
     path = os.path.join(repo, "BENCH", "BASELINE.md")
     if os.path.exists(path):
         with open(path) as f:
-            prior = [l.rstrip() for l in f if l.startswith('{"metric"')]
+            text = f.read()
+        prior = [l.rstrip() for l in text.splitlines() if l.startswith('{"metric"')]
+        from .probe import PROBE_BEGIN, PROBE_END
+
+        if PROBE_BEGIN in text and PROBE_END in text:
+            probe_section = (
+                "\n" + PROBE_BEGIN + text.split(PROBE_BEGIN)[1].split(PROBE_END)[0] + PROBE_END + "\n"
+            )
     history = ""
     if prior:
         history = (
@@ -136,8 +145,11 @@ service, and an IPC channel — exactly the resources that are shared here.
 
 ## 3. Compute-bound configuration (`set file compression zlib(9)` via the plan DSL)
 
-When per-core arithmetic dominates memory traffic — the regime real
-multi-executor clusters are in — the same job scales with threads:
+The same job with per-core arithmetic dominating memory traffic — whether
+this configuration tracks thread count on a given run is itself a probe of
+how much external interference the host had at that hour (see the History
+section: it has ranged from near-linear to fully collapsed on identical
+input). The engine-isolated evidence lives in §4:
 
 | metric | local[{lo}] | local[{hi}] | scaling efficiency |
 |---|---|---|---|
@@ -153,7 +165,7 @@ multi-executor clusters are in — the same job scales with threads:
 {json.dumps(z_lo)}
 {json.dumps(z_hi)}
 ```
-{history}"""
+{probe_section}{history}"""
     with open(path, "w") as f:
         f.write(md)
     print(
