@@ -87,10 +87,9 @@ def main() -> None:
         prior = [l.rstrip() for l in text.splitlines() if l.startswith('{"metric"')]
         from .probe import PROBE_BEGIN, PROBE_END
 
-        if PROBE_BEGIN in text and PROBE_END in text:
-            probe_section = (
-                "\n" + PROBE_BEGIN + text.split(PROBE_BEGIN)[1].split(PROBE_END)[0] + PROBE_END + "\n"
-            )
+        for begin, end in ((PROBE_BEGIN, PROBE_END), ("<!-- KERNEL:BEGIN -->", "<!-- KERNEL:END -->")):
+            if begin in text and end in text:
+                probe_section += "\n" + begin + text.split(begin)[1].split(end)[0] + end + "\n"
     history = ""
     if prior:
         history = (

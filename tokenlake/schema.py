@@ -165,7 +165,12 @@ def generate_sequences(
         rows = max(1, int(base_rows * scale))
         if skew and name == "lowcard":
             rows *= 8
-        rng = np.random.default_rng(np.random.SeedSequence([seed, hash(name) & 0x7FFFFFFF]))
+        # zlib.crc32, not hash(): Python string hashing is randomized per
+        # process (PYTHONHASHSEED), which silently broke the "same (scale,
+        # seed) ⇒ identical table" guarantee across driver processes
+        import zlib
+
+        rng = np.random.default_rng(np.random.SeedSequence([seed, zlib.crc32(name.encode())]))
         flat, lens = _gen_profile(name, rng, rows, lo, hi)
         parts_flat.append(flat)
         parts_lens.append(lens)
