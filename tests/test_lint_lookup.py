@@ -40,7 +40,7 @@ def test_lint_to_prescription_to_encode(spark, seq_df, tmp_out):
     assert "set column tokens encoding delta" in rx.format()
     cfg = rx.apply()
     encode_job.run(spark, seq_df.filter(F.col("source") == "sorted_ts"), tmp_out, cfg=cfg)
-    enc = spark.read.parquet(f"{tmp_out}/encoded")
+    enc = encode_job.column_metrics(spark.read.parquet(f"{tmp_out}/encoded"))
     got = {r["codec"] for r in enc.filter(F.col("column") == "tokens").collect()}
     assert got == {"delta"}
 

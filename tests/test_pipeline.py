@@ -67,7 +67,7 @@ def test_expected_codecs_selected(spark, seq_df, tmp_out):
     """FIXTURES.md invariant 5 at the pipeline level: per-source winning codec
     on the tokens column matches the profile expectation."""
     encode_job.run(spark, seq_df, tmp_out, max_rows=100_000, max_values=50_000_000)
-    enc = spark.read.parquet(f"{tmp_out}/encoded")
+    enc = encode_job.column_metrics(spark.read.parquet(f"{tmp_out}/encoded"))
     rows = (
         enc.filter(F.col("column") == "tokens")
         .withColumn("source", F.split("chunk_id", "#")[0])

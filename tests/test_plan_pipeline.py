@@ -19,7 +19,7 @@ def small_df(spark):
 
 
 def codec_map(spark, out):
-    enc = spark.read.parquet(f"{out}/encoded")
+    enc = encode_job.column_metrics(spark.read.parquet(f"{out}/encoded"))
     return {
         (r["chunk_id"], r["column"]): r["codec"]
         for r in enc.select("chunk_id", "column", "codec").collect()
@@ -48,7 +48,7 @@ def test_dictionary_false_disables_dict(spark, small_df, tmp_path):
     out = str(tmp_path / "nodict")
     cfg = Prescription.parse("set column tokens dictionary false").apply()
     encode_job.run(spark, small_df, out, cfg=cfg)
-    enc = spark.read.parquet(f"{out}/encoded")
+    enc = encode_job.column_metrics(spark.read.parquet(f"{out}/encoded"))
     codecs = {
         r["codec"]
         for r in enc.filter(
@@ -62,5 +62,5 @@ def test_file_outer_none_respected(spark, small_df, tmp_path):
     out = str(tmp_path / "nozlib")
     cfg = Prescription.parse("set file compression none").apply()
     encode_job.run(spark, small_df, out, cfg=cfg)
-    enc = spark.read.parquet(f"{out}/encoded")
+    enc = encode_job.column_metrics(spark.read.parquet(f"{out}/encoded"))
     assert enc.filter(F.col("outer") != "none").count() == 0

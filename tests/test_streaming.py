@@ -65,8 +65,6 @@ def test_stream_rerun_is_idempotent(spark, stream_dirs):
     streaming.encode_stream(spark, inp, out).awaitTermination(120)
     enc = spark.read.parquet(f"{out}/encoded")
     assert decode_job.decode(spark, out).count() == rows1
-    # no duplicate (chunk_id, column) payload rows
-    dups = (
-        enc.groupBy("chunk_id", "column").count().filter(F.col("count") > 1).count()
-    )
+    # no duplicate chunk payload rows
+    dups = enc.groupBy("chunk_id").count().filter(F.col("count") > 1).count()
     assert dups == 0

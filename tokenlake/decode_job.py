@@ -1,17 +1,24 @@
 """The decode job: encoded table → sequences, bit-identical.
 
-Inverse of encode_job. Spark shape: scan encoded parquet (column-pruned to the
-chunks requested) → groupBy(chunk_id) → applyInArrow(decode_chunk). Every
-payload is self-describing (codecs/container.py) so decode needs no plan —
-the reference's rewrite reads WriterProperties from the file footer the same
-way (src/parquet-linter/src/fix.rs:25-70).
+Inverse of encode_job. Spark shape (round-2 layout, one row per chunk):
+scan encoded parquet → `mapInArrow(decode_batches)` — **no shuffle at all**.
+The round-1 tall layout (4 per-column rows per chunk) needed a
+groupBy(chunk_id) exchange that moved the entire compressed corpus just to
+reassemble chunks; with per-column payloads as columns of one chunk row,
+every row is self-contained and decode is embarrassingly parallel over scan
+splits. Payloads are self-describing (codecs/container.py) so decode needs
+no plan — the reference's rewrite reads WriterProperties from the file
+footer the same way (src/parquet-linter/src/fix.rs:25-70).
 
 Arrow-native: the decoded flat token stream becomes the list array's value
 buffer directly (one ListArray.from_arrays call — no per-row splitting, no
-pandas object columns).
+pandas object columns). The only Python loop is per CHUNK (64 Ki rows), the
+same granularity the encode UDF already works at.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -23,19 +30,12 @@ from .codecs import decode_column
 DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
-def decode_chunk(t: pa.Table) -> pa.Table:
-    """One chunk's 4 encoded rows → the chunk's original sequence rows."""
-    # resume can leave duplicate (chunk_id, column) rows after a crash between
-    # the encoded and lineage writes; content is deterministic → keep first
-    cols = t.column("column").to_pylist()
-    payloads = t.column("payload").to_pylist()
-    by_col: dict[str, bytes] = {}
-    for name, payload in zip(cols, payloads):
-        by_col.setdefault(name, payload)
-    lens = decode_column(by_col["n_tok"]).astype(np.int64)
-    flat = decode_column(by_col["tokens"])
-    doc_id = decode_column(by_col["doc_id"]).cast(pa.string())
-    source = decode_column(by_col["source"]).cast(pa.string())
+def decode_chunk_row(payloads: dict[str, bytes]) -> pa.Table:
+    """One chunk's 4 self-describing payloads → the original sequence rows."""
+    lens = decode_column(payloads["n_tok"]).astype(np.int64)
+    flat = decode_column(payloads["tokens"])
+    doc_id = decode_column(payloads["doc_id"]).cast(pa.string())
+    source = decode_column(payloads["source"]).cast(pa.string())
     offsets64 = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets64[1:], dtype=np.int64)
     if offsets64[-1] > np.iinfo(np.int32).max:
@@ -55,10 +55,67 @@ def decode_chunk(t: pa.Table) -> pa.Table:
     )
 
 
+def decode_chunk(t: pa.Table) -> pa.Table:
+    """Decode a table of encoded chunk rows (kernel entry; also usable
+    standalone on a driver-side pyarrow table)."""
+    parts = []
+    for i in range(t.num_rows):
+        parts.append(
+            decode_chunk_row(
+                {
+                    c: t.column(f"payload_{c}")[i].as_py()
+                    for c in ("tokens", "n_tok", "doc_id", "source")
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+                "n_tok": pa.array([], pa.int32()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
 def decode_dataframe(encoded: DataFrame) -> DataFrame:
-    return encoded.groupBy("chunk_id").applyInArrow(
-        lambda t: decode_chunk(t), DECODED_SCHEMA
+    """Shuffle-free decode: column-pruned scan → mapInArrow."""
+    payload_cols = ["payload_tokens", "payload_n_tok", "payload_doc_id", "payload_source"]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            for i in range(t.num_rows):
+                out = decode_chunk_row(
+                    {
+                        c: t.column(f"payload_{c}")[i].as_py()
+                        for c in ("tokens", "n_tok", "doc_id", "source")
+                    }
+                )
+                yield from out.to_batches()
+
+    return encoded.select(*payload_cols).mapInArrow(fn, DECODED_SCHEMA)
+
+
+def dedup_attempts(encoded: DataFrame) -> DataFrame:
+    """Drop duplicate chunk rows left by a crash between the encoded and
+    lineage writes followed by a resume (the duplicate lands in a later
+    `attempt=N` partition; content is deterministic). Keep each chunk's
+    earliest attempt. The dedup reads only (chunk_id, attempt) — parquet
+    column pruning keeps it metrics-weight — and rejoins as a BROADCAST
+    left-semi, so payload bytes are never shuffled. No-op (and plan-free)
+    when the input has no attempt partition column (e.g. the lazy output of
+    encode_dataframe, which is duplicate-free by construction)."""
+    if "attempt" not in encoded.columns:
+        return encoded
+    keep = (
+        encoded.select("chunk_id", "attempt")
+        .groupBy("chunk_id")
+        .agg(F.min("attempt").alias("attempt"))
     )
+    return encoded.join(F.broadcast(keep), ["chunk_id", "attempt"], "left_semi")
 
 
 def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -66,7 +123,7 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def decode(spark: SparkSession, out_dir: str) -> DataFrame:
-    return decode_dataframe(read_encoded(spark, out_dir))
+    return decode_dataframe(dedup_attempts(read_encoded(spark, out_dir)))
 
 
 def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
@@ -74,8 +131,8 @@ def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> Da
     reference's bloom directives, prescription.rs:113-130 / fix.rs:168-182).
 
     Chunks encoded without a filter can't be pruned and are kept. The probe
-    is an Arrow-batched pandas UDF over the tiny metrics rows (one per chunk)
-    — payloads are never read."""
+    is an Arrow-batched pandas UDF over (chunk_id, bloom) only — parquet
+    column pruning keeps payload bytes unread."""
     from pyspark.sql.functions import pandas_udf
 
     from .codecs.bloom import might_contain
@@ -84,7 +141,7 @@ def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> Da
     def probe(blooms: pd.Series) -> pd.Series:
         return blooms.map(lambda b: True if b is None else might_contain(b, token))
 
-    enc = read_encoded(spark, out_dir).filter(F.col("column") == "tokens")
+    enc = read_encoded(spark, out_dir)
     return enc.filter(probe(F.col("bloom"))).select("chunk_id")
 
 
@@ -92,7 +149,9 @@ def scan_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
     """All rows whose token array contains `token`, decoding only chunks the
     bloom filters admit (semi-join — candidate sets never hit the driver)."""
     cands = chunks_containing_token(spark, out_dir, token)
-    pruned = read_encoded(spark, out_dir).join(cands, "chunk_id", "left_semi")
+    pruned = dedup_attempts(
+        read_encoded(spark, out_dir).join(cands, "chunk_id", "left_semi")
+    )
     return decode_dataframe(pruned).filter(F.array_contains("tokens", F.lit(int(token))))
 
 
@@ -100,7 +159,7 @@ def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
     """Point lookup: decode ONLY the chunks that can contain a requested id.
 
     Chunk assignment is a pure function of the data (`prefix # xxhash64(doc_id)
-    % nbuckets`, chunking.py), and every metrics row carries its group's
+    % nbuckets`, chunking.py), and every chunk row carries its group's
     nbuckets — so a doc's candidate chunk ids are recomputed exactly, with the
     same Spark hash, from the tiny distinct (prefix, nbuckets) set. The
     resulting `chunk_id IN (...)` predicate is pushed into the parquet scan of
@@ -128,5 +187,5 @@ def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
         .distinct()
         .collect()
     ]
-    pruned = enc.filter(F.col("chunk_id").isin(cands))
+    pruned = dedup_attempts(enc.filter(F.col("chunk_id").isin(cands)))
     return decode_dataframe(pruned).filter(F.col("doc_id").isin(list(doc_ids)))

@@ -30,21 +30,51 @@ from .plan import EncodeConfig
 from .select import select_codec
 from .stats import compute_chunk_stats
 
+# One encoded row per CHUNK (round 2 layout): per-column payloads are
+# separate binary columns and per-column metrics live in a struct array.
+# Why: (a) full decode becomes a shuffle-free `mapInArrow` over the scan —
+# the round-1 tall layout (4 rows per chunk) forced a groupBy(chunk_id)
+# shuffle of the ENTIRE compressed corpus just to reassemble chunks (~0.43×
+# the raw bytes at 100 TB); (b) Spark/parquet column pruning now serves the
+# reference's per-column-chunk byte-range reads natively (S3 analog): a
+# metrics query never touches payload bytes, a tokens-only scan never reads
+# the doc_id payload. A chunk row IS the row-group analog; the payload
+# columns are its column chunks.
+COLMETA_FIELDS = (
+    "column string, codec string, outer string, n_values long, "
+    "encoded_bytes long, raw_bytes long, rule string, "
+    "min_val long, max_val long, distinct_est long, elapsed_ms double"
+)
+
 ENCODED_SCHEMA = (
-    "chunk_id string, column string, codec string, outer string, "
-    "payload binary, n_rows long, n_values long, encoded_bytes long, "
-    "raw_bytes long, doc_id_min string, doc_id_max string, stats_exact boolean, "
-    "rule string, min_val long, max_val long, distinct_est long, "
-    "input_fingerprint string, elapsed_ms double, nbuckets int, bloom binary"
+    "chunk_id string, n_rows long, n_values long, "
+    "encoded_bytes long, raw_bytes long, "
+    "doc_id_min string, doc_id_max string, stats_exact boolean, "
+    "input_fingerprint string, elapsed_ms double, nbuckets int, bloom binary, "
+    f"columns array<struct<{COLMETA_FIELDS}>>, "
+    "payload_tokens binary, payload_n_tok binary, payload_doc_id binary, "
+    "payload_source binary"
+)
+
+_COLMETA_ARROW = pa.struct(
+    [
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("outer", pa.string()),
+        ("n_values", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("rule", pa.string()),
+        ("min_val", pa.int64()),
+        ("max_val", pa.int64()),
+        ("distinct_est", pa.int64()),
+        ("elapsed_ms", pa.float64()),
+    ]
 )
 
 ENCODED_ARROW_SCHEMA = pa.schema(
     [
         ("chunk_id", pa.string()),
-        ("column", pa.string()),
-        ("codec", pa.string()),
-        ("outer", pa.string()),
-        ("payload", pa.binary()),
         ("n_rows", pa.int64()),
         ("n_values", pa.int64()),
         ("encoded_bytes", pa.int64()),
@@ -52,16 +82,19 @@ ENCODED_ARROW_SCHEMA = pa.schema(
         ("doc_id_min", pa.string()),
         ("doc_id_max", pa.string()),
         ("stats_exact", pa.bool_()),
-        ("rule", pa.string()),
-        ("min_val", pa.int64()),
-        ("max_val", pa.int64()),
-        ("distinct_est", pa.int64()),
         ("input_fingerprint", pa.string()),
         ("elapsed_ms", pa.float64()),
         ("nbuckets", pa.int32()),
         ("bloom", pa.binary()),
+        ("columns", pa.list_(_COLMETA_ARROW)),
+        ("payload_tokens", pa.binary()),
+        ("payload_n_tok", pa.binary()),
+        ("payload_doc_id", pa.binary()),
+        ("payload_source", pa.binary()),
     ]
 )
+
+PAYLOAD_COLUMNS = ("tokens", "n_tok", "doc_id", "source")
 
 LINEAGE_SCHEMA = (
     "chunk_id string, input_fingerprint string, status string, "
@@ -147,33 +180,29 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     # trusted as exact when stored untruncated with stats enabled
     stats_exact = bool(doc_stats and did_min == raw_min and did_max == raw_max)
 
-    rows = []
+    col_meta: list[dict] = []
+    payloads: dict[str, bytes] = {}
+    chunk_bloom: list = [None]
 
     def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None, bloom=None):
         codec, outer_name = codec_of(payload)
         keep_stats = cfg.stats_for(column) != "none"
-        rows.append(
+        payloads[column] = payload
+        if bloom is not None:
+            chunk_bloom[0] = bloom
+        col_meta.append(
             {
-                "chunk_id": chunk_id,
                 "column": column,
                 "codec": codec,
                 "outer": outer_name,
-                "payload": payload,
-                "n_rows": n_rows,
                 "n_values": n_values,
                 "encoded_bytes": len(payload),
                 "raw_bytes": raw_bytes,
-                "doc_id_min": did_min,
-                "doc_id_max": did_max,
-                "stats_exact": stats_exact,
                 "rule": rule,
                 "min_val": stats.min_val if stats and keep_stats else 0,
                 "max_val": stats.max_val if stats and keep_stats else 0,
                 "distinct_est": stats.distinct_est if stats and keep_stats else 0,
-                "input_fingerprint": fp,
                 "elapsed_ms": (time.perf_counter() - (t_start or t0)) * 1000,
-                "nbuckets": nbuckets,
-                "bloom": bloom,
             }
         )
 
@@ -225,7 +254,23 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     src_bytes = int(pc.sum(pc.binary_length(src)).as_py() or 0)
     emit("source", sbuf, n_rows, src_bytes, None, "dictionary-encoding-cardinality", t)
 
-    return pa.Table.from_pylist(rows, schema=ENCODED_ARROW_SCHEMA)
+    row = {
+        "chunk_id": chunk_id,
+        "n_rows": n_rows,
+        "n_values": len(flat),
+        "encoded_bytes": sum(m["encoded_bytes"] for m in col_meta),
+        "raw_bytes": sum(m["raw_bytes"] for m in col_meta),
+        "doc_id_min": did_min,
+        "doc_id_max": did_max,
+        "stats_exact": stats_exact,
+        "input_fingerprint": fp,
+        "elapsed_ms": (time.perf_counter() - t0) * 1000,
+        "nbuckets": nbuckets,
+        "bloom": chunk_bloom[0],
+        "columns": col_meta,
+        **{f"payload_{c}": payloads[c] for c in PAYLOAD_COLUMNS},
+    }
+    return pa.Table.from_pylist([row], schema=ENCODED_ARROW_SCHEMA)
 
 
 def encode_dataframe(
@@ -247,34 +292,65 @@ def encode_dataframe(
     return chunked.groupBy("chunk_id").applyInArrow(fn, ENCODED_SCHEMA)
 
 
+def column_metrics(encoded: DataFrame) -> DataFrame:
+    """Tall per-(chunk, column) metrics view over the wide encoded layout —
+    the metadata-scan surface (S2 analog). Reads only the metrics columns;
+    parquet column pruning keeps every payload byte untouched."""
+    base = encoded.select(
+        "chunk_id",
+        "n_rows",
+        "doc_id_min",
+        "doc_id_max",
+        "stats_exact",
+        "input_fingerprint",
+        "nbuckets",
+        F.col("bloom").isNotNull().alias("chunk_has_bloom"),
+        F.explode("columns").alias("c"),
+    )
+    return base.select(
+        "chunk_id",
+        "n_rows",
+        "doc_id_min",
+        "doc_id_max",
+        "stats_exact",
+        "input_fingerprint",
+        "nbuckets",
+        F.col("c.column").alias("column"),
+        F.col("c.codec").alias("codec"),
+        F.col("c.outer").alias("outer"),
+        F.col("c.n_values").alias("n_values"),
+        F.col("c.encoded_bytes").alias("encoded_bytes"),
+        F.col("c.raw_bytes").alias("raw_bytes"),
+        F.col("c.rule").alias("rule"),
+        F.col("c.min_val").alias("min_val"),
+        F.col("c.max_val").alias("max_val"),
+        F.col("c.distinct_est").alias("distinct_est"),
+        F.col("c.elapsed_ms").alias("elapsed_ms"),
+        (F.col("chunk_has_bloom") & (F.col("c.column") == "tokens")).alias("has_bloom"),
+    )
+
+
 def lineage_from_encoded(encoded: DataFrame, attempt: int = 1) -> DataFrame:
     """Derive per-chunk lineage rows from the encoded metrics (FIXTURES.md §2).
 
-    A crash between the encoded and lineage writes can leave duplicate
-    (chunk_id, column) rows; content is deterministic, so dedup before
-    aggregating to keep byte totals exact.
+    A crash between the encoded and lineage writes can leave duplicate chunk
+    rows; content is deterministic, so dedup keeps byte totals exact.
     """
-    return (
-        encoded.dropDuplicates(["chunk_id", "column"])
-        .groupBy("chunk_id", "input_fingerprint")
-        .agg(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.concat_ws(":", "column", "codec")))
-            ).alias("codec_summary"),
-            F.sum("encoded_bytes").alias("encoded_bytes"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.max("elapsed_ms").alias("elapsed_ms"),
-        )
-        .select(
-            "chunk_id",
-            "input_fingerprint",
-            F.lit("complete").alias("status"),
-            "codec_summary",
-            "encoded_bytes",
-            "raw_bytes",
-            "elapsed_ms",
-            F.lit(attempt).alias("attempt"),
-        )
+    summary = F.concat_ws(
+        ",",
+        F.sort_array(
+            F.transform("columns", lambda c: F.concat_ws(":", c["column"], c["codec"]))
+        ),
+    )
+    return encoded.dropDuplicates(["chunk_id"]).select(
+        "chunk_id",
+        "input_fingerprint",
+        F.lit("complete").alias("status"),
+        summary.alias("codec_summary"),
+        "encoded_bytes",
+        "raw_bytes",
+        "elapsed_ms",
+        F.lit(attempt).alias("attempt"),
     )
 
 
@@ -286,7 +362,7 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
     fix.rs:196-211, deterministic tiebreak on name), bloom iff any chunk
     carries a filter (fix.rs:168-182). One aggregate; O(#columns) rows reach
     the driver."""
-    enc = spark.read.parquet(f"{out_dir}/encoded")
+    enc = column_metrics(spark.read.parquet(f"{out_dir}/encoded"))
 
     def majority(col: str) -> DataFrame:
         from pyspark.sql import Window
@@ -304,9 +380,7 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
         majority("codec")
         .join(majority("outer"), "column")
         .join(
-            enc.groupBy("column").agg(
-                F.max(F.col("bloom").isNotNull()).alias("has_bloom")
-            ),
+            enc.groupBy("column").agg(F.max(F.col("has_bloom")).alias("has_bloom")),
             "column",
         )
         .collect()

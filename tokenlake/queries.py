@@ -868,13 +868,14 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def tl_encode_metrics(spark, sf_dir):
-    """Full engine: documents → sequences → chunked encode; metrics only."""
+    """Full engine: documents → sequences → chunked encode; metrics only
+    (the per-column view over the wide one-row-per-chunk layout)."""
     from . import encode_job
     from .schema import sequences_from_documents
 
     seq = sequences_from_documents(spark, sf_dir)
     enc = encode_job.encode_dataframe(seq, max_rows=2048, max_values=1_000_000)
-    return enc.select(
+    return encode_job.column_metrics(enc).select(
         "chunk_id", "column", "codec", "rule", "n_rows", "n_values", "encoded_bytes", "raw_bytes"
     )
 

@@ -58,8 +58,12 @@ def main() -> None:
         t0 = time.perf_counter()
         enc = [encode_chunk(c) for c in chunks]
         enc_times.append(time.perf_counter() - t0)
-    tok_rows = [t.filter(pc.equal(t.column("column"), "tokens")) for t in enc]
-    comp_bytes = int(sum(r.column("encoded_bytes").to_numpy().sum() for r in tok_rows))
+    comp_bytes = int(
+        sum(
+            next(m["encoded_bytes"] for m in t.column("columns")[0].as_py() if m["column"] == "tokens")
+            for t in enc
+        )
+    )
 
     decode_chunk(enc[0])
     dec_times = []
@@ -90,7 +94,7 @@ def main() -> None:
 
     e, d = min(enc_times), min(dec_times)
     p = min(pq_times)
-    enc_all_bytes = int(sum(t.column("encoded_bytes").to_numpy().sum() for t in enc))
+    enc_all_bytes = int(sum(t.column("encoded_bytes")[0].as_py() for t in enc))
     cost_tl = d * 1000 + enc_all_bytes / 1e6
     cost_pq = p * 1000 + pq_bytes / 1e6
     print(
