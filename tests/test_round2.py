@@ -370,6 +370,34 @@ def test_dict_page_limit_directive_reaches_encoder(spark, tmp_path):
     assert enc.filter((F.col("column") == "tokens") & (F.col("codec") == "dict")).count() == 0
 
 
+def test_decode_dedups_crash_duplicate_attempts(spark, tmp_path):
+    """A crash between the encoded and lineage writes followed by a resume
+    leaves the same chunk in two attempt dirs; decode must keep exactly one
+    copy, via the metrics-weight (chunk_id, attempt) guard — never a payload
+    shuffle (the executed plan's only exchange carries key pairs)."""
+    from tokenlake import decode_job
+
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    out = str(tmp_path / "dup")
+    encode_job.run(spark, df, out)
+    enc = spark.read.parquet(f"{out}/encoded").drop("attempt")
+    # simulate the crash: the same chunks appear again under a later attempt
+    enc.write.parquet(f"{out}/encoded/attempt=9")
+    assert spark.read.parquet(f"{out}/encoded").count() == 2 * enc.count()
+    dec = decode_job.decode(spark, out)
+    assert dec.count() == df.count()
+    from tokenlake.verify import verify_bit_identical
+
+    assert verify_bit_identical(df, dec)["pass"]
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    payload_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "payload" in l
+    ]
+    assert not payload_exchanges, payload_exchanges
+
+
 def test_prescription_dictionary_growth(spark):
     """R1 growth flow: dict-winning column whose table overflows the 2 MB
     start page → grow the limit (doubling); >16 MB → shrink chunks instead
