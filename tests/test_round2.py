@@ -193,6 +193,42 @@ def test_simhash_is_64_bit_and_similar_docs_are_close(spark):
     assert (1, 2) in cand
 
 
+def test_split_assign_deterministic_and_ratioed(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(2000), "text": ["x"] * 2000})
+    )
+    a = {r["doc_id"]: r["split"] for r in textops.split_assign(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in textops.split_assign(docs).collect()}
+    assert a == b  # deterministic across invocations
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    frac_val = sum(1 for v in a.values() if v == "val") / n
+    assert 0.85 < frac_train < 0.95
+    assert 0.02 < frac_val < 0.09
+
+
+def test_pack_sequences_window_invariants(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "source": ["s1"] * 150 + ["s2"] * 150,
+            "n_chars": rng.integers(100, 900, 300),
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    out = textops.pack_sequences(docs, window=2048).toPandas()
+    for (_, pack), g in out.groupby(["source", "pack_id"]):
+        g = g.sort_values("doc_id")
+        # positions are 1..k contiguous in doc_id order
+        assert list(g["pack_pos"]) == list(range(1, len(g) + 1))
+        # every doc except possibly the last STARTS inside the window
+        starts_ok = g["n_chars"].cumsum().shift(fill_value=0) < 2048
+        assert starts_ok.all()
+    # every doc appears exactly once
+    assert sorted(out["doc_id"]) == list(range(300))
+
+
 # --------------------------------------------- embedding LSH + IVF search
 
 @pytest.fixture(scope="module")

@@ -732,6 +732,41 @@ FROM documents
 """
 
 
+def q_text_split_assign(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split (textops.split_assign)."""
+    return textops.split_assign(_docs(spark, sf_dir))
+
+
+SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Streaming context-window packing (textops.pack_sequences)."""
+    return textops.pack_sequences(_docs(spark, sf_dir))
+
+
+SQL_PACK = """
+WITH cum AS (
+  SELECT doc_id::BIGINT AS doc_id, source, n_chars::BIGINT AS n_chars,
+         (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) AS start_off
+  FROM documents)
+SELECT doc_id, source, n_chars,
+       (start_off // 4096)::BIGINT AS pack_id,
+       row_number() OVER (PARTITION BY source, (start_off // 4096) ORDER BY doc_id)::BIGINT AS pack_pos
+FROM cum
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -1064,6 +1099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_split_assign": q_text_split_assign,
+    "pack_sequences": q_pack_sequences,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_buckets": q_ann_ivf_buckets,
     "ann_ivf_search": q_ann_ivf_search,
@@ -1116,6 +1153,8 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_QUALITY,
     "text_langid": SQL_LANGID,
     "text_fingerprint": SQL_FINGERPRINT,
+    "text_split_assign": SQL_SPLIT_ASSIGN,
+    "pack_sequences": SQL_PACK,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_buckets": SQL_ANN_IVF,
     "ann_ivf_search": SQL_ANN_IVF_SEARCH,

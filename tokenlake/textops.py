@@ -184,6 +184,53 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def split_assign(docs: DataFrame, train: float = 0.9, val: float = 0.05) -> DataFrame:
+    """Deterministic train/val/test split assignment — the standard
+    hash-bucket split a training pipeline needs to be reproducible across
+    engines and reruns: bucket = first 8 hex digits of md5(doc_id) mod 100
+    (md5 is portable; xxhash64 is not). Pure column expressions, no shuffle."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    t, v = int(train * 100), int((train + val) * 100)
+    split = (
+        F.when(bucket < t, F.lit("train"))
+        .when(bucket < v, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def pack_sequences(docs: DataFrame, window: int = 4096) -> DataFrame:
+    """Streaming sequence packing: assign docs to fixed-size context windows
+    per source, in doc_id order — pack_id = which window the doc's starting
+    character offset falls in (cumulative length // window). The deterministic,
+    one-window-function formulation of training-batch packing; at corpus scale
+    it is one shuffle on (source) with ordered aggregation inside.
+
+    Returns (doc_id, source, n_chars, pack_id, pack_pos)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("n_chars").over(w)
+    pack = F.floor((cum - F.col("n_chars")) / F.lit(window)).cast("long")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        pack.alias("pack_id"),
+    )
+    pos_w = Window.partitionBy("source", "pack_id").orderBy("doc_id")
+    return base.withColumn("pack_pos", F.row_number().over(pos_w).cast("long"))
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over words: majority vote per bit of word-hash bits.
 
