@@ -434,6 +434,21 @@ def test_decode_dedups_crash_duplicate_attempts(spark, tmp_path):
     assert not payload_exchanges, payload_exchanges
 
 
+def test_encode_plan_has_single_data_shuffle(spark):
+    """Scale invariant: the encode plan moves row data through exactly ONE
+    hash exchange (on chunk_id); bucket planning rides a broadcast join and
+    its own exchange carries O(#sources) aggregate rows only."""
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard", "runs"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    plan = encode_job.encode_dataframe(df)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    data_exchanges = [l for l in exchanges if "chunk_id" in l]
+    assert len(data_exchanges) == 1, exchanges
+    # the remaining exchange (bucket planning) must be the tiny per-source agg
+    assert len(exchanges) <= 2, exchanges
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_prescription_dictionary_growth(spark):
     """R1 growth flow: dict-winning column whose table overflows the 2 MB
     start page → grow the limit (doubling); >16 MB → shrink chunks instead
