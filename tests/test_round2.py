@@ -270,6 +270,22 @@ def test_lsh_plan_has_no_cartesian(emb_df):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_train_refines_lists(emb_df):
+    """Lloyd iterations must cover every vector and not degrade the mean
+    assignment similarity vs the un-trained seed centroids."""
+    n = emb_df.count()
+    trained = similarity.ivf_train(emb_df, n_centroids=8, iters=3).collect()
+    assert sum(r["n_vecs"] for r in trained) == n
+    assert len(trained) <= 8
+    seed = [list(r["embedding"]) for r in emb_df.orderBy("vec_id").limit(8).collect()]
+    init = similarity._assign_to_literal_centroids(emb_df, seed)
+    from pyspark.sql import functions as F
+
+    init_avg = init.agg(F.avg("sim")).first()[0]
+    trained_avg = sum(r["n_vecs"] * r["avg_sim"] for r in trained) / n
+    assert trained_avg >= init_avg - 0.01
+
+
 def test_ivf_search_probing_all_lists_equals_brute_force(emb_df):
     brute = [(r["vec_id"], r["cos_sim"]) for r in similarity.cosine_topk(emb_df, 0, k=5).collect()]
     ivf_all = [

@@ -56,6 +56,29 @@ def test_stream_encode_two_drops_bit_identical(spark, stream_dirs):
     assert len(salts) >= 2  # two micro-batches
 
 
+def test_dedup_stream_cross_batch_state(spark, stream_dirs):
+    """applyInPandasWithState dedup: a second micro-batch that is a strict
+    content subset of the first must contribute ZERO output rows — the seen
+    state survives across batches."""
+    from tokenlake.schema import SEQUENCES_SPARK_SCHEMA
+
+    inp, out = stream_dirs
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    pq.write_table(tbl, os.path.join(inp, "a.parquet"))
+    pq.write_table(tbl.slice(0, 50), os.path.join(inp, "b.parquet"))  # all dups
+    q = streaming.dedup_stream(spark, inp, out, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = spark.read.parquet(f"{out}/deduped")
+    n_hash = (
+        spark.createDataFrame(tbl.to_pandas(), SEQUENCES_SPARK_SCHEMA)
+        .select(F.md5(F.col("tokens").cast("string")))
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_hash
+    assert got.select("doc_id").distinct().count() == got.count()
+
+
 def test_stream_rerun_is_idempotent(spark, stream_dirs):
     inp, out = stream_dirs
     _drop_file(inp, "only.parquet", ["smallrange"])

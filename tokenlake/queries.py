@@ -963,6 +963,45 @@ def tl_lsh_cosine(spark, sf_dir):
     return similarity.lsh_hyperplane_buckets(_emb(spark, sf_dir))
 
 
+def tl_ivf_train(spark, sf_dir):
+    """Iterative Lloyd k-means for IVF lists (similarity.ivf_train): 3
+    refinement iterations over the embeddings, final inverted-list summary.
+    Rows-only (iterative algorithms have no single-statement SQL oracle —
+    SURVEY.md §2.8 allows the weaker check for these)."""
+    return similarity.ivf_train(_emb(spark, sf_dir), n_centroids=8, iters=3)
+
+
+def tl_dedup_stream(spark, sf_dir):
+    """Stateful-streaming exact dedup (streaming.dedup_stream,
+    applyInPandasWithState): two file drops with overlapping content, each
+    its own micro-batch; cross-batch state keeps first occurrences only.
+    Rows-only (streaming state has no SQL oracle)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from . import streaming
+    from .schema import sequences_from_documents
+
+    wd = tempfile.mkdtemp(prefix="tl_dstream_")
+    os.makedirs(f"{wd}/in")
+    seq = sequences_from_documents(spark, sf_dir)
+    drop1 = seq.filter(F.col("doc_id").cast("long") < 200)
+    drop2 = seq.filter(F.col("doc_id").cast("long") < 100)  # strict subset → all dups
+    for i, part in enumerate((drop1, drop2)):
+        tmp = f"{wd}/tmp{i}"
+        part.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{wd}/in/drop{i}.parquet")
+    q = streaming.dedup_stream(spark, f"{wd}/in", f"{wd}/out", max_files_per_trigger=1)
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{wd}/out/deduped")
+    return out.groupBy("source").agg(
+        F.count("*").alias("unique_rows"),
+        F.countDistinct("doc_id").alias("distinct_docs"),
+    )
+
+
 def tl_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction (multimodal.extract_features). The raw
     array<float> column is summarized as a rounded comma-joined string — the
@@ -1113,6 +1152,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_simhash": tl_simhash,
     "tl_simhash_candidates": tl_simhash_candidates,
     "tl_lsh_cosine": tl_lsh_cosine,
+    "tl_ivf_train": tl_ivf_train,
+    "tl_dedup_stream": tl_dedup_stream,
     "tl_multimodal_features": tl_multimodal_features,
     "tl_lint": tl_lint,
     "tl_lineage_lint": tl_lineage_lint,

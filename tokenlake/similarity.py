@@ -106,6 +106,63 @@ def ivf_search(
     )
 
 
+def _assign_to_literal_centroids(emb: DataFrame, cents: list) -> DataFrame:
+    """Max-cosine assignment against driver-held centroid vectors inlined as
+    literals (broadcast with the plan); ties break to the lowest centroid id."""
+    sims = [
+        F.round(cosine(F.col("embedding"), F.array([F.lit(float(v)) for v in c])), 6)
+        for c in cents
+    ]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    cid = None
+    for i, s in enumerate(sims):
+        cid = F.when(s == best, F.lit(i)) if cid is None else cid.when(s == best, F.lit(i))
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        cid.cast("long").alias("cid"),
+        best.alias("sim"),
+    )
+
+
+def ivf_train(emb: DataFrame, n_centroids: int = 8, iters: int = 3) -> DataFrame:
+    """Deterministic Lloyd k-means for IVF lists — the iterative-algorithm
+    shape Spark ML uses: the driver loop carries only the k centroid vectors
+    (O(k×dim) floats); each iteration is one broadcast assignment plus one
+    per-dimension mean aggregate over the corpus. Init = embeddings of the k
+    smallest vec_ids (same seed centroids as ivf_assign/ivf_search). Empty
+    clusters keep their previous centroid. Returns the final inverted-list
+    summary (cid, n_vecs, avg_sim).
+
+    Scale notes: assignment is a full scan with literal centroids (no
+    shuffle); the update aggregates posexploded (cid, dim) pairs — k×dim
+    groups regardless of corpus size, map-side combined."""
+    cents = [
+        list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        assigned = _assign_to_literal_centroids(emb, cents)
+        ex = assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        rows = ex.groupBy("cid", "pos").agg(F.avg("v").alias("m")).collect()
+        by_cid: dict = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cid[i][p] for p in sorted(by_cid[i])] if i in by_cid else cents[i]
+            for i in range(n_centroids)
+        ]
+    final = _assign_to_literal_centroids(emb, cents)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("sim"), 4).alias("avg_sim"),
+        )
+        .orderBy("cid")
+    )
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     """IVF-lite: deterministic centroids = embeddings of the n smallest
     vec_ids; every vector is assigned to its max-cosine centroid. Returns

@@ -23,7 +23,10 @@ self-contained under its chunk_id.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
 
 from . import encode_job
 from .plan import EncodeConfig
@@ -63,6 +66,72 @@ def encode_stream(
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint or f"{out_dir}/_stream_checkpoint"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Custom STATEFUL streaming operator: cross-micro-batch exact dedup via
+    `applyInPandasWithState` — only the first occurrence of each content
+    hash, across the whole stream's lifetime, passes through to
+    `out_dir/deduped`.
+
+    The reference has no streaming at all (SURVEY.md §2.8); a continuously
+    ingested training corpus needs dedup state that survives batches, which
+    `foreachBatch` alone can't give. State shape: one boolean per
+    content-hash group, managed by Spark's state store (RocksDB-backed on a
+    real cluster, checkpointed with the query) — the state never transits
+    the driver, and the per-batch shuffle is an equi-partition on the hash
+    key, uniform by construction.
+
+    Returns the StreamingQuery.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(SEQUENCES_SPARK_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir).withColumn(
+        "content_hash", F.md5(F.col("tokens").cast("string"))
+    )
+
+    out_schema = SEQUENCES_SPARK_SCHEMA + ", content_hash string"
+
+    def keep_first(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return  # hash already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    deduped = stream.groupBy("content_hash").applyInPandasWithState(
+        keep_first,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    writer = (
+        deduped.drop("content_hash")
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/deduped")
+        .option("checkpointLocation", checkpoint or f"{out_dir}/_dedup_checkpoint")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
