@@ -79,6 +79,71 @@ def test_dedup_stream_cross_batch_state(spark, stream_dirs):
     assert got.select("doc_id").distinct().count() == got.count()
 
 
+def test_windowed_stats_watermark_drops_late_events(spark, stream_dirs):
+    """Watermark semantics end-to-end: batch 2's max event time advances the
+    watermark so batch 1's windows become final and emit; a batch-2 event
+    whose window the watermark already closed is dropped, not retracted."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+
+    inp, out = stream_dirs
+
+    def events(rows, name):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False).cast(
+                pa.schema(
+                    [
+                        ("event_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("value", pa.float64()),
+                        ("props", pa.string()),
+                    ]
+                )
+            ),
+            os.path.join(inp, name),
+        )
+
+    h = lambda hour, minute=30: dt.datetime(2026, 1, 1, hour, minute)
+    events(
+        [
+            (1, h(1), 1, "click", 1.0, ""),
+            (2, h(1, 45), 1, "click", 2.0, ""),
+            (3, h(2), 2, "view", 3.0, ""),
+            (4, h(3), 2, "click", 4.0, ""),
+        ],
+        "b1.parquet",
+    )
+    # batch 1: sets the watermark to 03:30 - 1h = 02:30 (persisted in the
+    # checkpoint — the second availableNow run resumes it)
+    streaming.windowed_stats(spark, inp, out).awaitTermination(180)
+    events(
+        [
+            (5, h(5), 3, "view", 5.0, ""),  # advances watermark to 04:30
+            (6, h(1, 50), 3, "click", 99.0, ""),  # LATE: behind the 02:30 watermark → dropped
+        ],
+        "b2.parquet",
+    )
+    streaming.windowed_stats(spark, inp, out).awaitTermination(180)
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(f"{out}/windows").collect()
+    }
+    # hour-1..3 windows emitted with batch-1 contents only (late 99.0 absent)
+    assert got[(1, "click")] == (2, 3.0)
+    assert got[(2, "view")] == (1, 3.0)
+    assert got[(3, "click")] == (1, 4.0)
+    # the hour-5 window is still open (watermark hasn't passed it) → not emitted
+    assert (5, "view") not in got
+
+
 def test_stream_rerun_is_idempotent(spark, stream_dirs):
     inp, out = stream_dirs
     _drop_file(inp, "only.parquet", ["smallrange"])

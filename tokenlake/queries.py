@@ -971,6 +971,40 @@ def tl_ivf_train(spark, sf_dir):
     return similarity.ivf_train(_emb(spark, sf_dir), n_centroids=8, iters=3)
 
 
+def tl_windowed_stats(spark, sf_dir):
+    """Event-time windowed streaming aggregation with a watermark
+    (streaming.windowed_stats): the events table arrives as two drops split
+    on day 25; the second drop advances the watermark so the first 24 days
+    of 1-day windows emit as FINAL results. Deterministic given the data;
+    rows-only (streaming watermark state has no SQL oracle)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from . import streaming
+
+    wd = tempfile.mkdtemp(prefix="tl_wstream_")
+    os.makedirs(f"{wd}/in")
+    ev = _events(spark, sf_dir)
+    cut = "2024-01-25"
+    for i, part in enumerate((ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut))):
+        tmp = f"{wd}/tmp{i}"
+        part.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{wd}/in/drop{i}.parquet")
+        q = streaming.windowed_stats(spark, f"{wd}/in", f"{wd}/out", window="1 day", watermark="1 hour")
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{wd}/out/windows")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("n_events").alias("events_in_final_windows"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def tl_dedup_stream(spark, sf_dir):
     """Stateful-streaming exact dedup (streaming.dedup_stream,
     applyInPandasWithState): two file drops with overlapping content, each
@@ -1154,6 +1188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_lsh_cosine": tl_lsh_cosine,
     "tl_ivf_train": tl_ivf_train,
     "tl_dedup_stream": tl_dedup_stream,
+    "tl_windowed_stats": tl_windowed_stats,
     "tl_multimodal_features": tl_multimodal_features,
     "tl_lint": tl_lint,
     "tl_lineage_lint": tl_lineage_lint,

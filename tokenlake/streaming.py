@@ -72,6 +72,61 @@ def encode_stream(
     return writer.start()
 
 
+EVENTS_SPARK_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_stats(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Event-time windowed aggregation with a watermark — the late-data
+    handling surface of Structured Streaming: tumbling `window` counts/sums
+    per event_type, events older than `watermark` behind the observed
+    max event time are DROPPED, and a window only emits (append mode) once
+    the watermark passes its end — i.e. results are final, never retracted.
+
+    Scale shape: partial aggregation before the shuffle on
+    (window, event_type); state store holds only open windows.
+    Returns the StreamingQuery; results land in out_dir/windows."""
+    reader = spark.readStream.schema(EVENTS_SPARK_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", f"{out_dir}/windows")
+        .option("checkpointLocation", checkpoint or f"{out_dir}/_win_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_stream(
     spark: SparkSession,
     input_dir: str,
