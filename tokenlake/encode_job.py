@@ -436,7 +436,18 @@ def run(
     # each attempt writes its own partition dir so the lineage derivation
     # below re-reads ONLY this attempt's files — at 10^12 rows re-reading the
     # whole encoded table per resume would be a full extra scan
-    encoded.write.mode("append").parquet(f"{enc_path}/attempt={attempt}")
+    # Cap each encoded file at 8 chunk rows (~64 MB at default chunk caps):
+    # decode-scan parallelism and file-level chunk_id pruning then track
+    # CHUNK count, not reducer count. With unbounded files one reducer's
+    # whole output landed in a single parquet row group (parquet-mr only
+    # re-checks its block size every ≥100 rows — far above our multi-MB
+    # chunk rows — so the 128 MB/8 MB block settings never trigger), which
+    # capped decode parallelism at the file count and made lookups read past
+    # every co-resident chunk. 8 × ~8 MB files stay well above the
+    # small-file zone even at 10^6-chunk scale (~10^5 files).
+    encoded.write.mode("append").option("maxRecordsPerFile", 8).parquet(
+        f"{enc_path}/attempt={attempt}"
+    )
     # lineage is derived from the committed encoded table (checkpoint follows
     # data; a crash between the two writes only re-encodes, never corrupts).
     # Explicit schema: a fully-skipped resume writes zero data files, which
