@@ -1,0 +1,249 @@
+"""Round-3 additions: reference-DSL encoding aliases, X1 statistics/chunk-cap
+inference, R2 type/name gates, simhash corpus-scale defaults, two-pass strided
+lint, watermark-bounded streaming dedup."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tokenlake import encode_job, lint_job, outer_policy, textops
+from tokenlake.plan import Prescription
+from tokenlake.schema import SEQUENCES_SPARK_SCHEMA, generate_sequences
+
+
+# ------------------------------------------ reference DSL encoding names
+
+def test_reference_encoding_names_parse_and_apply():
+    """A prescription written in the REFERENCE's own encoding vocabulary
+    (prescription.rs:624-636) parses, maps to engine analogs, and
+    round-trips (SURVEY.md §2.5 'identical text syntax')."""
+    rx = Prescription.parse(
+        "set column tokens encoding delta_binary_packed\n"
+        "set column n_tok encoding byte_stream_split\n"
+        "set column doc_id encoding delta_length_byte_array\n"
+        "set column source encoding plain\n"
+    )
+    cfg = rx.apply()
+    assert cfg.overrides["tokens"] == "delta"
+    assert cfg.overrides["n_tok"] == "for"
+    assert cfg.overrides["doc_id"] == "str_plain"
+    assert cfg.overrides["source"] == "plain"
+    # round-trip: format() emits engine names that re-parse to the same config
+    again = Prescription.parse(rx.format()).apply()
+    assert again.overrides == cfg.overrides
+
+
+def test_delta_byte_array_alias_and_unknown_encoding_rejected():
+    assert (
+        Prescription.parse("set column doc_id encoding delta_byte_array")
+        .apply()
+        .overrides["doc_id"]
+        == "str_plain"
+    )
+    with pytest.raises(Exception):
+        Prescription.parse("set column tokens encoding rle_dictionary")
+
+
+# ------------------------------------------ X1: stats level + chunk caps
+
+def test_plan_from_encoded_recovers_stats_none_and_chunk_caps(spark, tmp_path):
+    """fix.rs:95-103 + :139-166 parity: a table built with `statistics none`
+    and a custom max_chunk_rows survives an inferred re-encode — the
+    statistics stay blanked and chunks stay within the original cap."""
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard", "runs"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg0 = Prescription.parse(
+        "set file max_chunk_rows 200\n"
+        "set column tokens statistics none\n"
+        "set column doc_id statistics none\n"
+    ).apply()
+    encode_job.run(spark, df, out_a, cfg=cfg0)
+
+    inferred = encode_job.plan_from_encoded(spark, out_a)
+    assert inferred.stats_for("tokens") == "none"
+    assert inferred.stats_for("doc_id") == "none"
+    assert inferred.stats_for("n_tok") == "chunk"  # untouched column keeps default
+    assert inferred.max_chunk_rows is not None and inferred.max_chunk_rows <= 200
+
+    # re-encode with an unrelated overlay; the blanked stats + cap carry over
+    cfg1 = Prescription.parse("set column source compression zlib(6)").apply(base=inferred)
+    encode_job.run(spark, df, out_b, cfg=cfg1)
+    enc_b = spark.read.parquet(f"{out_b}/encoded")
+    assert enc_b.agg(F.max("n_rows")).first()[0] <= 200
+    assert enc_b.filter(F.col("doc_id_max") != "").count() == 0  # still blanked
+    tok_ndv = (
+        encode_job.column_metrics(enc_b)
+        .filter(F.col("column") == "tokens")
+        .agg(F.max("distinct_est"))
+        .first()[0]
+    )
+    assert tok_ndv == 0
+
+
+def test_plan_from_encoded_infers_page_level_from_bloom(spark, tmp_path):
+    """Bloom presence ⇒ the engine's page-analog statistics level
+    (fix.rs:157-160: column_index present ⇒ EnabledStatistics::Page)."""
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    out = str(tmp_path / "p")
+    cfg0 = Prescription.parse("set column tokens bloom_filter true").apply()
+    encode_job.run(spark, df, out, cfg=cfg0)
+    inferred = encode_job.plan_from_encoded(spark, out)
+    assert inferred.stats_for("tokens") == "page"
+    assert inferred.bloom_for("tokens") is not None
+
+
+# ------------------------------------------ R2 type/name gates
+# test names mirror the reference's own scenarios (compression_codec.rs:305-389
+# + supports_zstd_upgrade_by_type :68-85, looks_text_column
+# string_encoding.rs:45-55)
+
+def test_supports_zstd_upgrade_by_type_matrix():
+    assert outer_policy.supports_zstd_upgrade_by_kind("str", False)      # BYTE_ARRAY
+    assert outer_policy.supports_zstd_upgrade_by_kind("binary", False)
+    assert outer_policy.supports_zstd_upgrade_by_kind("int32", True)     # INT32+String
+    assert not outer_policy.supports_zstd_upgrade_by_kind("int32", False)
+    assert not outer_policy.supports_zstd_upgrade_by_kind("float", True)  # FLOAT never
+    assert not outer_policy.supports_zstd_upgrade_by_kind("bool", True)
+
+
+def test_looks_text_column_name_heuristic():
+    assert outer_policy.looks_text_column(True, "embedding")  # logical marker wins
+    assert outer_policy.looks_text_column(False, "title")
+    assert not outer_policy.looks_text_column(False, "embedding_vec")
+    assert not outer_policy.looks_text_column(False, "image_bytes")
+    assert not outer_policy.looks_text_column(False, "raw_bytes")
+
+
+def test_zstd_gate_vetoes_plain_int_column():
+    """INT32 without a text logical type never gets a ZSTD directive
+    (supports_zstd_upgrade_by_type: INT32 requires String/Json/Bson/Enum)."""
+    got = outer_policy.decide(
+        16, 16 << 20, 1 << 20, 0.5, 0, 16, column="n_tok", kind="int32", is_text=False
+    )
+    assert got is None
+    # same aggregates, untyped (gates skipped) → the majority vote stands
+    assert outer_policy.decide(16, 16 << 20, 1 << 20, 0.5, 0, 16) == "zstd(3)"
+
+
+def test_text_column_below_32mb_gets_no_lz4():
+    """MIN_TEXT_BYTES_FOR_LZ4_UPGRADE: text columns need ≥32 MB before an
+    LZ4 rewrite pays (compression_codec.rs:225-229)."""
+    got = outer_policy.decide(
+        4, 24 << 20, 6 << 20, 0.6, 4, 0, column="tokens", kind="int32", is_text=True
+    )
+    assert got is None
+    got = outer_policy.decide(
+        8, 48 << 20, 6 << 20, 0.6, 8, 0, column="tokens", kind="int32", is_text=True
+    )
+    assert got == "lz4"
+
+
+def test_many_small_chunk_band_requires_text_looking_column():
+    """prefer_lz4_for_many_small_snappy_byte_array_chunks requires
+    BYTE_ARRAY (compression_codec.rs:94-123) — the engine analog gates on
+    looks_text_column."""
+    n, each = 100, 1 << 19  # 100 small chunks, 50 MB... adjust to hit band
+    n, each = 128, 1 << 19
+    total = 80 << 20
+    got_text = outer_policy.decide(
+        n, total, 1 << 20, 0.7, 0, n, column="tokens", kind="str", is_text=True
+    )
+    assert got_text == "lz4"
+    got_blob = outer_policy.decide(
+        n, total, 1 << 20, 0.7, 0, n, column="embedding_bytes", kind="str", is_text=False
+    )
+    assert got_blob == "zstd(3)"  # band skipped; zstd majority (str supports it)
+
+
+# ------------------------------------------ simhash corpus-scale defaults
+
+def test_simhash_hot_bucket_guard_drops_degenerate_buckets(spark):
+    """Hundreds of identical docs land in one (band, value) bucket; with the
+    hot-bucket cap they contribute ZERO candidate pairs instead of O(n²)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(300),
+                "text": ["common boilerplate header text"] * 298
+                + ["a genuinely unique document about spark encodings"] * 2,
+            }
+        )
+    )
+    cand = textops.simhash_candidates(docs, max_bucket=50)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (298, 299) in pairs  # the planted near-dup survives
+    assert all(a >= 298 for a, _ in pairs)  # boilerplate bucket dropped
+
+
+# ------------------------------------------ two-pass strided lint
+
+def test_two_pass_lint_same_prescription_fewer_sampled_rows(spark):
+    """The strided screening lint must emit the same prescription as the
+    uniform single-pass lint while sampling measurably fewer rows
+    (choose_sample_row_groups, dictionary_encoding.rs:155-172)."""
+    tbl = generate_sequences(
+        scale=0.05, profiles=["lowcard", "sorted_ts", "random"], skew=False
+    )
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    df.cache().count()
+    d2 = lint_job.lint(spark, df, fraction=0.3).cache()
+    d1 = lint_job.lint(spark, df, fraction=0.3, two_pass=False).cache()
+    rx2 = lint_job.prescription_from_decisions(d2).format()
+    rx1 = lint_job.prescription_from_decisions(d1).format()
+    assert rx1 == rx2
+    sampled2 = d2.filter(F.col("column") == "tokens").agg(F.sum("sample_values")).first()[0]
+    sampled1 = d1.filter(F.col("column") == "tokens").agg(F.sum("sample_values")).first()[0]
+    assert sampled2 < sampled1 / 3  # screening pass moves ~10× fewer rows
+    for d in (d1, d2):
+        d.unpersist()
+    df.unpersist()
+
+
+def test_lint_chunk_extrapolation_is_sample_size_invariant(spark):
+    """A 3% sample and a 30% sample of the same chunk must pick the same
+    codec: fixed table costs (dict/FSST) amortize at full-chunk magnitudes
+    (stats.extrapolate_stats)."""
+    tbl = generate_sequences(scale=0.05, profiles=["lowcard"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    codecs = {}
+    for frac in (0.03, 0.3):
+        d = lint_job.lint(spark, df, fraction=frac, two_pass=False)
+        codecs[frac] = {
+            r["chunk_id"].split("#")[0]
+            for r in d.filter(F.col("column") == "tokens").collect()
+            if r["codec"] == "dict"
+        }
+    assert codecs[0.03] == codecs[0.3] == {"lowcard"}
+
+
+# ------------------------------------------ watermark-bounded streaming dedup
+
+def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tokenlake import streaming
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    pq.write_table(tbl, os.path.join(inp, "a.parquet"))
+    q = streaming.dedup_stream(spark, inp, out, within_watermark="1 hour")
+    q.awaitTermination(180)
+    ops = {
+        s["operatorName"]
+        for p in q.recentProgress
+        for s in json.loads(p.json).get("stateOperators", [])
+    }
+    assert ops == {"dedupeWithinWatermark"}, ops
+    n_hash = (
+        spark.createDataFrame(tbl.to_pandas(), SEQUENCES_SPARK_SCHEMA)
+        .select(F.md5(F.col("tokens").cast("string")))
+        .distinct()
+        .count()
+    )
+    assert spark.read.parquet(f"{out}/deduped").count() == n_hash

@@ -57,9 +57,13 @@ def test_stream_encode_two_drops_bit_identical(spark, stream_dirs):
 
 
 def test_dedup_stream_cross_batch_state(spark, stream_dirs):
-    """applyInPandasWithState dedup: a second micro-batch that is a strict
-    content subset of the first must contribute ZERO output rows — the seen
-    state survives across batches."""
+    """Streaming dedup: a second micro-batch that is a strict content subset
+    of the first must contribute ZERO output rows — the seen state survives
+    across batches. The state operator must be the built-in JVM `dedupe`
+    (streaming dropDuplicates), not a Python stage: round 2's
+    applyInPandasWithState paid one Python call per distinct document."""
+    import json
+
     from tokenlake.schema import SEQUENCES_SPARK_SCHEMA
 
     inp, out = stream_dirs
@@ -68,6 +72,12 @@ def test_dedup_stream_cross_batch_state(spark, stream_dirs):
     pq.write_table(tbl.slice(0, 50), os.path.join(inp, "b.parquet"))  # all dups
     q = streaming.dedup_stream(spark, inp, out, max_files_per_trigger=1)
     q.awaitTermination(180)
+    ops = {
+        s["operatorName"]
+        for p in q.recentProgress
+        for s in json.loads(p.json).get("stateOperators", [])
+    }
+    assert ops == {"dedupe"}, ops  # JVM state store, no Python stage
     got = spark.read.parquet(f"{out}/deduped")
     n_hash = (
         spark.createDataFrame(tbl.to_pandas(), SEQUENCES_SPARK_SCHEMA)

@@ -84,9 +84,8 @@ def cmd_lint(args, spark=None) -> int:
             )
         print(f"{len(shown)} diagnostics ({len(rows)} total before severity filter)")
         if args.prescription_out:
-            rx = lint_job.prescription_from_decisions(
-                decisions, scale=1.0 / max(args.fraction, 1e-9)
-            )
+            # decisions carry per-chunk sample_fraction; no extra rescale
+            rx = lint_job.prescription_from_decisions(decisions)
             with open(args.prescription_out, "w") as f:
                 f.write(rx.format() + "\n")
             print(f"prescription written to {args.prescription_out}")
@@ -111,9 +110,8 @@ def cmd_rewrite(args, spark=None) -> int:
                 rx = Prescription.parse(f.read())
         else:
             decisions = lint_job.lint(spark, df, fraction=args.fraction)
-            rx = lint_job.prescription_from_decisions(
-                decisions, scale=1.0 / max(args.fraction, 1e-9)
-            )
+            # decisions carry per-chunk sample_fraction; no extra rescale
+            rx = lint_job.prescription_from_decisions(decisions)
         for err in rx.validate():
             print(f"warning: {err}; applying anyway (last directive wins)", file=sys.stderr)
         if args.dry_run:

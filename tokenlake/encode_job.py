@@ -207,7 +207,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         )
 
     # tokens: the payload column — full selector
-    t = time.perf_counter()
+    tcol = time.perf_counter()
     st = compute_chunk_stats(flat, n_rows)
     decision = select_codec(
         flat, st, forced=overrides.get("tokens"),
@@ -221,10 +221,10 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         payload = encode_int_column(flat, "plain", outer=cfg.outer_for("tokens"))
     bp = cfg.bloom_for("tokens")
     bloom_buf = build_bloom(flat, fpp=bp["fpp"], ndv=bp["ndv"]) if bp else None
-    emit("tokens", payload, len(flat), flat.nbytes, st, decision.rule, t, bloom=bloom_buf)
+    emit("tokens", payload, len(flat), flat.nbytes, st, decision.rule, tcol, bloom=bloom_buf)
 
     # n_tok: small-int lengths — same selector machinery
-    t = time.perf_counter()
+    tcol = time.perf_counter()
     lens32 = lens.astype(np.int32)
     lst = compute_chunk_stats(lens32, n_rows)
     ldec = select_codec(
@@ -232,10 +232,10 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         allow_dict="!dict:n_tok" not in overrides,
         dict_page_limit=cfg.dict_limit_for("n_tok"),
     )
-    emit("n_tok", encode_int_column(lens32, ldec.codec, outer=cfg.outer_for("n_tok")), n_rows, lens32.nbytes, lst, ldec.rule, t)
+    emit("n_tok", encode_int_column(lens32, ldec.codec, outer=cfg.outer_for("n_tok")), n_rows, lens32.nbytes, lst, ldec.rule, tcol)
 
     # doc_id: unique strings → plain unless dictionary-friendly (R1 on strings)
-    t = time.perf_counter()
+    tcol = time.perf_counter()
     forced_doc = overrides.get("doc_id")
     if forced_doc:
         doc_codec = forced_doc
@@ -246,13 +246,13 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         doc_codec = "str_dict" if ndv_doc < 0.5 * max(n_rows, 1) else "str_plain"
     dbuf = encode_str_column(doc, doc_codec, outer=cfg.outer_for("doc_id"))
     doc_bytes = int(pc.sum(pc.binary_length(doc)).as_py() or 0)
-    emit("doc_id", dbuf, n_rows, doc_bytes, None, "string-byte-array-encoding", t)
+    emit("doc_id", dbuf, n_rows, doc_bytes, None, "string-byte-array-encoding", tcol)
 
     # source: constant within a chunk by construction → dictionary
-    t = time.perf_counter()
+    tcol = time.perf_counter()
     sbuf = encode_str_column(src, overrides.get("source", "str_dict"), outer=cfg.outer_for("source"))
     src_bytes = int(pc.sum(pc.binary_length(src)).as_py() or 0)
-    emit("source", sbuf, n_rows, src_bytes, None, "dictionary-encoding-cardinality", t)
+    emit("source", sbuf, n_rows, src_bytes, None, "dictionary-encoding-cardinality", tcol)
 
     row = {
         "chunk_id": chunk_id,
@@ -357,11 +357,22 @@ def lineage_from_encoded(encoded: DataFrame, attempt: int = 1) -> DataFrame:
 def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
     """X1 property inference (reference infer_writer_properties,
     fix.rs:25-70): reconstruct an EncodeConfig from an existing encoded table
-    so a re-encode preserves untouched columns' codec / outer layer / bloom
-    presence. Per column: majority codec and outer (most_frequent,
-    fix.rs:196-211, deterministic tiebreak on name), bloom iff any chunk
-    carries a filter (fix.rs:168-182). One aggregate; O(#columns) rows reach
-    the driver."""
+    so a re-encode preserves untouched columns' settings. Per column:
+    majority codec and outer (most_frequent, fix.rs:196-211, deterministic
+    tiebreak on name), bloom iff any chunk carries a filter (fix.rs:168-182),
+    statistics level page > chunk > none (infer_column_statistics_enabled,
+    fix.rs:139-166 — the engine's "page-level" analog is the bloom/membership
+    index, its "chunk stats" are the stored min/max/ndv metrics), plus the
+    file-level max_chunk_rows from the largest chunk (infer_max_row_group_size,
+    fix.rs:95-103). Two aggregates; O(#columns) rows reach the driver.
+
+    Stats-presence detection rides the format's own invariants, mirroring the
+    reference's presence-not-value checks: a chunk with data always stores
+    distinct_est ≥ 1 for int columns (so distinct_est = 0 with n_values > 0
+    ⟺ `statistics none` blanked it), and doc_id bounds are blanked to ''
+    (encode_chunk). source stores no per-chunk stats in either mode, so its
+    level is left at the default — same as the reference returning None when
+    a column carries no evidence (fix.rs:139-144)."""
     enc = column_metrics(spark.read.parquet(f"{out_dir}/encoded"))
 
     def majority(col: str) -> DataFrame:
@@ -376,11 +387,18 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
             .select("column", col)
         )
 
+    int_stats = (F.col("column").isin("tokens", "n_tok")) & (F.col("n_values") > 0)
+    doc_stats = (F.col("column") == "doc_id") & (F.col("n_rows") > 0)
     rows = (
         majority("codec")
         .join(majority("outer"), "column")
         .join(
-            enc.groupBy("column").agg(F.max(F.col("has_bloom")).alias("has_bloom")),
+            enc.groupBy("column").agg(
+                F.max(F.col("has_bloom")).alias("has_bloom"),
+                F.max(F.when(int_stats, F.col("distinct_est") > 0)).alias("has_int_stats"),
+                F.max(F.when(doc_stats, F.col("doc_id_max") != "")).alias("has_doc_stats"),
+                F.max("n_rows").alias("max_rows"),
+            ),
             "column",
         )
         .collect()
@@ -391,6 +409,11 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
         cfg.outer[r["column"]] = r["outer"]
         if r["has_bloom"]:
             cfg.bloom[r["column"]] = {"fpp": 0.01, "ndv": None}
+            cfg.stats_level[r["column"]] = "page"
+        elif r["has_int_stats"] is False or r["has_doc_stats"] is False:
+            cfg.stats_level[r["column"]] = "none"  # blanked ⇒ was `statistics none`
+        # max over chunk rows = the reference's largest-row-group inference
+        cfg.max_chunk_rows = max(cfg.max_chunk_rows or 1, int(r["max_rows"] or 1))
     return cfg
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .chunking import MAX_CHUNK_ROWS, MAX_CHUNK_VALUES, assign_chunks, plan_buckets
 from .plan import EncodeConfig, Prescription, plan_from_decisions
 from .select import estimate_dictionary_payload_bytes, select_codec
-from .stats import compute_chunk_stats
+from .stats import compute_chunk_stats, extrapolate_stats
 
 LINT_SCHEMA = (
     "chunk_id string, column string, codec string, rule string, "
@@ -41,8 +41,16 @@ LINT_SCHEMA = (
 _OUTER_TRIAL_BYTES = 1 << 16  # bounded zstd-3 trial sample per chunk
 
 
-def lint_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
-    """Stats + selection over one chunk's sampled rows → decision rows."""
+def lint_chunk(
+    t: pa.Table, cfg: EncodeConfig | None = None, fraction: float = 1.0
+) -> pa.Table:
+    """Stats + selection over one chunk's sampled rows → decision rows.
+
+    `fraction` is the row-sampling rate the rows arrived at; stats are
+    extrapolated to full-chunk magnitudes before the cost model so that
+    fixed codec costs (dict/FSST tables) amortize the way they will in the
+    real encode — a 0.5% screening sample then picks the same codec a 30%
+    sample does."""
     cfg = cfg or EncodeConfig()
     t = t.combine_chunks()
     chunk_id = t.column("chunk_id")[0].as_py()
@@ -53,12 +61,12 @@ def lint_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
 
     rows = []
     for column, values, nv in (("tokens", flat, len(flat)), ("n_tok", lens, n_rows)):
-        st = compute_chunk_stats(values, n_rows)
+        st = extrapolate_stats(compute_chunk_stats(values, n_rows), fraction)
         d = select_codec(
             values, st, forced=cfg.overrides.get(column),
             allow_dict=f"!dict:{column}" not in cfg.overrides,
         )
-        plain_bytes = 4 * max(nv, 1)
+        plain_bytes = 4 * max(st.n_values, 1)
         saving = 1.0 - d.est_bytes / plain_bytes
         # Severity ordering mirrors diagnostic.rs:8-12: big wins are warnings
         # (you are leaving >50% on the table), marginal ones suggestions;
@@ -93,6 +101,18 @@ def lint_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+# strided share of ambiguous chunks re-sampled at full depth
+# (AMBIGUOUS_GROUP_SAMPLE_RATIO, dictionary_encoding.rs:17)
+AMBIGUOUS_SAMPLE_RATIO = 0.05
+# screening pass samples at this multiple of `fraction`...
+CHEAP_PASS_RATIO = 0.1
+# ...floored so every chunk expects at least this many sampled values — the
+# reference's per-group SAMPLE_ROWS semantics (cardinality.rs:29): an NDV
+# estimate from a few hundred draws inflates the cardinality ratio right past
+# the ambiguous window and mis-screens dictionary-friendly chunks as NoDict
+SCREEN_TARGET_VALUES = 16_384
+
+
 def lint(
     spark: SparkSession,
     df: DataFrame,
@@ -101,20 +121,116 @@ def lint(
     cfg: EncodeConfig | None = None,
     max_rows: int = MAX_CHUNK_ROWS,
     max_values: int = MAX_CHUNK_VALUES,
+    two_pass: bool = True,
 ) -> DataFrame:
     """Sampled plan-only lint: decisions DataFrame, ordered by severity
-    (lib.rs:44 sort_by_key(severity))."""
-    from pyspark.sql import functions as F
+    (lib.rs:44 sort_by_key(severity)).
+
+    Two-pass by default, mirroring the reference's ambiguous-group strategy
+    (dictionary_encoding.rs:155-172 + flow chart :29-68): a cheap screening
+    pass — per-source stratified at max(fraction×0.1, enough rows that each
+    chunk sees ~SCREEN_TARGET_VALUES sampled values) — classifies every
+    chunk; chunks whose cardinality ratio is CLEAR (< 0.1 ⇒ dictionary,
+    > 0.5 ⇒ no dictionary) keep the screening decision, and only a strided
+    5% of the AMBIGUOUS chunks (ratio in (0.1, 0.5)) are re-sampled at the
+    full `fraction` — the exact choose_sample_row_groups stride, computed as
+    a Spark predicate so the ambiguous chunk list never reaches the driver.
+    On a mostly-clear corpus the lint therefore moves ~10× fewer sampled
+    rows than a uniform `fraction` sample while emitting the same
+    prescriptions. (Driver-side state: one O(#sources) collect for the
+    stratified fractions — sources are datasets, not rows.)
+
+    Every decision row carries `sample_fraction` (the fraction its chunk was
+    actually sampled at) so downstream size extrapolation (R2's absolute
+    thresholds in prescription_from_decisions) stays unbiased across passes.
+    """
+    import math
+
+    from pyspark.sql import Window, functions as F
+
+    from .select import DICT_ENABLE_RATIO, DICT_REJECT_RATIO
 
     cfg = cfg or EncodeConfig()
-    buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.effective_max_values(max_values))
-    sampled = df.sample(fraction=fraction, seed=seed)
-    chunked = assign_chunks(sampled, buckets)
+    mr = cfg.max_chunk_rows or max_rows
+    mv = cfg.effective_max_values(max_values)
 
-    def fn(t: pa.Table) -> pa.Table:
-        return lint_chunk(t, cfg)
+    def pass_at(sampled: DataFrame, buckets: DataFrame, fracs: dict[str, float],
+                default_frac: float, only: DataFrame | None = None) -> DataFrame:
+        chunked = assign_chunks(sampled, buckets)
+        if only is not None:
+            # filter BEFORE the chunk shuffle: only selected chunks' sampled
+            # rows move; everything else is dropped at the scan
+            chunked = chunked.join(F.broadcast(only), "chunk_id", "semi")
 
-    decisions = chunked.groupBy("chunk_id").applyInArrow(fn, LINT_SCHEMA)
+        def fn(t: pa.Table) -> pa.Table:
+            # per-source fraction captured by closure: pyspark 4.1 infers the
+            # UDF eval type from the signature — keep (pa.Table) -> pa.Table
+            src = t.column("source")[0].as_py() if t.num_rows else ""
+            return lint_chunk(t, cfg, fraction=fracs.get(src, default_frac))
+
+        d = chunked.groupBy("chunk_id").applyInArrow(fn, LINT_SCHEMA)
+        if fracs:
+            mapping = F.create_map(*[F.lit(x) for kv in fracs.items() for x in kv])
+            frac_col = F.coalesce(
+                mapping[F.substring_index("chunk_id", "#", 1)], F.lit(float(default_frac))
+            )
+        else:
+            frac_col = F.lit(float(default_frac))
+        return d.withColumn("sample_fraction", frac_col)
+
+    if not two_pass:
+        buckets = plan_buckets(df, mr, mv)
+        decisions = pass_at(df.sample(fraction=fraction, seed=seed), buckets, {}, fraction)
+    else:
+        # one O(#sources) aggregate drives both the bucket plan and the
+        # per-source screening fractions
+        totals = df.groupBy("source").agg(
+            F.count("*").alias("rows"), F.sum("n_tok").alias("values")
+        ).collect()
+        nb = {
+            r["source"]: max(1, math.ceil(max(r["rows"] / mr, float(r["values"] or 0) / mv)))
+            for r in totals
+        }  # same formula as chunking.plan_buckets
+        buckets = spark.createDataFrame(
+            list(nb.items()), "source string, nbuckets int"
+        )
+        cheap_fracs = {}
+        for r in totals:
+            vpc = float(r["values"] or 0) / nb[r["source"]]
+            f = fraction * CHEAP_PASS_RATIO
+            if vpc > 0:
+                f = max(f, SCREEN_TARGET_VALUES / vpc)
+            cheap_fracs[r["source"]] = min(1.0, f)
+        # localCheckpoint: the screening decisions are O(#chunks × #columns)
+        # rows and get reused three times below
+        cheap = pass_at(
+            df.sampleBy("source", cheap_fracs, seed), buckets, cheap_fracs, fraction
+        ).localCheckpoint()
+        ambiguous = (F.col("cardinality_ratio") > DICT_ENABLE_RATIO) & (
+            F.col("cardinality_ratio") < DICT_REJECT_RATIO
+        )
+        amb = (
+            cheap.filter(ambiguous)
+            .select("chunk_id")
+            .distinct()
+            .withColumn("pos", F.row_number().over(Window.orderBy("chunk_id")) - 1)
+        )
+        n_amb = amb.count()
+        if n_amb == 0:
+            decisions = cheap
+        else:
+            k = max(1, math.ceil(n_amb * AMBIGUOUS_SAMPLE_RATIO))
+            # strided positions {i*n_amb//k} — integer-exact ceil comparison
+            sel = amb.filter(
+                F.expr(
+                    f"((pos + 1) * {k} + {n_amb} - 1) DIV {n_amb}"
+                    f" > (pos * {k} + {n_amb} - 1) DIV {n_amb}"
+                )
+            ).select("chunk_id")
+            deep = pass_at(
+                df.sample(fraction=fraction, seed=seed + 1), buckets, {}, fraction, only=sel
+            )
+            decisions = cheap.join(F.broadcast(sel), "chunk_id", "left_anti").unionByName(deep)
     rank = F.when(F.col("severity") == "error", 2).when(F.col("severity") == "warning", 1).otherwise(0)
     return decisions.orderBy(rank.desc(), "chunk_id", "column")
 
@@ -125,11 +241,14 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
     fix.rs:196-211) plus the R2 outer-codec majority vote (outer_policy.py),
     emitted in the same `set column …` DSL.
 
-    `scale` rescales sampled body bytes to full-data bytes (pass
-    1/sample_fraction when the decisions come from a sampled lint) so the
+    Sampled body bytes are rescaled to full-data magnitudes so the
     reference's absolute size thresholds (8 MB column floor, 4 MB speed
-    threshold, …) see full-corpus magnitudes. Both votes are Spark
-    aggregates: one row per column reaches the driver."""
+    threshold, …) see full-corpus numbers: decisions from `lint` carry their
+    own per-chunk `sample_fraction` (the two passes sample at different
+    depths) and are divided by it automatically; `scale` multiplies on top
+    (useful to emulate a larger corpus in tests, default 1.0 — callers no
+    longer pass 1/fraction). Both votes are Spark aggregates: one row per
+    column reaches the driver."""
     from pyspark.sql import Window, functions as F
 
     from . import outer_policy as OP
@@ -147,6 +266,8 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
     rx = plan_from_decisions([{"column": r["column"], "codec": r["codec"]} for r in majority])
 
     b = F.col("body_bytes") * F.lit(float(scale))
+    if "sample_fraction" in decisions.columns:
+        b = b / F.col("sample_fraction")
     vote = (
         F.when(F.col("outer_ratio") > OP.RATIO_SKIP, F.lit("none"))
         .when(b > OP.SPEED_THRESHOLD_BYTES, F.lit("lz4"))
@@ -165,6 +286,7 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
         .collect()
     )
     for r in sorted(agg, key=lambda r: r["column"]):
+        kind, is_text = OP.COLUMN_KINDS.get(r["column"], (None, None))
         v = OP.decide(
             r["n_chunks"],
             float(r["total_bytes"] or 0),
@@ -172,6 +294,9 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
             float(r["weighted_ratio"] if r["weighted_ratio"] is not None else 1.0),
             r["lz4_votes"],
             r["zstd_votes"],
+            column=r["column"],
+            kind=kind,
+            is_text=is_text,
         )
         if v is not None:
             rx.directives.append(Directive("column", r["column"], "compression", v))

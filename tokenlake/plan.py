@@ -44,6 +44,18 @@ INT_ENCODINGS = {"plain", "for", "bitpack", "delta", "rle", "dict", "fsst"}
 STR_ENCODINGS = {"str_plain", "str_dict"}
 ENCODINGS = INT_ENCODINGS | STR_ENCODINGS
 
+# Reference DSL compatibility (prescription.rs:624-636 accepts exactly these
+# five parquet encoding names): a prescription file written for the reference
+# parses here unchanged, each name mapped to the engine's closest analog.
+# `plain` is shared; the rest normalize at parse time so format()/round-trips
+# emit engine names.
+REFERENCE_ENCODING_ALIASES = {
+    "delta_binary_packed": "delta",     # parquet DELTA_BINARY_PACKED ≙ miniblock delta
+    "byte_stream_split": "for",         # byte/bit-plane wire layout analog (bitio.py)
+    "delta_length_byte_array": "str_plain",  # string body + separate lengths
+    "delta_byte_array": "str_plain",         # no prefix-sharing codec; closest analog
+}
+
 # same codec grammar as the reference prescription DSL (prescription.rs:583-622)
 _COMPRESSION_RE = re.compile(
     r"^(?:none|uncompressed|auto|snappy|lz4|lz4_raw"
@@ -262,8 +274,10 @@ def _check_directive(d: Directive, lineno: int) -> None:
     else:
         if d.prop not in col_props:
             raise PlanError(f"line {lineno}: unknown column property {d.prop!r}")
-        if d.prop == "encoding" and d.value not in ENCODINGS:
-            raise PlanError(f"line {lineno}: unknown encoding {d.value!r}")
+        if d.prop == "encoding":
+            d.value = REFERENCE_ENCODING_ALIASES.get(d.value, d.value)
+            if d.value not in ENCODINGS:
+                raise PlanError(f"line {lineno}: unknown encoding {d.value!r}")
         if d.prop in ("dictionary", "bloom_filter") and d.value not in ("true", "false"):
             raise PlanError(f"line {lineno}: {d.prop} expects true/false")
         if d.prop == "statistics" and d.value not in ("none", "chunk", "page"):

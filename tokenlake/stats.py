@@ -61,6 +61,45 @@ def scale_distinct(sample_distinct: int, sample_n: int, total: int) -> int:
     return max(sample_distinct, min(est, total))
 
 
+def extrapolate_stats(st: ChunkStats, fraction: float) -> ChunkStats:
+    """Scale stats computed on a `fraction` row-sample of a chunk up to
+    full-chunk magnitudes (the C6 ratio scale-up applied to the lint path):
+    extensive quantities (n_values, n_rows, raw_bytes) divide by the
+    fraction, distinct re-scales with clamping (scale_distinct,
+    cardinality.rs:148-157), intensive quantities (bounds, run/sorted
+    ratios, delta widths) carry over unchanged. Without this, fixed codec
+    costs (dictionary/FSST tables) dominate small-sample estimates and the
+    lint picks differently than the full encode would."""
+    if fraction >= 1.0 or st.n_values == 0:
+        return st
+    total = max(st.n_values, int(round(st.n_values / fraction)))
+    n_rows = max(st.n_rows, int(round(st.n_rows / fraction)))
+    if st.distinct_est < 0.5 * st.n_values:
+        # saturated sample: values repeat heavily, so the sampled NDV already
+        # ≈ the true NDV — the same tier-2 saturation signal that triggers
+        # the exact resolve in compute_chunk_stats. Linear scale-up here
+        # would inflate a 500-value dictionary to tens of thousands.
+        distinct = st.distinct_est
+    else:
+        # all-distinct regime: conservative linear scale-up with clamping
+        distinct = scale_distinct(st.distinct_est, st.n_values, total)
+    return ChunkStats(
+        n_values=total,
+        n_rows=n_rows,
+        min_val=st.min_val,
+        max_val=st.max_val,
+        ndv_sample=st.ndv_sample,
+        sample_n=st.sample_n,
+        distinct_est=distinct,
+        run_count_sample=st.run_count_sample,
+        sorted_frac=st.sorted_frac,
+        max_zz_delta=st.max_zz_delta,
+        avg_delta_width=st.avg_delta_width,
+        avg_fanout=st.avg_fanout,
+        raw_bytes=4 * total,
+    )
+
+
 def _avg_block_width(zz: np.ndarray, block: int = 128) -> float:
     """Mean per-miniblock bit width — matches enc_delta's miniblock layout so
     the analytical delta estimate is unbiased even with per-row resets."""

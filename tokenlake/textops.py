@@ -258,18 +258,32 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_band(col: Column, band: int, band_bits: int = 16) -> Column:
+def simhash_band(col: Column, band: int, band_bits: int = 32) -> Column:
     """One Hamming band of a simhash: bits [band*band_bits, (band+1)*band_bits)."""
     return F.shiftrightunsigned(col, band * band_bits).bitwiseAND(
         F.lit((1 << band_bits) - 1).cast("long")
     )
 
 
-def simhash_candidates(docs: DataFrame, band_bits: int = 16) -> DataFrame:
-    """SimHash near-dup candidate pairs: docs agreeing on ANY 16-bit band of
-    their 64-bit simhash (standard Hamming-distance blocking — a pair within
-    Hamming distance 3 of 64 bits must agree on at least one of 4 bands).
-    Equi-join on (band, band_value); no cartesian."""
+def simhash_candidates(
+    docs: DataFrame, band_bits: int = 32, max_bucket: int = 10_000
+) -> DataFrame:
+    """SimHash near-dup candidate pairs: docs agreeing on ANY band of their
+    64-bit simhash (Hamming-distance blocking: a pair within Hamming distance
+    64/band_bits − 1 must agree on at least one band — pigeonhole).
+    Equi-join on (band, band_value); no cartesian.
+
+    Corpus-scale collision math drives the defaults: UNRELATED docs collide
+    on one band at rate 2^-band_bits, so each band contributes ~n²/2^band_bits
+    random candidate pairs. At n=10^9: 16-bit bands ⇒ ~1.5×10^13 junk pairs
+    (ruinous); 32-bit bands ⇒ ~2×10^8 (fine). Hence band_bits=32 (2 bands,
+    guaranteed recall only for Hamming ≤1; near-dup texts typically differ by
+    0-2 bits, and the Jaccard verify stage re-checks every candidate anyway).
+    `max_bucket` is the hot-bucket guard (same role as the MinHash path's
+    bucket filter): any (band, value) bucket holding more than `max_bucket`
+    docs — degenerate content such as empty/boilerplate text — is dropped
+    before the self-join rather than producing O(bucket²) pairs.
+    """
     n_bands = 64 // band_bits
     sh = simhash64(docs)
     bands = F.array(
@@ -280,6 +294,13 @@ def simhash_candidates(docs: DataFrame, band_bits: int = 16) -> DataFrame:
     )
     sig = sh.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+    # hot-bucket guard: one count aggregate, broadcast back as an anti-filter
+    counts = sig.groupBy("band", "bv").agg(F.count("*").alias("n_in_bucket"))
+    sig = (
+        sig.join(counts, ["band", "bv"])
+        .filter((F.col("n_in_bucket") > 1) & (F.col("n_in_bucket") <= max_bucket))
+        .drop("n_in_bucket")
     )
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "bv")
     b = sig.select(F.col("doc_id").alias("doc_b"), "band", "bv")
