@@ -472,7 +472,8 @@ def test_prescription_dictionary_growth(spark):
 
     def mkrow(payload):
         return ("c#0", "tokens", "dict", "dictionary-encoding-cardinality",
-                "suggestion", 100, 1000, 50000, 0.01, 1.0, 0.5, 1000, 0.5, payload)
+                "suggestion", 100, 1000, 50000, 0.01, 1.0, 0.5, 1000, 0.5, payload,
+                "column")
 
     grow = spark.createDataFrame([mkrow(5 << 20)], schema=lint_job.LINT_SCHEMA)
     rx = lint_job.prescription_from_decisions(grow)

@@ -60,6 +60,10 @@ def test_plan_from_encoded_recovers_stats_none_and_chunk_caps(spark, tmp_path):
     ).apply()
     encode_job.run(spark, df, out_a, cfg=cfg0)
 
+    # lineage-lint rows are chunk-located (Location::RowGroup analog)
+    lin = lint_job.lint_lineage(spark, out_a)
+    assert {r["location"] for r in lin.limit(5).collect()} == {"chunk"}
+
     inferred = encode_job.plan_from_encoded(spark, out_a)
     assert inferred.stats_for("tokens") == "none"
     assert inferred.stats_for("doc_id") == "none"
@@ -144,8 +148,7 @@ def test_many_small_chunk_band_requires_text_looking_column():
     """prefer_lz4_for_many_small_snappy_byte_array_chunks requires
     BYTE_ARRAY (compression_codec.rs:94-123) — the engine analog gates on
     looks_text_column."""
-    n, each = 100, 1 << 19  # 100 small chunks, 50 MB... adjust to hit band
-    n, each = 128, 1 << 19
+    n = 128  # ≥64 small (≤1 MB) chunks totaling ≥64 MB, ratio in [0.55, 0.85]
     total = 80 << 20
     got_text = outer_policy.decide(
         n, total, 1 << 20, 0.7, 0, n, column="tokens", kind="str", is_text=True
@@ -199,6 +202,15 @@ def test_two_pass_lint_same_prescription_fewer_sampled_rows(spark):
     for d in (d1, d2):
         d.unpersist()
     df.unpersist()
+
+
+def test_lint_decisions_are_column_located(spark):
+    """Location analog (diagnostic.rs:37-41): per-column-chunk decisions are
+    Location::Column; chunk-scoped invariants (lint_lineage) are RowGroup."""
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    d = lint_job.lint(spark, df, fraction=0.3)
+    assert {r["location"] for r in d.collect()} == {"column"}
 
 
 def test_lint_chunk_extrapolation_is_sample_size_invariant(spark):

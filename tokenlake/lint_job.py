@@ -35,8 +35,14 @@ LINT_SCHEMA = (
     "chunk_id string, column string, codec string, rule string, "
     "severity string, est_bytes long, sample_rows long, sample_values long, "
     "cardinality_ratio double, run_ratio double, sorted_frac double, "
-    "body_bytes long, outer_ratio double, dict_payload_bytes long"
+    "body_bytes long, outer_ratio double, dict_payload_bytes long, "
+    "location string"
 )
+# `location` is the Diagnostic Location analog (diagnostic.rs:37-41):
+# "column" = per-column-chunk decisions (Location::Column), "chunk" =
+# row-group-scoped invariants from lint_lineage (Location::RowGroup);
+# file-scoped outcomes surface as `set file ...` DSL directives
+# (Location::File has no per-chunk row to hang on).
 
 _OUTER_TRIAL_BYTES = 1 << 16  # bounded zstd-3 trial sample per chunk
 
@@ -96,6 +102,7 @@ def lint_chunk(
                 "body_bytes": len(body),
                 "outer_ratio": float(outer_ratio),
                 "dict_payload_bytes": int(estimate_dictionary_payload_bytes(st)),
+                "location": "column",
             }
         )
     return pa.Table.from_pylist(rows)
@@ -348,7 +355,8 @@ def lint_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     chunks whose lineage row is missing/incomplete or whose recorded
     fingerprint disagrees with the encoded metrics (the R8
     missing-page-statistics analog on the engine's own format,
-    page_statistics.rs:13-51; Severity::Error, diagnostic.rs:8-12)."""
+    page_statistics.rs:13-51; Severity::Error, diagnostic.rs:8-12). Rows are
+    chunk-located — the Location::RowGroup analog (diagnostic.rs:37-41)."""
     from pyspark.sql import functions as F
 
     enc = (
@@ -373,6 +381,7 @@ def lint_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
         "chunk_id",
         "rule",
         F.when(F.col("rule") == "ok", F.lit("suggestion")).otherwise(F.lit("error")).alias("severity"),
+        F.lit("chunk").alias("location"),
     )
 
 
