@@ -32,6 +32,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def host_gauge(procs: int = 16, iters: int = 6_000_000) -> dict:
+    """Inline host-interference probe (pure-python ALU burn, no Spark).
+
+    This sandbox VM shares hardware with external load that varies multi-×
+    hour to hour; wall-clock regressions here are not attributable to the
+    engine without same-run evidence. Reports the single-process burn time
+    and the effective core count when `procs` processes burn concurrently —
+    on a quiet 32-vCPU host effective_cores ≈ procs; interference shows up
+    as effective_cores ≪ procs and/or an inflated single_s."""
+    import multiprocessing as mp
+
+    def _burn(q):
+        t = time.perf_counter()
+        x = 0
+        for i in range(iters):
+            x += i * i
+        q.put(time.perf_counter() - t)
+
+    ctx = mp.get_context("fork")
+    q: mp.queues.Queue = ctx.Queue()
+    _burn(q)
+    single = q.get()
+    ps = [ctx.Process(target=_burn, args=(q,)) for _ in range(procs)]
+    t0 = time.perf_counter()
+    for p in ps:
+        p.start()
+    res = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    wall = time.perf_counter() - t0
+    del res
+    return {
+        "single_s": round(single, 3),
+        "procs": procs,
+        "effective_cores": round(procs * single / wall, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -51,6 +89,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="tokenlake_bench_")
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
+    extras["host_gauge_start"] = host_gauge()
     try:
         # ---- build input (not part of the timed encode path)
         t0 = time.perf_counter()
@@ -170,6 +209,7 @@ def main() -> None:
         # headline value = the ENGINE phases; input synthesis and the
         # parquet-baseline write are itemized in `queries` but not charged to
         # the engine (build_input alone is ~60% of wall and is pure test rig)
+        extras["host_gauge_end"] = host_gauge()
         engine_phases = ("encode", "decode", "verify")
         total = sum(timings[k] for k in engine_phases)
         out = {
