@@ -259,3 +259,84 @@ def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path):
         .count()
     )
     assert spark.read.parquet(f"{out}/deduped").count() == n_hash
+
+
+# ------------------------------------------ projected decode (S3 on decode)
+
+def test_projected_decode_matches_full_and_prunes_scan(spark, tmp_path):
+    """decode(columns=...) must return exactly the projection of the full
+    decode AND its executed plan must scan only the payload columns those
+    outputs need — at 10^12 rows a tokens-only reader cannot afford the
+    doc_id/source byte streams."""
+    from tokenlake import decode_job
+
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard", "runs"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    out = str(tmp_path / "proj")
+    encode_job.run(spark, df, out)
+
+    full = decode_job.decode(spark, out).select("doc_id", "n_tok").orderBy("doc_id")
+    proj = decode_job.decode(spark, out, columns=["doc_id", "n_tok"]).orderBy("doc_id")
+    assert proj.columns == ["doc_id", "n_tok"]
+    assert [r.asDict() for r in proj.collect()] == [r.asDict() for r in full.collect()]
+
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for l in scans:
+        assert "payload_tokens" not in l, l
+        assert "payload_source" not in l, l
+
+    # tokens projection pulls n_tok payload for offsets but not the strings
+    tok = decode_job.decode(spark, out, columns=["tokens"])
+    assert tok.columns == ["tokens"]
+    tplan = tok._jdf.queryExecution().executedPlan().toString()
+    tscan = [l for l in tplan.splitlines() if "ReadSchema" in l]
+    for l in tscan:
+        assert "payload_doc_id" not in l and "payload_source" not in l, l
+    assert tok.count() == df.count()
+
+    with pytest.raises(ValueError):
+        decode_job.decode_dataframe(
+            spark.read.parquet(f"{out}/encoded"), columns=["nope"]
+        )
+
+
+# ------------------------------------------ multi-band LSH recall
+
+def test_lsh_multiband_candidates_superset_of_single_band(spark):
+    """Multi-band candidates (any of b bands collides) must cover every
+    single-band bucket and catch near-dups the mh0 band alone misses;
+    P(candidate | jaccard s) = 1-(1-s)^b vs s for one band."""
+    import pandas as pd
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        rows.append({"doc_id": str(i), "text": f"{base} doc{i} unique{i} tail{i}"})
+        # planted near-dup: same prefix, one differing tail word
+        rows.append({"doc_id": str(100 + i), "text": f"{base} doc{i} unique{i} tailX{i}"})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+
+    single_docs = set()
+    sb = textops.lsh_buckets(docs).collect()
+    for r in sb:
+        single_docs.add((r["min_doc"], r["max_doc"]))
+    multi = textops.lsh_candidate_buckets(docs).collect()
+    multi_pairs = {(r["min_doc"], r["max_doc"]) for r in multi}
+    band0_pairs = {(r["min_doc"], r["max_doc"]) for r in multi if r["band"] == 0}
+    assert single_docs == band0_pairs  # band 0 of the multi run ≡ legacy single band
+    assert len(multi_pairs) >= len(single_docs)
+    # every planted pair collides on at least one band
+    planted_hit = 0
+    in_bucket = {}
+    for r in multi:
+        in_bucket.setdefault((r["band"], r["bucket"]), set())
+    # recompute membership from signatures for the planted-pair check
+    sig = textops.minhash_signatures(docs, 4).collect()
+    by_doc = {r["doc_id"]: [r[f"mh{i}"] for i in range(4)] for r in sig}
+    for i in range(30):
+        a, b = by_doc[i], by_doc[100 + i]
+        if any(x == y for x, y in zip(a, b)):
+            planted_hit += 1
+    assert planted_hit >= 25, planted_hit  # near-dups collide on ≥1 of 4 bands

@@ -28,31 +28,72 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .codecs import decode_column
 
 DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+ALL_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
+# decode-side projection: which payloads each output column needs (`tokens`
+# needs the length column to rebuild list offsets), and its Spark type
+_COLUMN_PAYLOADS = {
+    "doc_id": ("doc_id",),
+    "tokens": ("tokens", "n_tok"),
+    "n_tok": ("n_tok",),
+    "source": ("source",),
+}
+_COLUMN_TYPES = {
+    "doc_id": "string",
+    "tokens": "array<int>",
+    "n_tok": "int",
+    "source": "string",
+}
 
 
-def decode_chunk_row(payloads: dict[str, bytes]) -> pa.Table:
-    """One chunk's 4 self-describing payloads → the original sequence rows."""
-    lens = decode_column(payloads["n_tok"]).astype(np.int64)
-    flat = decode_column(payloads["tokens"])
-    doc_id = decode_column(payloads["doc_id"]).cast(pa.string())
-    source = decode_column(payloads["source"]).cast(pa.string())
-    offsets64 = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets64[1:], dtype=np.int64)
-    if offsets64[-1] > np.iinfo(np.int32).max:
-        # reachable only by overriding max_chunk_values far past the default;
-        # fail loudly instead of letting an int32 cumsum wrap into corrupt rows
-        raise ValueError(f"chunk token count {offsets64[-1]} overflows int32 list offsets")
-    tokens = pa.ListArray.from_arrays(
-        pa.array(offsets64.astype(np.int32), type=pa.int32()), pa.array(flat, type=pa.int32())
+def _payloads_for(columns: tuple[str, ...]) -> list[str]:
+    unknown = [c for c in columns if c not in _COLUMN_PAYLOADS]
+    if unknown:
+        raise ValueError(f"unknown decode columns {unknown}; valid: {list(ALL_COLUMNS)}")
+    need: list[str] = []
+    for c in columns:
+        for p in _COLUMN_PAYLOADS[c]:
+            if p not in need:
+                need.append(p)
+    return need
+
+
+def decode_chunk_row(
+    payloads: dict[str, bytes], columns: tuple[str, ...] = ALL_COLUMNS
+) -> pa.Table:
+    """One chunk's self-describing payloads → the original sequence rows.
+
+    Only the payloads the requested `columns` need are decoded (the S3
+    column-chunk-read analog applied to decode: at 10^12 rows a tokens-only
+    reader must not pay for doc_id/source byte streams)."""
+    lens = (
+        decode_column(payloads["n_tok"]).astype(np.int64)
+        if "n_tok" in payloads
+        else None
     )
-    return pa.table(
-        {
-            "doc_id": doc_id,
-            "tokens": tokens,
-            "n_tok": pa.array(lens.astype(np.int32), type=pa.int32()),
-            "source": source,
-        }
-    )
+    arrays: dict[str, pa.Array] = {}
+    for c in columns:
+        if c == "doc_id":
+            arrays[c] = decode_column(payloads["doc_id"]).cast(pa.string())
+        elif c == "source":
+            arrays[c] = decode_column(payloads["source"]).cast(pa.string())
+        elif c == "n_tok":
+            arrays[c] = pa.array(lens.astype(np.int32), type=pa.int32())
+        elif c == "tokens":
+            flat = decode_column(payloads["tokens"])
+            offsets64 = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets64[1:], dtype=np.int64)
+            if offsets64[-1] > np.iinfo(np.int32).max:
+                # reachable only by overriding max_chunk_values far past the
+                # default; fail loudly instead of letting an int32 cumsum wrap
+                # into corrupt rows
+                raise ValueError(
+                    f"chunk token count {offsets64[-1]} overflows int32 list offsets"
+                )
+            arrays[c] = pa.ListArray.from_arrays(
+                pa.array(offsets64.astype(np.int32), type=pa.int32()),
+                pa.array(flat, type=pa.int32()),
+            )
+    return pa.table({c: arrays[c] for c in columns})
 
 
 def decode_chunk(t: pa.Table) -> pa.Table:
@@ -80,23 +121,29 @@ def decode_chunk(t: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def decode_dataframe(encoded: DataFrame) -> DataFrame:
-    """Shuffle-free decode: column-pruned scan → mapInArrow."""
-    payload_cols = ["payload_tokens", "payload_n_tok", "payload_doc_id", "payload_source"]
+def decode_dataframe(
+    encoded: DataFrame, columns: tuple[str, ...] | list[str] | None = None
+) -> DataFrame:
+    """Shuffle-free decode: column-pruned scan → mapInArrow.
+
+    `columns` projects the decode: only the payload columns those outputs
+    need are scanned (parquet column pruning skips the rest entirely) and
+    decoded. Default = all four sequence columns."""
+    cols = tuple(columns) if columns is not None else ALL_COLUMNS
+    need = _payloads_for(cols)
+    schema = ", ".join(f"{c} {_COLUMN_TYPES[c]}" for c in cols)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             t = pa.Table.from_batches([batch])
             for i in range(t.num_rows):
                 out = decode_chunk_row(
-                    {
-                        c: t.column(f"payload_{c}")[i].as_py()
-                        for c in ("tokens", "n_tok", "doc_id", "source")
-                    }
+                    {c: t.column(f"payload_{c}")[i].as_py() for c in need},
+                    cols,
                 )
                 yield from out.to_batches()
 
-    return encoded.select(*payload_cols).mapInArrow(fn, DECODED_SCHEMA)
+    return encoded.select(*[f"payload_{p}" for p in need]).mapInArrow(fn, schema)
 
 
 def dedup_attempts(encoded: DataFrame) -> DataFrame:
@@ -122,8 +169,12 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/encoded")
 
 
-def decode(spark: SparkSession, out_dir: str) -> DataFrame:
-    return decode_dataframe(dedup_attempts(read_encoded(spark, out_dir)))
+def decode(
+    spark: SparkSession,
+    out_dir: str,
+    columns: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    return decode_dataframe(dedup_attempts(read_encoded(spark, out_dir)), columns)
 
 
 def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
