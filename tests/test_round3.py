@@ -340,3 +340,47 @@ def test_lsh_multiband_candidates_superset_of_single_band(spark):
         if any(x == y for x, y in zip(a, b)):
             planted_hit += 1
     assert planted_hit >= 25, planted_hit  # near-dups collide on ≥1 of 4 bands
+
+
+# ------------------------------------------ CLI decode + verify lifecycle
+
+def test_cli_decode_and_verify_gate(spark, tmp_path, capsys):
+    """`decode` materializes sequences (optionally projected) and `verify`
+    is the bit-identity CI gate: exit 0 on a clean roundtrip, exit 1 when
+    the reference disagrees with the decode."""
+    import json as _json
+
+    from tokenlake import cli
+
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard", "runs"], skew=False)
+    in_p = str(tmp_path / "seq.parquet")
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    df.write.parquet(in_p)
+    enc = str(tmp_path / "enc")
+    assert cli.main(["rewrite", in_p, "-o", enc, "--fraction", "0.5"], spark=spark) == 0
+    capsys.readouterr()
+
+    out_full = str(tmp_path / "dec_full")
+    assert cli.main(["decode", enc, "-o", out_full], spark=spark) == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == df.count()
+    assert set(info["columns"]) == {"doc_id", "tokens", "n_tok", "source"}
+
+    out_proj = str(tmp_path / "dec_proj")
+    assert cli.main(
+        ["decode", enc, "-o", out_proj, "--columns", "doc_id,n_tok"], spark=spark
+    ) == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["columns"] == ["doc_id", "n_tok"]
+    assert spark.read.parquet(out_proj).columns == ["doc_id", "n_tok"]
+
+    # clean roundtrip gates green, digest and exact
+    assert cli.main(["verify", in_p, enc], spark=spark) == 0
+    assert cli.main(["verify", in_p, enc, "--exact"], spark=spark) == 0
+    # a corrupted reference (one doc_id dropped) must gate red
+    bad_ref = str(tmp_path / "bad.parquet")
+    df.filter(F.col("doc_id") != df.select("doc_id").first()[0]).write.parquet(bad_ref)
+    capsys.readouterr()
+    assert cli.main(["verify", bad_ref, enc], spark=spark) == 1
+    result = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["pass"] is False

@@ -16,6 +16,20 @@ Reference parity points:
   with `--from-prescription` (:148-184); conflicts are warnings and the last
   directive wins (warn_if_conflicting_for_apply, :75-82); `--dry-run` prints
   the directives without encoding (:213-219).
+
+Engine-lifecycle additions beyond the reference CLI (the reference reads
+standard parquet back with any parquet reader; this engine's chunk format
+needs its own reader and its north rule demands a bit-identity gate):
+
+    python -m tokenlake decode ENCODED_DIR -o OUTDIR [--columns a,b]
+    python -m tokenlake verify REFERENCE.parquet ENCODED_DIR [--exact]
+
+- `decode` materializes the sequences back to plain parquet; `--columns`
+  projects the decode (only the needed payload columns are scanned).
+- `verify` compares the decoded table against the original sequences —
+  hash-digest by default, `--exact` for the full-outer-join per-row
+  certificate — and **exits 1** on any mismatch (the CI shape of the
+  north rule's "bit-identical decode pass rate 100%").
 """
 
 from __future__ import annotations
@@ -49,6 +63,24 @@ def _build_parser() -> argparse.ArgumentParser:
     rw.add_argument("--dry-run", action="store_true")
     rw.add_argument("--fraction", type=float, default=0.05)
     rw.add_argument("--cpus", type=int, default=8)
+
+    dec = sub.add_parser("decode", help="decode an encoded table back to sequences parquet")
+    dec.add_argument("input", help="encoded output dir (as written by rewrite)")
+    dec.add_argument("-o", "--out", required=True)
+    dec.add_argument(
+        "--columns", default=None,
+        help="comma-separated projection, e.g. tokens,n_tok (default: all)",
+    )
+    dec.add_argument("--cpus", type=int, default=8)
+
+    ver = sub.add_parser("verify", help="bit-identity gate: decoded vs reference sequences")
+    ver.add_argument("reference", help="original sequences parquet")
+    ver.add_argument("encoded", help="encoded output dir")
+    ver.add_argument(
+        "--exact", action="store_true",
+        help="full-outer-join per-row certificate (default: per-source hash digest)",
+    )
+    ver.add_argument("--cpus", type=int, default=8)
     return p
 
 
@@ -125,10 +157,47 @@ def cmd_rewrite(args, spark=None) -> int:
             spark.stop()
 
 
+def cmd_decode(args, spark=None) -> int:
+    from . import decode_job
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        cols = args.columns.split(",") if args.columns else None
+        dec = decode_job.decode(spark, args.input, columns=cols)
+        dec.write.mode("error").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "columns": dec.columns, "out": args.out}))
+        return 0
+    finally:
+        if own:
+            spark.stop()
+
+
+def cmd_verify(args, spark=None) -> int:
+    from . import decode_job
+    from .verify import verify_bit_identical, verify_by_hash
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        ref = spark.read.parquet(args.reference)
+        dec = decode_job.decode(spark, args.encoded)
+        check = verify_bit_identical if args.exact else verify_by_hash
+        result = check(ref, dec)
+        print(json.dumps({"mode": "exact_join" if args.exact else "hash_digest", **result}))
+        return 0 if result["pass"] else 1
+    finally:
+        if own:
+            spark.stop()
+
+
 def main(argv=None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "lint":
         return cmd_lint(args, spark)
+    if args.command == "decode":
+        return cmd_decode(args, spark)
+    if args.command == "verify":
+        return cmd_verify(args, spark)
     return cmd_rewrite(args, spark)
 
 
