@@ -384,3 +384,61 @@ def test_cli_decode_and_verify_gate(spark, tmp_path, capsys):
     assert cli.main(["verify", bad_ref, enc], spark=spark) == 1
     result = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert result["pass"] is False
+
+
+# ------------------------------------------ chunk compaction
+
+def test_compact_merges_small_chunks_and_preserves_kept_payloads(spark, tmp_path):
+    """compact() must (a) merge undersized chunks into R7-sized ones,
+    (b) copy kept chunks byte-identically without decoding them, (c) keep the
+    whole table bit-identical through the rewrite, and (d) leave a lineage
+    that lints clean."""
+    from tokenlake import decode_job
+    from tokenlake.verify import verify_bit_identical
+
+    # mixed table: one source encoded at a tiny row cap (streaming-like
+    # fragments), another at a generous cap (healthy chunks)
+    small_tbl = generate_sequences(scale=0.01, profiles=["runs"], skew=False)
+    big_tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    src = str(tmp_path / "src")
+    small_df = spark.createDataFrame(small_tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    big_df = spark.createDataFrame(big_tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    encode_job.run(spark, small_df, src, max_rows=32)
+    encode_job.run(spark, big_df, src, max_rows=1 << 16)
+
+    enc = decode_job.dedup_attempts(decode_job.read_encoded(spark, src))
+    n_small = enc.filter(F.col("n_rows") < 100).count()
+    n_kept = enc.filter(F.col("n_rows") >= 100).count()
+    assert n_small >= 4 and n_kept >= 1
+
+    dest = str(tmp_path / "dest")
+    s = encode_job.compact(spark, src, dest, min_rows=100, max_rows=1 << 16)
+    assert s["merged_chunks"] == n_small and s["kept_chunks"] == n_kept
+    assert s["chunks_after"] < s["chunks_before"]
+
+    # kept chunk payloads byte-identical (never decoded)
+    kept_src = {
+        r["chunk_id"]: r["payload_tokens"]
+        for r in enc.filter(F.col("n_rows") >= 100).select("chunk_id", "payload_tokens").collect()
+    }
+    kept_dst = {
+        r["chunk_id"]: r["payload_tokens"]
+        for r in spark.read.parquet(f"{dest}/encoded/attempt=1")
+        .select("chunk_id", "payload_tokens").collect()
+    }
+    assert kept_src == kept_dst
+
+    # the table as a whole is bit-identical through compaction
+    both = small_df.unionByName(big_df)
+    assert verify_bit_identical(both, decode_job.decode(spark, dest))["pass"]
+    # lineage invariants hold on the compacted table
+    from tokenlake import lint_job
+
+    assert not lint_job.has_warnings_or_errors(lint_job.lint_lineage(spark, dest))
+    # compacting the compacted table again is a no-op pass (nothing small,
+    # and re-derived salts cannot collide with attempt-1 ids)
+    dest2 = str(tmp_path / "dest2")
+    s2 = encode_job.compact(spark, dest, dest2, min_rows=100, max_rows=1 << 16)
+    assert s2["merged_chunks"] == 0
+    assert s2["chunks_after"] == s["chunks_after"]
+    assert verify_bit_identical(both, decode_job.decode(spark, dest2))["pass"]

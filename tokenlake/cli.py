@@ -23,6 +23,7 @@ needs its own reader and its north rule demands a bit-identity gate):
 
     python -m tokenlake decode ENCODED_DIR -o OUTDIR [--columns a,b]
     python -m tokenlake verify REFERENCE.parquet ENCODED_DIR [--exact]
+    python -m tokenlake compact ENCODED_DIR -o OUTDIR [--min-rows N]
 
 - `decode` materializes the sequences back to plain parquet; `--columns`
   projects the decode (only the needed payload columns are scanned).
@@ -81,6 +82,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="full-outer-join per-row certificate (default: per-source hash digest)",
     )
     ver.add_argument("--cpus", type=int, default=8)
+
+    cp = sub.add_parser("compact", help="merge undersized chunks of an encoded table")
+    cp.add_argument("input", help="encoded table dir (source; never mutated)")
+    cp.add_argument("-o", "--out", required=True, help="destination encoded table dir")
+    cp.add_argument("--min-rows", type=int, default=None,
+                    help="chunks under this row count are merged (default: half the row cap)")
+    cp.add_argument("--cpus", type=int, default=8)
     return p
 
 
@@ -190,6 +198,21 @@ def cmd_verify(args, spark=None) -> int:
             spark.stop()
 
 
+def cmd_compact(args, spark=None) -> int:
+    from . import encode_job
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        summary = encode_job.compact(
+            spark, args.input, args.out, min_rows=args.min_rows
+        )
+        print(json.dumps(summary))
+        return 0
+    finally:
+        if own:
+            spark.stop()
+
+
 def main(argv=None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "lint":
@@ -198,6 +221,8 @@ def main(argv=None, spark=None) -> int:
         return cmd_decode(args, spark)
     if args.command == "verify":
         return cmd_verify(args, spark)
+    if args.command == "compact":
+        return cmd_compact(args, spark)
     return cmd_rewrite(args, spark)
 
 

@@ -496,3 +496,114 @@ def run(
         "skipped_chunks": skipped,
         "attempt": attempt,
     }
+
+
+def compact(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    cfg: "EncodeConfig | None" = None,
+    min_rows: int | None = None,
+    max_rows: int = MAX_CHUNK_ROWS,
+    max_values: int = MAX_CHUNK_VALUES,
+) -> dict:
+    """Merge undersized chunks of an encoded table into R7-sized ones.
+
+    Streaming ingest salts chunk ids per micro-batch (streaming.py), so a
+    long-lived table accumulates many tiny chunks — the "too many small row
+    groups" half of the reference's page/row-group-size rule
+    (page_size.rs:19-115) applied to the engine's own format. Compaction is
+    the preserve-untouched idea (fix.rs:25-70) at CHUNK granularity:
+
+    - undersized = `n_rows < min_rows AND n_values < max_values/2`, decided
+      from the metrics columns alone (no payload read); both caps are
+      checked because a chunk can be row-small yet token-full, and
+      re-encoding it would buy nothing.
+    - kept chunks are copied verbatim — payload bytes byte-identical, their
+      lineage rows carried over — via a scan→write with no shuffle.
+    - undersized chunks are decoded (shuffle-free mapInArrow) and re-encoded
+      through the normal checkpointed path under a per-pass salt (chunk ids
+      from different passes/batches must never collide), with the table's
+      codec/outer/bloom/statistics preserved via plan_from_encoded unless an
+      explicit cfg overrides them. The salted re-encode keeps doc lookups
+      exact: candidates are re-derived per (prefix, nbuckets) row, the same
+      mechanism streaming-salted chunks already rely on.
+
+    Writes a fresh encoded table at dest_dir; never mutates src_dir (a crash
+    mid-compact leaves the source intact; re-running overwrites dest).
+    Returns {chunks_before, kept_chunks, merged_chunks, chunks_after,
+    bytes_before, bytes_after}.
+    """
+    from .decode_job import decode_dataframe, dedup_attempts, read_encoded
+
+    if min_rows is None:
+        min_rows = max_rows // 2
+    enc = dedup_attempts(read_encoded(spark, src_dir))
+    undersized = (F.col("n_rows") < min_rows) & (F.col("n_values") < max_values // 2)
+    from pyspark.sql.types import StructType
+
+    body_cols = StructType.fromDDL(ENCODED_SCHEMA).fieldNames()
+
+    kept = enc.filter(~undersized).select(*body_cols)
+    kept.write.mode("overwrite").option("maxRecordsPerFile", 8).parquet(
+        f"{dest_dir}/encoded/attempt=1"
+    )
+    # derive kept ids from the source predicate, not a read-back: an all-small
+    # table writes zero kept files and schema inference would reject the dir
+    kept_ids = enc.filter(~undersized).select("chunk_id").distinct()
+    kept_lineage = (
+        spark.read.parquet(f"{src_dir}/lineage")
+        .filter(F.col("status") == "complete")
+        .dropDuplicates(["chunk_id"])
+        .join(F.broadcast(kept_ids), "chunk_id", "left_semi")
+        .withColumn("attempt", F.lit(1))
+    )
+    kept_lineage.write.mode("overwrite").parquet(f"{dest_dir}/lineage")
+
+    if cfg is None:
+        cfg = plan_from_encoded(spark, src_dir)
+        # the inferred max_chunk_rows is the max over EXISTING chunks — on a
+        # mostly-small table that would re-create small chunks; the compaction
+        # target is the caller's max_rows
+        cfg.max_chunk_rows = max_rows
+
+    # per-pass salt, deterministic in the SET of chunks being merged: chunk
+    # ids from this pass can never collide with kept ids from an earlier
+    # compaction of the same sources (a fixed salt would), and a re-run of
+    # the identical pass derives the identical ids (resume-safe)
+    digest = (
+        enc.filter(undersized)
+        .agg(F.sum(F.xxhash64("chunk_id").cast("decimal(38,0)")).alias("d"))
+        .first()["d"]
+    )
+    salt = f"c{int(digest or 0) % 0xFFFFFFFF:08x}"
+
+    small_seq = decode_dataframe(enc.filter(undersized))
+    run(
+        spark,
+        small_seq,
+        dest_dir,
+        cfg=cfg,
+        resume=True,
+        max_rows=max_rows,
+        max_values=max_values,
+        salt=salt,
+    )
+
+    before = enc.agg(
+        F.count("*").alias("chunks"), F.sum("encoded_bytes").alias("bytes")
+    ).first()
+    after = (
+        spark.read.parquet(f"{dest_dir}/lineage")
+        .filter(F.col("status") == "complete")
+        .agg(F.countDistinct("chunk_id").alias("chunks"), F.sum("encoded_bytes").alias("bytes"))
+        .first()
+    )
+    return {
+        "chunks_before": int(before["chunks"]),
+        "kept_chunks": int(before["chunks"]) - int(enc.filter(undersized).count()),
+        "merged_chunks": int(enc.filter(undersized).count()),
+        "chunks_after": int(after["chunks"]),
+        "bytes_before": int(before["bytes"] or 0),
+        "bytes_after": int(after["bytes"] or 0),
+    }
