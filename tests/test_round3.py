@@ -442,3 +442,7 @@ def test_compact_merges_small_chunks_and_preserves_kept_payloads(spark, tmp_path
     assert s2["merged_chunks"] == 0
     assert s2["chunks_after"] == s["chunks_after"]
     assert verify_bit_identical(both, decode_job.decode(spark, dest2))["pass"]
+    # point lookup still prunes exactly on compaction-salted chunk ids
+    want = [r["doc_id"] for r in both.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    hit = decode_job.lookup(spark, dest, want)
+    assert sorted(r["doc_id"] for r in hit.collect()) == sorted(want)
