@@ -166,3 +166,40 @@ def test_stream_rerun_is_idempotent(spark, stream_dirs):
     # no duplicate chunk payload rows
     dups = enc.groupBy("chunk_id").count().filter(F.col("count") > 1).count()
     assert dups == 0
+
+
+def test_stream_then_compact_merges_batch_fragments(spark, stream_dirs, tmp_path):
+    """The full maintenance loop: two micro-batch ingests fragment each
+    source across batch-salted chunks; compact() merges the fragments and
+    the compacted table stays bit-identical and lookup-able."""
+    from tokenlake import encode_job
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    inp, out = stream_dirs
+    _drop_file(inp, "part1.parquet", ["lowcard", "runs"])
+    streaming.encode_stream(spark, inp, out).awaitTermination(120)
+    # second drop: same SOURCES (so fragments can merge) but new doc ids
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard", "runs"], skew=False)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.binary_join_element_wise(pc.cast(tbl.column("doc_id"), pa.string()), "x2", ""),
+    )
+    pq.write_table(tbl, os.path.join(inp, "part2.parquet"))
+    streaming.encode_stream(spark, inp, out).awaitTermination(120)
+
+    enc = decode_job.dedup_attempts(decode_job.read_encoded(spark, out))
+    chunks_before = enc.count()
+    # every chunk is a batch fragment (two drops of small profiles)
+    dest = str(tmp_path / "compacted")
+    s = encode_job.compact(spark, out, dest, min_rows=1 << 15)
+    assert s["merged_chunks"] == chunks_before
+    assert s["chunks_after"] < chunks_before  # same-source fragments merged
+
+    src = spark.read.parquet(inp)
+    assert verify_bit_identical(src, decode_job.decode(spark, dest))["pass"]
+    want = [r["doc_id"] for r in src.select("doc_id").limit(2).collect()]
+    hit = decode_job.lookup(spark, dest, want)
+    assert sorted(r["doc_id"] for r in hit.collect()) == sorted(want)
