@@ -446,3 +446,25 @@ def test_compact_merges_small_chunks_and_preserves_kept_payloads(spark, tmp_path
     want = [r["doc_id"] for r in both.select("doc_id").orderBy("doc_id").limit(2).collect()]
     hit = decode_job.lookup(spark, dest, want)
     assert sorted(r["doc_id"] for r in hit.collect()) == sorted(want)
+
+
+# ------------------------------------------ container integrity
+
+def test_truncated_and_corrupt_containers_fail_loudly():
+    """A storage engine must never decode short silently: the container
+    header's raw_len is enforced, so truncation raises instead of returning
+    fewer values (outer=none + plain would otherwise frombuffer the stub)."""
+    import numpy as np
+
+    from tokenlake.codecs import decode_column, encode_int_column
+
+    arr = np.arange(10_000, dtype=np.int32)
+    for codec, outer in [("plain", "none"), ("for", "none"), ("dict", "zstd"), ("delta", "none")]:
+        buf = encode_int_column(arr, codec, outer=outer)
+        assert np.array_equal(decode_column(buf), arr)
+        with pytest.raises((ValueError, Exception)):
+            decode_column(buf[: len(buf) - 7])  # truncated body
+    bad = bytearray(encode_int_column(arr, "plain", outer="none"))
+    bad[0] ^= 0xFF  # corrupt magic
+    with pytest.raises(ValueError):
+        decode_column(bytes(bad))

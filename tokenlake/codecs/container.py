@@ -110,6 +110,13 @@ def unwrap(buf: bytes | memoryview) -> tuple[int, memoryview]:
     body = mv[_HDR.size :]
     if oid != OUTER_NONE:
         body = memoryview(_outer_decompress(OUTER_NAMES[oid], body, raw_len))
+    # the header's raw_len is a validated integrity invariant: without it a
+    # truncated outer-none payload would decode silently short (dec_plain
+    # frombuffers whatever bytes remain)
+    if len(body) != raw_len:
+        raise ValueError(
+            f"container body is {len(body)} B, header says {raw_len} B (truncated or corrupt)"
+        )
     return codec_id, body
 
 
