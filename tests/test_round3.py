@@ -446,6 +446,14 @@ def test_compact_merges_small_chunks_and_preserves_kept_payloads(spark, tmp_path
     want = [r["doc_id"] for r in both.select("doc_id").orderBy("doc_id").limit(2).collect()]
     hit = decode_job.lookup(spark, dest, want)
     assert sorted(r["doc_id"] for r in hit.collect()) == sorted(want)
+    # re-running compact into the SAME dest (crash recovery) must not
+    # duplicate merged chunks: the prior attempt=2 files are wiped, not
+    # appended beside (same chunk_id AND attempt defeats dedup_attempts)
+    s3 = encode_job.compact(spark, src, dest, min_rows=100, max_rows=1 << 16)
+    assert s3["chunks_after"] == s["chunks_after"]
+    dec = decode_job.decode(spark, dest)
+    assert dec.count() == both.count()
+    assert verify_bit_identical(both, dec)["pass"]
 
 
 # ------------------------------------------ container integrity

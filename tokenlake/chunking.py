@@ -30,6 +30,24 @@ MAX_CHUNK_ROWS = 64 * 1024
 MAX_CHUNK_VALUES = 4 * 1024 * 1024
 
 
+def buckets_from_totals(
+    totals: DataFrame,
+    max_rows: int = MAX_CHUNK_ROWS,
+    max_values: int = MAX_CHUNK_VALUES,
+) -> DataFrame:
+    """(source, rows, values) totals → (source, nbuckets). THE bucket-count
+    formula — every consumer (encode, lint) must route through here so chunk
+    ids agree across jobs."""
+    return totals.select(
+        "source",
+        F.greatest(
+            F.ceil(F.col("rows") / max_rows),
+            F.ceil(F.col("values") / max_values),
+            F.lit(1),
+        ).cast("int").alias("nbuckets"),
+    )
+
+
 def plan_buckets(
     df: DataFrame,
     max_rows: int = MAX_CHUNK_ROWS,
@@ -43,14 +61,7 @@ def plan_buckets(
     totals = df.groupBy("source").agg(
         F.count("*").alias("rows"), F.sum("n_tok").alias("values")
     )
-    return totals.select(
-        "source",
-        F.greatest(
-            F.ceil(F.col("rows") / max_rows),
-            F.ceil(F.col("values") / max_values),
-            F.lit(1),
-        ).cast("int").alias("nbuckets"),
-    )
+    return buckets_from_totals(totals, max_rows, max_values)
 
 
 def assign_chunks(df: DataFrame, buckets: DataFrame, salt: str | None = None) -> DataFrame:

@@ -76,6 +76,12 @@ def wrap(codec_id: int, body: bytes, outer: str = "auto") -> bytes:
     outer: "auto" (R2/R3 policy), "none", or "<codec>[:level]" with codec in
     zlib/zstd/lz4/snappy/gzip/brotli.
     """
+    if len(body) >= 1 << 32:
+        # raw_len is a u32; a silent modular wrap here would make the decode
+        # integrity check reject (or worse, mis-slice) a valid payload. The
+        # default chunk caps keep bodies ~16 MB; only an extreme
+        # max_chunk_values override can reach this.
+        raise ValueError(f"codec body {len(body)} B exceeds the 4 GiB container limit")
     oid, level, payload = OUTER_NONE, 0, body
     if outer == "auto":
         # R2: speed codec for big bodies, size codec otherwise

@@ -544,6 +544,15 @@ def compact(
 
     body_cols = StructType.fromDDL(ENCODED_SCHEMA).fieldNames()
 
+    # dest is fully replaced up front: a prior (possibly crashed) compact's
+    # attempt=2 files would survive the attempt=1 overwrite below, and the
+    # re-encode would then APPEND a second copy of every merged chunk at the
+    # same (chunk_id, attempt) — a duplicate dedup_attempts cannot remove
+    dest_path = spark._jvm.org.apache.hadoop.fs.Path(dest_dir)
+    fs = dest_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dest_path):
+        fs.delete(dest_path, True)
+
     kept = enc.filter(~undersized).select(*body_cols)
     kept.write.mode("overwrite").option("maxRecordsPerFile", 8).parquet(
         f"{dest_dir}/encoded/attempt=1"
@@ -578,20 +587,32 @@ def compact(
     )
     salt = f"c{int(digest or 0) % 0xFFFFFFFF:08x}"
 
-    small_seq = decode_dataframe(enc.filter(undersized))
-    run(
-        spark,
-        small_seq,
-        dest_dir,
-        cfg=cfg,
-        resume=True,
-        max_rows=max_rows,
-        max_values=max_values,
-        salt=salt,
+    # persist the decoded fragments: run() aggregates them once for bucket
+    # planning and again through the encode shuffle — without the cache the
+    # decode UDF would pay for every undersized payload twice
+    from pyspark import StorageLevel
+
+    small_seq = decode_dataframe(enc.filter(undersized)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        run(
+            spark,
+            small_seq,
+            dest_dir,
+            cfg=cfg,
+            resume=True,
+            max_rows=max_rows,
+            max_values=max_values,
+            salt=salt,
+        )
+    finally:
+        small_seq.unpersist()
 
     before = enc.agg(
-        F.count("*").alias("chunks"), F.sum("encoded_bytes").alias("bytes")
+        F.count("*").alias("chunks"),
+        F.sum("encoded_bytes").alias("bytes"),
+        F.sum(F.when(undersized, 1).otherwise(0)).alias("small"),
     ).first()
     after = (
         spark.read.parquet(f"{dest_dir}/lineage")
@@ -599,10 +620,11 @@ def compact(
         .agg(F.countDistinct("chunk_id").alias("chunks"), F.sum("encoded_bytes").alias("bytes"))
         .first()
     )
+    n_small = int(before["small"] or 0)
     return {
         "chunks_before": int(before["chunks"]),
-        "kept_chunks": int(before["chunks"]) - int(enc.filter(undersized).count()),
-        "merged_chunks": int(enc.filter(undersized).count()),
+        "kept_chunks": int(before["chunks"]) - n_small,
+        "merged_chunks": n_small,
         "chunks_after": int(after["chunks"]),
         "bytes_before": int(before["bytes"] or 0),
         "bytes_after": int(after["bytes"] or 0),

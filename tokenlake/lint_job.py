@@ -26,7 +26,13 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from .chunking import MAX_CHUNK_ROWS, MAX_CHUNK_VALUES, assign_chunks, plan_buckets
+from .chunking import (
+    MAX_CHUNK_ROWS,
+    MAX_CHUNK_VALUES,
+    assign_chunks,
+    buckets_from_totals,
+    plan_buckets,
+)
 from .plan import EncodeConfig, Prescription, plan_from_decisions
 from .select import estimate_dictionary_payload_bytes, select_codec
 from .stats import compute_chunk_stats, extrapolate_stats
@@ -178,9 +184,14 @@ def lint(
         d = chunked.groupBy("chunk_id").applyInArrow(fn, LINT_SCHEMA)
         if fracs:
             mapping = F.create_map(*[F.lit(x) for kv in fracs.items() for x in kv])
-            frac_col = F.coalesce(
-                mapping[F.substring_index("chunk_id", "#", 1)], F.lit(float(default_frac))
+            # source = chunk_id minus its trailing '#<bucket>' (NOT
+            # substring_index to the first '#': source names may contain '#';
+            # same derivation as decode_job.lookup)
+            src_col = F.expr(
+                "substring(chunk_id, 1, length(chunk_id)"
+                " - length(element_at(split(chunk_id, '#'), -1)) - 1)"
             )
+            frac_col = F.coalesce(mapping[src_col], F.lit(float(default_frac)))
         else:
             frac_col = F.lit(float(default_frac))
         return d.withColumn("sample_fraction", frac_col)
@@ -191,16 +202,17 @@ def lint(
     else:
         # one O(#sources) aggregate drives both the bucket plan and the
         # per-source screening fractions
-        totals = df.groupBy("source").agg(
+        totals_df = df.groupBy("source").agg(
             F.count("*").alias("rows"), F.sum("n_tok").alias("values")
-        ).collect()
-        nb = {
-            r["source"]: max(1, math.ceil(max(r["rows"] / mr, float(r["values"] or 0) / mv)))
-            for r in totals
-        }  # same formula as chunking.plan_buckets
-        buckets = spark.createDataFrame(
-            list(nb.items()), "source string, nbuckets int"
-        )
+        ).localCheckpoint()
+        # bucket counts come from THE shared formula (buckets_from_totals —
+        # the same expression plan_buckets applies in the encode path), fed
+        # from this pass's one O(#sources) aggregate: re-deriving the formula
+        # in driver python would drift the moment either copy changed, and
+        # lint chunk ids must match encode chunk ids
+        buckets = buckets_from_totals(totals_df, mr, mv)
+        nb = {r["source"]: r["nbuckets"] for r in buckets.collect()}
+        totals = totals_df.collect()
         cheap_fracs = {}
         for r in totals:
             vpc = float(r["values"] or 0) / nb[r["source"]]
@@ -236,8 +248,12 @@ def lint(
             ).select("chunk_id")
             deep = pass_at(
                 df.sample(fraction=fraction, seed=seed + 1), buckets, {}, fraction, only=sel
-            )
-            decisions = cheap.join(F.broadcast(sel), "chunk_id", "left_anti").unionByName(deep)
+            ).localCheckpoint()
+            # replace screening rows only for chunks the deep pass actually
+            # covered: a tiny chunk can draw ZERO rows in the deep sample,
+            # and anti-joining on `sel` would silently drop its decisions
+            covered = deep.select("chunk_id").distinct()
+            decisions = cheap.join(F.broadcast(covered), "chunk_id", "left_anti").unionByName(deep)
     rank = F.when(F.col("severity") == "error", 2).when(F.col("severity") == "warning", 1).otherwise(0)
     return decisions.orderBy(rank.desc(), "chunk_id", "column")
 
@@ -326,10 +342,16 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
         if r["codec"] in ("dict", "str_dict")
     }
     if dict_cols:
+        # payload estimates are full-chunk magnitudes (lint_chunk extrapolates
+        # stats), so the shrink's current-rows input must be full-chunk too —
+        # raw sample_rows would shrink ~fraction× more than needed
+        rows_expr = F.col("sample_rows").cast("double")
+        if "sample_fraction" in decisions.columns:
+            rows_expr = rows_expr / F.col("sample_fraction")
         pay = (
             decisions.filter(F.col("column").isin(list(dict_cols)))
             .groupBy("column")
-            .agg(F.max("dict_payload_bytes").alias("payload"), F.max("sample_rows").alias("rows"))
+            .agg(F.max("dict_payload_bytes").alias("payload"), F.max(rows_expr).alias("rows"))
             .collect()
         )
         for r in sorted(pay, key=lambda r: r["column"]):
