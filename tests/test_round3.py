@@ -476,3 +476,26 @@ def test_truncated_and_corrupt_containers_fail_loudly():
     bad[0] ^= 0xFF  # corrupt magic
     with pytest.raises(ValueError):
         decode_column(bytes(bad))
+
+
+def test_shingles_empty_for_short_documents(spark):
+    """Documents with < k words must yield an EMPTY shingle list (matching
+    DuckDB generate_series semantics) — Spark's sequence(1, 0) counts DOWN
+    and previously crashed the whole dedup query on any ≤2-word doc."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": "1", "text": "two words"},
+                {"doc_id": "2", "text": "one"},
+                {"doc_id": "3", "text": ""},
+                {"doc_id": "4", "text": "four words right here"},
+            ]
+        )
+    )
+    rows = {r["doc_id"]: r["s"] for r in docs.select("doc_id", textops.shingles().alias("s")).collect()}
+    assert rows["1"] == [] and rows["2"] == [] and rows["3"] == []
+    assert rows["4"] == ["four words right", "words right here"]
+    # and the minhash pipeline runs end-to-end over short docs
+    assert textops.minhash_signatures(docs).count() == 1  # only doc 4 has shingles

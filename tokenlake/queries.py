@@ -43,6 +43,21 @@ def _lineitem(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
 
+def _materialize_and_clean(spark, df: DataFrame, workdir: str) -> DataFrame:
+    """Collect a SMALL result, drop the query's scratch dir, and return the
+    rows as a local DataFrame. The harness tl_* queries build temp tables /
+    checkpoints under mkdtemp; returning a lazy frame over those files means
+    the driver's later collect() would read a dir the query can no longer
+    clean — so every such query pins its (≤ dozens of rows) result first and
+    leaves /tmp empty."""
+    import shutil
+
+    rows = df.collect()
+    out = spark.createDataFrame(rows, schema=df.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------------------------------------
 # §2.2 statistics aggregation operators
 # --------------------------------------------------------------------------
@@ -985,7 +1000,7 @@ def tl_windowed_stats(spark, sf_dir):
         shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{wd}/in/drop{i}.parquet")
         q = streaming.windowed_stats(spark, f"{wd}/in", f"{wd}/out", window="1 day", watermark="1 hour")
         q.awaitTermination(300)
-    return (
+    result = (
         spark.read.parquet(f"{wd}/out/windows")
         .groupBy("event_type")
         .agg(
@@ -994,13 +1009,18 @@ def tl_windowed_stats(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+    return _materialize_and_clean(spark, result, wd)
 
 
 def tl_dedup_stream(spark, sf_dir):
-    """Stateful-streaming exact dedup (streaming.dedup_stream,
-    applyInPandasWithState): two file drops with overlapping content, each
-    its own micro-batch; cross-batch state keeps first occurrences only.
-    Rows-only (streaming state has no SQL oracle)."""
+    """Stateful-streaming exact dedup (streaming.dedup_stream — built-in
+    streaming dropDuplicates on the content hash; JVM state store, no Python
+    stage): two file drops with overlapping content, each its own
+    micro-batch; cross-batch state keeps first occurrences only. The
+    aggregation is survivor-invariant (global counts): with first-wins dedup
+    across sources, WHICH copy of cross-source duplicate content survives is
+    arrival-order-dependent, so per-source counts would flake the driver's
+    value hash. Rows-only (streaming state has no SQL oracle)."""
     import glob
     import os
     import shutil
@@ -1021,10 +1041,11 @@ def tl_dedup_stream(spark, sf_dir):
     q = streaming.dedup_stream(spark, f"{wd}/in", f"{wd}/out", max_files_per_trigger=1)
     q.awaitTermination(300)
     out = spark.read.parquet(f"{wd}/out/deduped")
-    return out.groupBy("source").agg(
+    result = out.agg(
         F.count("*").alias("unique_rows"),
-        F.countDistinct("doc_id").alias("distinct_docs"),
+        F.countDistinct(F.md5(F.col("tokens").cast("string"))).alias("distinct_contents"),
     )
+    return _materialize_and_clean(spark, result, wd)
 
 
 def tl_multimodal_features(spark, sf_dir):
@@ -1081,16 +1102,20 @@ def tl_encoded_table_ops(spark, sf_dir):
     cfg = Prescription.parse("set column tokens bloom_filter true").apply()
     encode_job.run(spark, seq, f"{wd}/out", cfg=cfg, max_rows=128, max_values=100_000)
     lint = lint_job.lint_lineage(spark, f"{wd}/out")
-    assert not lint_job.has_warnings_or_errors(lint), "clean encode must lint clean"
+    # surfaced, not asserted: a bare assert vanishes under `python -O` and a
+    # raise gives the driver nothing to score — the error count IS a result
+    # column (0 on a clean encode; any regression flips the value hash)
+    n_err = lint.filter(F.col("severity") == "error").count()
     want = [r["doc_id"] for r in seq.select("doc_id").orderBy("doc_id").limit(3).collect()]
     hit = decode_job.lookup(spark, f"{wd}/out", want)
-    return hit.select(
+    result = hit.select(
         "doc_id",
         "source",
         F.col("n_tok").cast("long").alias("n_tok"),
         F.xxhash64("tokens").alias("token_hash"),
-        F.lit(0).cast("long").alias("lineage_errors"),
+        F.lit(int(n_err)).cast("long").alias("lineage_errors"),
     ).orderBy("doc_id")
+    return _materialize_and_clean(spark, result, wd)
 
 
 def tl_streaming_ingest(spark, sf_dir):
@@ -1111,17 +1136,27 @@ def tl_streaming_ingest(spark, sf_dir):
     q = streaming.encode_stream(spark, f"{wd}/incoming", f"{wd}/out")
     q.awaitTermination(300)
     dec = decode_job.decode(spark, f"{wd}/out").select(
-        "doc_id", F.col("tokens").alias("d_tokens")
+        "doc_id",
+        F.col("tokens").alias("d_tokens"),
+        F.col("n_tok").alias("d_n_tok"),
+        F.col("source").alias("d_source"),
     )
     j = spark.read.parquet(f"{wd}/incoming").join(dec, "doc_id", "left")
-    return j.groupBy("source").agg(
+    # full-row equality, same predicate family as verify_bit_identical — a
+    # decode bug that corrupts only n_tok or source must not pass here
+    result = j.groupBy("source").agg(
         F.count("*").alias("rows"),
         F.sum(
             F.when(
-                F.col("d_tokens").isNotNull() & (F.col("tokens") == F.col("d_tokens")), 1
+                F.col("d_tokens").isNotNull()
+                & (F.col("tokens") == F.col("d_tokens"))
+                & (F.col("n_tok") == F.col("d_n_tok"))
+                & (F.col("source") == F.col("d_source")),
+                1,
             ).otherwise(0)
         ).alias("bit_identical_rows"),
     )
+    return _materialize_and_clean(spark, result, wd)
 
 
 # --------------------------------------------------------------------------

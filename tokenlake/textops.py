@@ -104,9 +104,17 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(col: str = "text", k: int = 3) -> Column:
-    """Word k-gram shingles (1-based transform — matches DuckDB list semantics)."""
+    """Word k-gram shingles (1-based transform — matches DuckDB list semantics).
+
+    Documents with fewer than k words yield an EMPTY shingle list: Spark's
+    sequence(1, 0) counts DOWN to [1, 0] (unlike DuckDB's generate_series,
+    which is empty), so the short-doc case must be branched explicitly or the
+    transform indexes past the words array and the whole query crashes."""
     w = words(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    n = F.size(w) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(

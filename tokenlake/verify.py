@@ -54,25 +54,28 @@ def verify_bit_identical(source: DataFrame, decoded: DataFrame) -> dict:
         F.col("tokens").alias("s_tokens"),
         F.col("n_tok").alias("s_n_tok"),
         F.col("source").alias("s_source"),
+        F.lit(1).alias("s_present"),  # existence marker: a NULL tokens value
+        # must not read as "row absent" after the full-outer join
     )
     d = decoded.select(
         F.col("doc_id"),
         F.col("tokens").alias("d_tokens"),
         F.col("n_tok").alias("d_n_tok"),
         F.col("source").alias("d_source"),
+        F.lit(1).alias("d_present"),
     )
     j = s.join(d, "doc_id", "full_outer")
     agg = j.agg(
         F.count("*").alias("rows"),
-        F.sum(F.when(F.col("s_tokens").isNull(), 1).otherwise(0)).alias("extra"),
-        F.sum(F.when(F.col("d_tokens").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("s_present").isNull(), 1).otherwise(0)).alias("extra"),
+        F.sum(F.when(F.col("d_present").isNull(), 1).otherwise(0)).alias("missing"),
         F.sum(
             F.when(
-                F.col("s_tokens").isNotNull()
-                & F.col("d_tokens").isNotNull()
-                & (F.col("s_tokens") == F.col("d_tokens"))
-                & (F.col("s_n_tok") == F.col("d_n_tok"))
-                & (F.col("s_source") == F.col("d_source")),
+                F.col("s_present").isNotNull()
+                & F.col("d_present").isNotNull()
+                & F.col("s_tokens").eqNullSafe(F.col("d_tokens"))
+                & F.col("s_n_tok").eqNullSafe(F.col("d_n_tok"))
+                & F.col("s_source").eqNullSafe(F.col("d_source")),
                 1,
             ).otherwise(0)
         ).alias("matched"),
