@@ -941,15 +941,19 @@ def tl_roundtrip_check(spark, sf_dir):
         "doc_id",
         F.col("tokens").alias("d_tokens"),
         F.col("n_tok").alias("d_n_tok"),
+        F.col("source").alias("d_source"),
     )
     j = seq.join(dec, "doc_id", "left")
+    # full-row predicate (tokens, n_tok, source) — keep in lockstep with
+    # verify_bit_identical and tl_streaming_ingest
     return j.groupBy("source").agg(
         F.count("*").alias("rows"),
         F.sum(
             F.when(
                 F.col("d_tokens").isNotNull()
                 & (F.col("tokens") == F.col("d_tokens"))
-                & (F.col("n_tok") == F.col("d_n_tok")),
+                & (F.col("n_tok") == F.col("d_n_tok"))
+                & (F.col("source") == F.col("d_source")),
                 1,
             ).otherwise(0)
         ).alias("bit_identical_rows"),
