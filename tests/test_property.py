@@ -63,3 +63,26 @@ def test_pack_unpack_any_width(width, n, seed):
     if width == 64 and n:
         vals = vals * 2 + 1  # exercise the top bit
     assert np.array_equal(unpack_uints(pack_uints(vals, width), n, width), vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arr=token_arrays(),
+    codec=st.sampled_from(CODECS),
+    cut=st.integers(min_value=1, max_value=64),
+    outer=st.sampled_from(["none", "zstd"]),
+)
+def test_truncation_never_decodes_wrong(arr, codec, cut, outer):
+    """Integrity property: decoding a truncated container either raises or
+    (if the cut only removed redundancy) returns the EXACT original — it must
+    never silently return fewer/other values. Backed by the raw_len check in
+    container.unwrap."""
+    buf = encode_int_column(arr, codec, outer=outer)
+    cut = min(cut, len(buf) - 1)
+    if cut <= 0:
+        return
+    try:
+        out = decode_column(buf[: len(buf) - cut])
+    except Exception:
+        return
+    np.testing.assert_array_equal(out, arr)
