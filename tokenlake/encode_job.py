@@ -407,11 +407,18 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
     for r in rows:
         cfg.overrides[r["column"]] = r["codec"]
         cfg.outer[r["column"]] = r["outer"]
-        if r["has_bloom"]:
+        # blanked stats are checked FIRST: a table written with `statistics
+        # none` + `bloom_filter true` has a bloom but zeroed min/max/ndv, and
+        # promoting bloom presence to stats_level='page' would silently
+        # re-enable statistics the original config disabled (the explicit
+        # cfg.bloom entry below keeps the filter itself on either way)
+        if r["has_int_stats"] is False or r["has_doc_stats"] is False:
+            cfg.stats_level[r["column"]] = "none"  # blanked ⇒ was `statistics none`
+            if r["has_bloom"]:
+                cfg.bloom[r["column"]] = {"fpp": 0.01, "ndv": None}
+        elif r["has_bloom"]:
             cfg.bloom[r["column"]] = {"fpp": 0.01, "ndv": None}
             cfg.stats_level[r["column"]] = "page"
-        elif r["has_int_stats"] is False or r["has_doc_stats"] is False:
-            cfg.stats_level[r["column"]] = "none"  # blanked ⇒ was `statistics none`
         # max over chunk rows = the reference's largest-row-group inference
         cfg.max_chunk_rows = max(cfg.max_chunk_rows or 1, int(r["max_rows"] or 1))
     return cfg
@@ -534,7 +541,22 @@ def compact(
     Returns {chunks_before, kept_chunks, merged_chunks, chunks_after,
     bytes_before, bytes_after}.
     """
+    import os
+
     from .decode_job import decode_dataframe, dedup_attempts, read_encoded
+
+    # dest must be disjoint from src: compaction wipes dest up front, so an
+    # in-place invocation (`compact out/ -o out/`) — or a dest nested inside
+    # src (or vice versa) — would delete the source table before anything is
+    # copied, permanently losing it despite the "never mutates src_dir"
+    # contract. Refuse before touching the filesystem.
+    s = os.path.abspath(src_dir).rstrip("/")
+    d = os.path.abspath(dest_dir).rstrip("/")
+    if s == d or d.startswith(s + "/") or s.startswith(d + "/"):
+        raise ValueError(
+            f"compact dest_dir {dest_dir!r} overlaps src_dir {src_dir!r}; "
+            "compaction replaces dest and must never touch src"
+        )
 
     if min_rows is None:
         min_rows = max_rows // 2

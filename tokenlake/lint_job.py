@@ -159,7 +159,7 @@ def lint(
     """
     import math
 
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
     from .select import DICT_ENABLE_RATIO, DICT_REJECT_RATIO
 
@@ -228,26 +228,39 @@ def lint(
         ambiguous = (F.col("cardinality_ratio") > DICT_ENABLE_RATIO) & (
             F.col("cardinality_ratio") < DICT_REJECT_RATIO
         )
+        # sources whose screening pass already sampled at ≥ the deep fraction
+        # gain nothing from a re-sample — for small-chunk sources the floor
+        # pushes the screening fraction past `fraction`, and a deep pass at
+        # the lower rate would override a better-sampled decision with a
+        # noisier one
+        deep_srcs = sorted(s for s, f in cheap_fracs.items() if f < fraction)
+        src_col = F.expr(
+            "substring(chunk_id, 1, length(chunk_id)"
+            " - length(element_at(split(chunk_id, '#'), -1)) - 1)"
+        )
         amb = (
             cheap.filter(ambiguous)
+            .filter(src_col.isin(deep_srcs) if deep_srcs else F.lit(False))
             .select("chunk_id")
             .distinct()
-            .withColumn("pos", F.row_number().over(Window.orderBy("chunk_id")) - 1)
         )
         n_amb = amb.count()
         if n_amb == 0:
             decisions = cheap
         else:
             k = max(1, math.ceil(n_amb * AMBIGUOUS_SAMPLE_RATIO))
-            # strided positions {i*n_amb//k} — integer-exact ceil comparison
-            sel = amb.filter(
-                F.expr(
-                    f"((pos + 1) * {k} + {n_amb} - 1) DIV {n_amb}"
-                    f" > (pos * {k} + {n_amb} - 1) DIV {n_amb}"
-                )
-            ).select("chunk_id")
+            # deterministic ~k-of-n spread via a hash threshold — a pure
+            # per-row predicate, no global row_number window (which would
+            # funnel every ambiguous chunk id through ONE task at
+            # millions-of-chunks scale). The hash-min chunk is unioned in so
+            # the deep pass can never select zero chunks.
+            hash_pred = F.pmod(F.xxhash64("chunk_id"), F.lit(n_amb)) < F.lit(k)
+            first = amb.orderBy(F.xxhash64("chunk_id")).limit(1)
+            sel = amb.filter(hash_pred).unionByName(first).distinct()
+            deep_fracs = {s: min(1.0, fraction) for s in deep_srcs}
             deep = pass_at(
-                df.sample(fraction=fraction, seed=seed + 1), buckets, {}, fraction, only=sel
+                df.sampleBy("source", deep_fracs, seed + 1),
+                buckets, deep_fracs, fraction, only=sel,
             ).localCheckpoint()
             # replace screening rows only for chunks the deep pass actually
             # covered: a tiny chunk can draw ZERO rows in the deep sample,
