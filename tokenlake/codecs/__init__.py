@@ -8,8 +8,14 @@ zlib outer layer (general-purpose codec analog of reference rule R2/R3).
 from .container import (
     CODEC_IDS,
     CODEC_NAMES,
+    DTYPE_SPARK,
+    SPARK_DTYPE,
     codec_of,
     decode_column,
+    decode_column_arrow,
+    dtype_of,
+    dtype_of_arrow,
+    encode_any_column,
     encode_int_column,
     encode_str_column,
 )
@@ -19,8 +25,14 @@ from .strcodecs import STR_CODEC_IDS, STR_CODEC_NAMES
 __all__ = [
     "CODEC_IDS",
     "CODEC_NAMES",
+    "DTYPE_SPARK",
+    "SPARK_DTYPE",
     "codec_of",
     "decode_column",
+    "decode_column_arrow",
+    "dtype_of",
+    "dtype_of_arrow",
+    "encode_any_column",
     "encode_int_column",
     "encode_str_column",
     "INT_CODEC_IDS",

@@ -11,8 +11,20 @@ grammar (prescription.rs:583-622): uncompressed / snappy / lz4 / zstd(1..22) /
 gzip(0..9) / brotli(0..11), plus stdlib zlib — all but zlib via pyarrow's
 bundled codecs.
 
-Layout: b"TL" | version u8 | codec_id u8 | outer_id u8 | level u8 |
-        raw_len u32 (pre-outer body bytes) | payload
+Layout v3: b"TL" | version u8 | codec_id u8 | outer_id u8 | level u8 |
+           dtype u8 | flags u8 | raw_len u32 (pre-outer body bytes) | payload
+Layout v2 (still decoded): same without the dtype/flags bytes — dtype is
+implied by the codec family (int32 for int codecs, string for str codecs)
+and flags = 0. Compaction copies payloads byte-identically, so mixed-version
+tables decode fine.
+
+The dtype byte makes every payload self-describing across the full scalar
+type registry (the reference analyzes 8 physical parquet types,
+column_context.rs:213-292); flags bit 0 marks a validity-bitmap section —
+when set, the body is `u32 n_total | packbits(valid, little) | inner_body`
+and the inner body encodes only the valid values (the reference carries
+null_count through every stats path, column_context.rs:37-41,144-158, and
+its rewrite preserves null data losslessly).
 """
 
 from __future__ import annotations
@@ -26,7 +38,26 @@ import pyarrow as pa
 from . import intcodecs, strcodecs
 
 MAGIC = b"TL"
-VERSION = 2
+VERSION = 3
+_V2 = 2
+
+# logical dtype registry: container code → (name, spark ddl, arrow type)
+DT_INT32, DT_INT64, DT_INT16, DT_INT8, DT_FLOAT32, DT_FLOAT64 = range(6)
+DT_BOOL, DT_STRING, DT_BINARY, DT_TIMESTAMP_US, DT_DATE32 = range(6, 11)
+
+DTYPE_SPARK = {
+    DT_INT32: "int", DT_INT64: "bigint", DT_INT16: "smallint", DT_INT8: "tinyint",
+    DT_FLOAT32: "float", DT_FLOAT64: "double", DT_BOOL: "boolean",
+    DT_STRING: "string", DT_BINARY: "binary",
+    DT_TIMESTAMP_US: "timestamp_ntz", DT_DATE32: "date",
+}
+SPARK_DTYPE = {v: k for k, v in DTYPE_SPARK.items()}
+
+# dtypes whose value stream runs through the 64-bit ("wide") int codec path
+_WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US})
+_STR_DTYPES = frozenset({DT_STRING, DT_BINARY})
+
+FLAG_NULLS = 1  # body carries a validity-bitmap section
 
 CODEC_NAMES = {**intcodecs.INT_CODEC_NAMES, **strcodecs.STR_CODEC_NAMES}
 CODEC_IDS = {**intcodecs.INT_CODEC_IDS, **strcodecs.STR_CODEC_IDS}
@@ -53,7 +84,8 @@ SPEED_THRESHOLD_BYTES = 4 << 20
 ZSTD_LEVEL = 3
 _TRIAL_BYTES = 1 << 16  # outer-layer trial sample size
 
-_HDR = struct.Struct("<2sBBBBI")
+_HDR = struct.Struct("<2sBBBBBBI")   # v3
+_HDR_V2 = struct.Struct("<2sBBBBI")  # legacy read path
 
 
 def _outer_compress(name: str, level: int, data: bytes) -> bytes:
@@ -70,11 +102,22 @@ def _outer_decompress(name: str, payload, raw_len: int) -> bytes:
     return bytes(pa.Codec(name).decompress(bytes(payload), raw_len))
 
 
-def wrap(codec_id: int, body: bytes, outer: str = "auto") -> bytes:
+def wrap(
+    codec_id: int,
+    body: bytes,
+    outer: str = "auto",
+    dtype: int = DT_INT32,
+    flags: int = 0,
+) -> bytes:
     """Frame a codec body, optionally outer-compressing it.
 
     outer: "auto" (R2/R3 policy), "none", or "<codec>[:level]" with codec in
     zlib/zstd/lz4/snappy/gzip/brotli.
+
+    `bss` bodies force an outer trial even when the R3 tail sample says no:
+    byte-stream-split only pays THROUGH the outer codec (the body itself is
+    plain-size), and its clustered exponent/sign planes sit at the front of
+    the body where the tail sample never looks.
     """
     if len(body) >= 1 << 32:
         # raw_len is a u32; a silent modular wrap here would make the decode
@@ -91,7 +134,7 @@ def wrap(codec_id: int, body: bytes, outer: str = "auto") -> bytes:
         # dominates the bytes; reference samples ≤16,384 rows,
         # column_context.rs:543): never pay full-body compression to learn "no"
         sample = body if len(body) <= _TRIAL_BYTES else body[-_TRIAL_BYTES:]
-        if len(_outer_compress(name, level, sample)) < OUTER_KEEP_RATIO * len(sample):
+        if codec_id == intcodecs.BSS or len(_outer_compress(name, level, sample)) < OUTER_KEEP_RATIO * len(sample):
             z = _outer_compress(name, level, body)
             if len(z) < OUTER_KEEP_RATIO * len(body):
                 oid, payload = OUTER_IDS[name], z
@@ -105,15 +148,25 @@ def wrap(codec_id: int, body: bytes, outer: str = "auto") -> bytes:
             raise ValueError(f"unknown outer layer: {outer}")
         level = int(lv) if lv else (ZSTD_LEVEL if name == "zstd" else 6 if name in _LEVELED else 0)
         oid, payload = OUTER_IDS[name], _outer_compress(name, level, body)
-    return _HDR.pack(MAGIC, VERSION, codec_id, oid, level, len(body)) + payload
+    return _HDR.pack(MAGIC, VERSION, codec_id, oid, level, dtype, flags, len(body)) + payload
 
 
-def unwrap(buf: bytes | memoryview) -> tuple[int, memoryview]:
+def unwrap(buf: bytes | memoryview) -> tuple[int, memoryview, int, int]:
+    """→ (codec_id, body, dtype, flags). Accepts v2 and v3 frames."""
     mv = memoryview(buf)
-    magic, ver, codec_id, oid, _level, raw_len = _HDR.unpack_from(mv, 0)
-    if magic != MAGIC or ver != VERSION:
+    if len(mv) < 3 or bytes(mv[:2]) != MAGIC:
         raise ValueError("bad container header")
-    body = mv[_HDR.size :]
+    ver = mv[2]
+    if ver == VERSION:
+        _, _, codec_id, oid, _level, dtype, flags, raw_len = _HDR.unpack_from(mv, 0)
+        body = mv[_HDR.size :]
+    elif ver == _V2:
+        _, _, codec_id, oid, _level, raw_len = _HDR_V2.unpack_from(mv, 0)
+        dtype = DT_STRING if codec_id in strcodecs.STR_CODEC_NAMES else DT_INT32
+        flags = 0
+        body = mv[_HDR_V2.size :]
+    else:
+        raise ValueError("bad container header")
     if oid != OUTER_NONE:
         body = memoryview(_outer_decompress(OUTER_NAMES[oid], body, raw_len))
     # the header's raw_len is a validated integrity invariant: without it a
@@ -123,28 +176,191 @@ def unwrap(buf: bytes | memoryview) -> tuple[int, memoryview]:
         raise ValueError(
             f"container body is {len(body)} B, header says {raw_len} B (truncated or corrupt)"
         )
-    return codec_id, body
+    return codec_id, body, dtype, flags
 
 
 def encode_int_column(arr: np.ndarray, codec: str, outer: str = "auto") -> bytes:
+    """Canonical int32 fast path (tokens / n_tok): no nulls, no dtype ceremony."""
     cid = intcodecs.INT_CODEC_IDS[codec]
-    return wrap(cid, intcodecs.encode_int_body(cid, arr), outer)
+    return wrap(cid, intcodecs.encode_int_body(cid, arr), outer, DT_INT32)
 
 
 def encode_str_column(values, codec: str, outer: str = "auto") -> bytes:
+    """Canonical non-null string path (doc_id / source)."""
     cid = strcodecs.STR_CODEC_IDS[codec]
-    return wrap(cid, strcodecs.encode_str_body(cid, values), outer)
+    return wrap(cid, strcodecs.encode_str_body(cid, values), outer, DT_STRING)
+
+
+# ---------------------------------------------------------------- generic column layer
+# Arrow type → (dtype code, bit-pattern numpy view dtype). Every fixed-width
+# type funnels into the int codec family on its bit pattern (floats included:
+# the view is bit-exact, NaN payloads preserved); strings/binary use the str
+# codec family.
+
+
+def dtype_of_arrow(t: pa.DataType) -> int:
+    if pa.types.is_int32(t):
+        return DT_INT32
+    if pa.types.is_int64(t):
+        return DT_INT64
+    if pa.types.is_int16(t):
+        return DT_INT16
+    if pa.types.is_int8(t):
+        return DT_INT8
+    if pa.types.is_float32(t):
+        return DT_FLOAT32
+    if pa.types.is_float64(t):
+        return DT_FLOAT64
+    if pa.types.is_boolean(t):
+        return DT_BOOL
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return DT_STRING
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return DT_BINARY
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            raise ValueError(f"timestamp unit {t.unit!r} not supported (cast to us)")
+        return DT_TIMESTAMP_US
+    if pa.types.is_date32(t):
+        return DT_DATE32
+    raise ValueError(f"unsupported column type for encoding: {t}")
+
+
+def is_wide(dtype: int) -> bool:
+    return dtype in _WIDE_DTYPES
+
+
+def is_string_kind(dtype: int) -> bool:
+    return dtype in _STR_DTYPES
+
+
+def int_view_of(arr: pa.Array, dtype: int) -> np.ndarray:
+    """Bit-pattern numpy view of a null-free fixed-width arrow array:
+    int32/int64 carrier for the int codec family."""
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    if dtype == DT_FLOAT32:
+        return np.ascontiguousarray(np_arr, dtype=np.float32).view(np.int32)
+    if dtype == DT_FLOAT64:
+        return np.ascontiguousarray(np_arr, dtype=np.float64).view(np.int64)
+    if dtype == DT_BOOL:
+        return np_arr.astype(np.int32)
+    if dtype in (DT_INT64, DT_TIMESTAMP_US):
+        if dtype == DT_TIMESTAMP_US:
+            np_arr = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(np_arr, dtype=np.int64)
+    if dtype == DT_DATE32:
+        return arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(np_arr, dtype=np.int32)
+
+
+def _arrow_type_of(dtype: int) -> pa.DataType:
+    return {
+        DT_INT32: pa.int32(), DT_INT64: pa.int64(), DT_INT16: pa.int16(),
+        DT_INT8: pa.int8(), DT_FLOAT32: pa.float32(), DT_FLOAT64: pa.float64(),
+        DT_BOOL: pa.bool_(), DT_STRING: pa.large_string(), DT_BINARY: pa.large_binary(),
+        DT_TIMESTAMP_US: pa.timestamp("us"), DT_DATE32: pa.date32(),
+    }[dtype]
+
+
+def _ints_to_arrow(vals: np.ndarray, dtype: int) -> pa.Array:
+    """Decoded carrier ints → arrow array of the logical type (bit-exact)."""
+    if dtype == DT_FLOAT32:
+        return pa.array(vals.view(np.float32), pa.float32())
+    if dtype == DT_FLOAT64:
+        return pa.array(vals.view(np.float64), pa.float64())
+    if dtype == DT_BOOL:
+        return pa.array(vals.astype(bool), pa.bool_())
+    if dtype == DT_TIMESTAMP_US:
+        return pa.array(vals, pa.int64()).cast(pa.timestamp("us"))
+    if dtype == DT_DATE32:
+        return pa.array(vals.astype(np.int32), pa.int32()).cast(pa.date32())
+    return pa.array(vals.astype(_arrow_type_of(dtype).to_pandas_dtype(), copy=False), _arrow_type_of(dtype))
+
+
+def encode_any_column(arr: pa.Array, codec: str, outer: str = "auto") -> bytes:
+    """Encode an arrow array of ANY supported scalar type, nulls included.
+
+    Nulls: the validity bitmap rides the container (FLAG_NULLS section), the
+    inner codec sees only valid values — the reference's null-preserving
+    rewrite (column_context.rs:144-158) realized at the container layer so
+    every codec stays null-oblivious."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dtype = dtype_of_arrow(arr.type)
+    n = len(arr)
+    flags, prefix = 0, b""
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        prefix = struct.pack("<I", n) + np.packbits(valid, bitorder="little").tobytes()
+        flags = FLAG_NULLS
+        arr = arr.drop_null()
+    if is_string_kind(dtype):
+        cid = strcodecs.STR_CODEC_IDS[codec]
+        body = strcodecs.encode_str_body(cid, arr)
+    else:
+        cid = intcodecs.INT_CODEC_IDS[codec]
+        body = intcodecs.encode_int_body(cid, int_view_of(arr, dtype), wide=is_wide(dtype))
+    return wrap(cid, prefix + body, outer, dtype, flags)
+
+
+def decode_column_arrow(buf: bytes | memoryview) -> pa.Array:
+    """Decode any framed payload → arrow array of its logical type, nulls
+    restored at their original positions."""
+    cid, body, dtype, flags = unwrap(buf)
+    valid = None
+    if flags & FLAG_NULLS:
+        (n_total,) = struct.unpack_from("<I", body, 0)
+        nbytes = (n_total + 7) // 8
+        valid = np.unpackbits(
+            np.frombuffer(body, np.uint8, count=nbytes, offset=4),
+            bitorder="little", count=n_total,
+        ).astype(bool)
+        body = body[4 + nbytes :]
+    if cid in strcodecs.STR_CODEC_NAMES:
+        vals = strcodecs.decode_str_body(cid, body)
+        if dtype == DT_BINARY:
+            vals = vals.cast(pa.large_binary())
+        if valid is None:
+            return vals
+        if len(vals) == 0:  # all-null column
+            return pa.nulls(len(valid), vals.type)
+        # scatter valid strings back to their slots; null slots zero-length
+        idx = np.full(len(valid), -1, np.int64)
+        idx[valid] = np.arange(int(valid.sum()))
+        taken = vals.take(pa.array(np.maximum(idx, 0), pa.int64()))
+        mask = pa.array(valid, pa.bool_())
+        return pa.compute.if_else(mask, taken, pa.scalar(None, taken.type))
+    vals = intcodecs.decode_int_body(cid, body, wide=is_wide(dtype))
+    if valid is None:
+        return _ints_to_arrow(vals, dtype)
+    full = np.zeros(len(valid), dtype=vals.dtype)
+    full[valid] = vals
+    dense = _ints_to_arrow(full, dtype)
+    mask = pa.array(valid, pa.bool_())
+    return pa.compute.if_else(mask, dense, pa.scalar(None, dense.type))
 
 
 def decode_column(buf: bytes | memoryview):
-    """Decode any framed payload → np.int32 array or pa.Array of strings."""
-    cid, body = unwrap(buf)
-    if cid in intcodecs.INT_CODEC_NAMES:
-        return intcodecs.decode_int_body(cid, body)
-    return strcodecs.decode_str_body(cid, body)
+    """Canonical decode: np.int32/np.int64 array for null-free int-kind
+    payloads (the hot token path), pa.Array otherwise."""
+    cid, body, dtype, flags = unwrap(buf)
+    if flags or is_string_kind(dtype) or dtype not in (DT_INT32, DT_INT64):
+        if cid in strcodecs.STR_CODEC_NAMES and not flags:
+            return strcodecs.decode_str_body(cid, body)
+        return decode_column_arrow(buf)
+    return intcodecs.decode_int_body(cid, body, wide=is_wide(dtype))
 
 
 def codec_of(buf: bytes | memoryview) -> tuple[str, str]:
-    """(codec_name, outer_name) without decoding."""
+    """(codec_name, outer_name) without decoding (v2 or v3 frame)."""
     mv = memoryview(buf)
     return CODEC_NAMES[mv[3]], OUTER_NAMES[mv[4]]
+
+
+def dtype_of(buf: bytes | memoryview) -> int:
+    """Logical dtype code without decoding (v3 header byte 6; v2 implies it
+    from the codec family)."""
+    mv = memoryview(buf)
+    if mv[2] == _V2:
+        return DT_STRING if mv[3] in strcodecs.STR_CODEC_NAMES else DT_INT32
+    return mv[6]

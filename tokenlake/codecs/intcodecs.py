@@ -38,9 +38,12 @@ from .bitio import (
 )
 
 # codec ids (container header byte)
-PLAIN, FOR, DELTA, RLE, DICT, FSST = 0, 1, 2, 3, 4, 5
+PLAIN, FOR, DELTA, RLE, DICT, FSST, BSS = 0, 1, 2, 3, 4, 5, 6
 
-INT_CODEC_NAMES = {PLAIN: "plain", FOR: "for", DELTA: "delta", RLE: "rle", DICT: "dict", FSST: "fsst"}
+INT_CODEC_NAMES = {
+    PLAIN: "plain", FOR: "for", DELTA: "delta", RLE: "rle",
+    DICT: "dict", FSST: "fsst", BSS: "bss",
+}
 INT_CODEC_IDS = {v: k for k, v in INT_CODEC_NAMES.items()}
 # accepted aliases: "bitpack" is FOR with ref=min (identical wire format)
 INT_CODEC_IDS["bitpack"] = FOR
@@ -55,13 +58,15 @@ def _as_i64(arr: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- plain
 
-def enc_plain(arr: np.ndarray) -> bytes:
-    return _U32.pack(len(arr)) + np.ascontiguousarray(arr, dtype="<i4").tobytes()
+def enc_plain(arr: np.ndarray, wide: bool = False) -> bytes:
+    dt = "<i8" if wide else "<i4"
+    return _U32.pack(len(arr)) + np.ascontiguousarray(arr, dtype=dt).tobytes()
 
 
-def dec_plain(body: memoryview) -> np.ndarray:
+def dec_plain(body: memoryview, wide: bool = False) -> np.ndarray:
     (n,) = _U32.unpack_from(body, 0)
-    return np.frombuffer(body, dtype="<i4", count=n, offset=4).astype(np.int32, copy=False)
+    dt, out = ("<i8", np.int64) if wide else ("<i4", np.int32)
+    return np.frombuffer(body, dtype=dt, count=n, offset=4).astype(out, copy=False)
 
 
 # ---------------------------------------------------------------- frame-of-reference (+ pure bitpack)
@@ -85,16 +90,20 @@ def enc_for(arr: np.ndarray) -> bytes:
     return _U32.pack(n) + _I64.pack(ref) + bytes([w]) + pack_uints(deltas, w)
 
 
-def dec_for(body: memoryview) -> np.ndarray:
+def dec_for(body: memoryview, wide: bool = False) -> np.ndarray:
     (n,) = _U32.unpack_from(body, 0)
     (ref,) = _I64.unpack_from(body, 4)
     w = body[12]
-    if w <= 32:
+    if w <= 32 and not wide:
         # uint32 wraparound add is exact: result is an in-range int32
         deltas = unpack_uints(bytes(body[13:]), n, w, dtype=np.uint32)
         return (deltas + np.uint32(ref & 0xFFFFFFFF)).view(np.int32)
     deltas = unpack_uints(bytes(body[13:]), n, w)
-    return (deltas.astype(np.int64) + ref).astype(np.int32)
+    # uint64 wraparound add is exact for 64-bit ranges: the stored delta is
+    # the true difference mod 2**64, so adding ref mod 2**64 restores the
+    # original bit pattern even when (max - min) exceeds int64
+    out = (deltas + np.uint64(ref & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+    return out if wide else out.astype(np.int32)
 
 
 # ---------------------------------------------------------------- delta (DELTA_BINARY_PACKED analog)
@@ -109,14 +118,18 @@ def enc_delta(arr: np.ndarray) -> bytes:
     outliers) from inflating the whole stream — same robustness argument as
     Parquet's DELTA_BINARY_PACKED miniblocks the reference recommends
     (rules/timestamp_encoding.rs:66-87). Blocks are packed grouped-by-width so
-    the number of numpy calls is O(distinct widths ≤ 33), not O(blocks).
+    the number of numpy calls is O(distinct widths ≤ 65), not O(blocks).
+
+    int64 inputs are exact: diffs wrap mod 2**64 on encode and the decode
+    cumsum wraps identically, so extreme ranges round-trip bit-identical.
     """
     n = len(arr)
     if n == 0:
         return _U32.pack(0) + _I64.pack(0) + _U32.pack(0)
     a = _as_i64(arr)
     first = int(a[0])
-    zz = zigzag_encode(np.diff(a))
+    with np.errstate(over="ignore"):
+        zz = zigzag_encode(np.diff(a))
     m = len(zz)
     nblocks = (m + _DELTA_BLOCK - 1) // _DELTA_BLOCK
     pad = nblocks * _DELTA_BLOCK - m
@@ -125,9 +138,14 @@ def enc_delta(arr: np.ndarray) -> bytes:
     widths = np.zeros(nblocks, dtype=np.uint8)
     nz = maxes > 0
     if nz.any():
-        widths[nz] = np.floor(np.log2(maxes[nz].astype(np.float64))).astype(np.uint8) + 1
-        # float log2 can undershoot near powers of two — correct upward
-        bad = (maxes >> widths.astype(np.uint64)) > 0
+        # float log2 rounds near powers of two; clamp to ≤64 BEFORE the
+        # shift-based correction (a >>64 on uint64 is undefined), then
+        # correct the remaining undershoots upward
+        widths[nz] = np.minimum(
+            np.floor(np.log2(maxes[nz].astype(np.float64))).astype(np.uint8) + 1, 64
+        )
+        lt64 = widths < 64
+        bad = lt64 & ((maxes >> np.minimum(widths, 63).astype(np.uint64)) > 0)
         widths[bad] += 1
     parts = [_U32.pack(n), _I64.pack(first), _U32.pack(nblocks), widths.tobytes()]
     for w in np.unique(widths):
@@ -138,10 +156,10 @@ def enc_delta(arr: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
-def dec_delta(body: memoryview) -> np.ndarray:
+def dec_delta(body: memoryview, wide: bool = False) -> np.ndarray:
     (n,) = _U32.unpack_from(body, 0)
     if n == 0:
-        return np.empty(0, dtype=np.int32)
+        return np.empty(0, dtype=np.int64 if wide else np.int32)
     (first,) = _I64.unpack_from(body, 4)
     (nblocks,) = _U32.unpack_from(body, 12)
     widths = np.frombuffer(body, dtype=np.uint8, count=nblocks, offset=16)
@@ -160,9 +178,10 @@ def dec_delta(body: memoryview) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     out[0] = first
     if n > 1:
-        np.cumsum(zigzag_decode(zz), out=out[1:])
-        out[1:] += first
-    return out.astype(np.int32)
+        with np.errstate(over="ignore"):
+            np.cumsum(zigzag_decode(zz), out=out[1:])
+            out[1:] += first
+    return out if wide else out.astype(np.int32)
 
 
 # ---------------------------------------------------------------- run-length
@@ -184,35 +203,69 @@ def enc_rle(arr: np.ndarray) -> bytes:
     return _U32.pack(n) + _U32.pack(len(vbuf)) + vbuf + lbuf
 
 
-def dec_rle(body: memoryview) -> np.ndarray:
+def dec_rle(body: memoryview, wide: bool = False) -> np.ndarray:
     (n,) = _U32.unpack_from(body, 0)
     (vlen,) = _U32.unpack_from(body, 4)
-    values = dec_for(body[8 : 8 + vlen])
+    values = dec_for(body[8 : 8 + vlen], wide)
     lengths = dec_for(body[8 + vlen :])
     return np.repeat(values, lengths.astype(np.int64))
 
 
 # ---------------------------------------------------------------- dictionary
 
-def enc_dict(arr: np.ndarray) -> bytes:
+def enc_dict(arr: np.ndarray, wide: bool = False) -> bytes:
     n = len(arr)
     if n == 0:
-        vbuf = enc_delta(np.empty(0, dtype=np.int32))
+        vbuf = enc_delta(np.empty(0, dtype=np.int64 if wide else np.int32))
         return _U32.pack(0) + _U32.pack(len(vbuf)) + vbuf + b"\x00"
     vals, inv = sorted_factorize(arr)
     # unique values are sorted → delta-pack the dictionary itself
-    vbuf = enc_delta(vals.astype(np.int32))
+    vbuf = enc_delta(vals if wide else vals.astype(np.int32))
     w = width_for(len(vals) - 1)
     return _U32.pack(n) + _U32.pack(len(vbuf)) + vbuf + bytes([w]) + pack_uints(inv.astype(np.uint64), w)
 
 
-def dec_dict(body: memoryview) -> np.ndarray:
+def dec_dict(body: memoryview, wide: bool = False) -> np.ndarray:
     (n,) = _U32.unpack_from(body, 0)
     (vlen,) = _U32.unpack_from(body, 4)
-    vals = dec_delta(body[8 : 8 + vlen])
+    vals = dec_delta(body[8 : 8 + vlen], wide)
     w = body[8 + vlen]
     idx = unpack_uints(bytes(body[9 + vlen :]), n, w, dtype=np.uint32)
-    return vals[idx] if n else np.empty(0, dtype=np.int32)
+    return vals[idx] if n else np.empty(0, dtype=np.int64 if wide else np.int32)
+
+
+# ---------------------------------------------------------------- byte-stream-split
+
+def enc_bss(arr: np.ndarray, wide: bool = False) -> bytes:
+    """BYTE_STREAM_SPLIT (reference rules/float_encoding.rs:17-90): transpose
+    the element bytes so all 0th bytes are contiguous, then all 1st bytes, …
+    The transposed layout is what the OUTER general-purpose codec exploits —
+    float32 sign/exponent bytes cluster tightly while mantissa bytes stay
+    noisy, giving the reference's claimed 2-4× when zstd runs on top. The
+    body itself is exactly plain-size; selection must pair it with an outer.
+
+    The transpose is one strided numpy copy per byte plane (≤8 planes), never
+    a per-value loop. Works on any fixed-width element handed over as its
+    int bit-pattern view (float32→int32, float64→int64)."""
+    n = len(arr)
+    size = 8 if wide else 4
+    a = np.ascontiguousarray(arr, dtype="<i8" if wide else "<i4")
+    planes = a.view(np.uint8).reshape(n, size).T if n else np.empty((size, 0), np.uint8)
+    return _U32.pack(n) + bytes([size]) + b"".join(
+        np.ascontiguousarray(planes[b]).tobytes() for b in range(size)
+    )
+
+
+def dec_bss(body: memoryview, wide: bool = False) -> np.ndarray:
+    (n,) = _U32.unpack_from(body, 0)
+    size = body[4]
+    raw = np.frombuffer(body, dtype=np.uint8, count=n * size, offset=5)
+    out = np.empty((n, size), dtype=np.uint8)
+    for b in range(size):
+        out[:, b] = raw[b * n : (b + 1) * n]
+    return out.ravel().view("<i8" if size == 8 else "<i4").astype(
+        np.int64 if wide else np.int32, copy=False
+    )
 
 
 # ---------------------------------------------------------------- FSST over token n-grams (RePair-style)
@@ -388,13 +441,23 @@ def dec_fsst(body: memoryview) -> np.ndarray:
 
 # ---------------------------------------------------------------- dispatch
 
-_ENCODERS = {PLAIN: enc_plain, FOR: enc_for, DELTA: enc_delta, RLE: enc_rle, DICT: enc_dict, FSST: enc_fsst}
-_DECODERS = {PLAIN: dec_plain, FOR: dec_for, DELTA: dec_delta, RLE: dec_rle, DICT: dec_dict, FSST: dec_fsst}
+_ENCODERS = {PLAIN: enc_plain, FOR: enc_for, DELTA: enc_delta, RLE: enc_rle, DICT: enc_dict, FSST: enc_fsst, BSS: enc_bss}
+_DECODERS = {PLAIN: dec_plain, FOR: dec_for, DELTA: dec_delta, RLE: dec_rle, DICT: dec_dict, FSST: dec_fsst, BSS: dec_bss}
+# codecs whose wire format depends on element width (the rest store i64
+# refs/dict values already, or — fsst — are int32-only by contract)
+_WIDE_AWARE_ENC = {PLAIN: True, FOR: False, DELTA: False, RLE: False, DICT: True, FSST: False, BSS: True}
+WIDE_CODECS = frozenset({"plain", "for", "delta", "rle", "dict", "bss"})
 
 
-def encode_int_body(codec_id: int, arr: np.ndarray) -> bytes:
+def encode_int_body(codec_id: int, arr: np.ndarray, wide: bool = False) -> bytes:
+    if wide and codec_id == FSST:
+        raise ValueError("fsst is int32-only; wide integer streams use plain/for/delta/rle/dict/bss")
+    if wide and _WIDE_AWARE_ENC[codec_id]:
+        return _ENCODERS[codec_id](arr, wide=True)
     return _ENCODERS[codec_id](arr)
 
 
-def decode_int_body(codec_id: int, body: memoryview) -> np.ndarray:
-    return _DECODERS[codec_id](body)
+def decode_int_body(codec_id: int, body: memoryview, wide: bool = False) -> np.ndarray:
+    if codec_id == FSST:
+        return dec_fsst(body)
+    return _DECODERS[codec_id](body, wide)

@@ -40,8 +40,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-INT_ENCODINGS = {"plain", "for", "bitpack", "delta", "rle", "dict", "fsst"}
-STR_ENCODINGS = {"str_plain", "str_dict"}
+INT_ENCODINGS = {"plain", "for", "bitpack", "delta", "rle", "dict", "fsst", "bss"}
+STR_ENCODINGS = {"str_plain", "str_dict", "str_prefix"}
 ENCODINGS = INT_ENCODINGS | STR_ENCODINGS
 
 # Reference DSL compatibility (prescription.rs:624-636 accepts exactly these
@@ -51,9 +51,9 @@ ENCODINGS = INT_ENCODINGS | STR_ENCODINGS
 # emit engine names.
 REFERENCE_ENCODING_ALIASES = {
     "delta_binary_packed": "delta",     # parquet DELTA_BINARY_PACKED ≙ miniblock delta
-    "byte_stream_split": "for",         # byte/bit-plane wire layout analog (bitio.py)
+    "byte_stream_split": "bss",         # real byte-stream-split codec (intcodecs.enc_bss)
     "delta_length_byte_array": "str_plain",  # string body + separate lengths
-    "delta_byte_array": "str_plain",         # no prefix-sharing codec; closest analog
+    "delta_byte_array": "str_prefix",        # front coding = the prefix-sharing analog
 }
 
 # same codec grammar as the reference prescription DSL (prescription.rs:583-622)
