@@ -25,7 +25,9 @@ def test_reference_encoding_names_parse_and_apply():
     )
     cfg = rx.apply()
     assert cfg.overrides["tokens"] == "delta"
-    assert cfg.overrides["n_tok"] == "for"
+    # round 4: byte_stream_split maps to the REAL bss codec (no longer the
+    # bit-plane FOR approximation)
+    assert cfg.overrides["n_tok"] == "bss"
     assert cfg.overrides["doc_id"] == "str_plain"
     assert cfg.overrides["source"] == "plain"
     # round-trip: format() emits engine names that re-parse to the same config
@@ -34,11 +36,12 @@ def test_reference_encoding_names_parse_and_apply():
 
 
 def test_delta_byte_array_alias_and_unknown_encoding_rejected():
+    # round 4: delta_byte_array maps to the real front-coding codec
     assert (
         Prescription.parse("set column doc_id encoding delta_byte_array")
         .apply()
         .overrides["doc_id"]
-        == "str_plain"
+        == "str_prefix"
     )
     with pytest.raises(Exception):
         Prescription.parse("set column tokens encoding rle_dictionary")

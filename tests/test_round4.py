@@ -78,3 +78,208 @@ def test_lint_two_pass_no_global_window(spark):
     d = lint_job.lint(spark, df, fraction=0.3)
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in plan.lower()
+
+
+# ------------------------------------------ nulls through the codec stack
+
+def _nullable_df(spark, scale=0.01):
+    tbl = generate_sequences(scale=scale, profiles=["lowcard", "sorted_ts"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    # plant nulls deterministically: doc_id on ~1/7 rows, tokens+n_tok
+    # (together — the row-validity contract) on ~1/5 rows
+    h = F.abs(F.xxhash64("doc_id"))
+    null_tok = (h % 5) == 0
+    return df.select(
+        F.when((h % 7) == 0, F.lit(None)).otherwise(F.col("doc_id")).alias("doc_id"),
+        F.when(null_tok, F.lit(None)).otherwise(F.col("tokens")).alias("tokens"),
+        F.when(null_tok, F.lit(None)).otherwise(F.col("n_tok")).alias("n_tok"),
+        "source",
+    ), df
+
+
+def test_nullable_roundtrip_bit_identical(spark, tmp_path):
+    """Planted nulls in doc_id and tokens/n_tok survive encode→decode
+    bit-identically (VERDICT r3 #1: a single null used to kill the encode
+    UDF mid-run)."""
+    from tokenlake import decode_job
+
+    out = str(tmp_path / "out")
+    ndf, orig = _nullable_df(spark)
+    ndf = ndf.cache()
+    n_null_doc = ndf.filter(F.col("doc_id").isNull()).count()
+    n_null_tok = ndf.filter(F.col("tokens").isNull()).count()
+    assert n_null_doc > 0 and n_null_tok > 0
+    encode_job.run(spark, ndf, out, resume=False)
+    dec = decode_job.decode(spark, out)
+    # nulls can't join on doc_id; compare via full outer on a row fingerprint
+    key = F.concat_ws("|", F.coalesce("doc_id", F.lit("<null>")),
+                      F.coalesce(F.hash("tokens").cast("string"), F.lit("<null>")),
+                      F.coalesce(F.col("n_tok").cast("string"), F.lit("<null>")), "source")
+    left = ndf.select(key.alias("k")).groupBy("k").count()
+    right = dec.select(key.alias("k")).groupBy("k").count()
+    diff = left.join(right, "k", "full_outer").filter(
+        ~left["count"].eqNullSafe(right["count"])
+    )
+    assert diff.count() == 0
+    # null_count surfaced in the metrics (A1-analog null tracking)
+    m = encode_job.column_metrics(decode_job.read_encoded(spark, out))
+    nc = {r["column"]: r["s"] for r in
+          m.groupBy("column").agg(F.sum("null_count").alias("s")).collect()}
+    assert nc["doc_id"] == n_null_doc
+    assert nc["tokens"] == n_null_tok and nc["n_tok"] == n_null_tok
+    ndf.unpersist()
+
+
+def test_mismatched_token_nulls_rejected(spark, tmp_path):
+    """n_tok null without tokens null (or vice versa) is a broken input —
+    must fail loudly, not silently flatten."""
+    tbl = generate_sequences(scale=0.002, profiles=["lowcard"], skew=False)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA)
+    bad = df.select(
+        "doc_id", "tokens",
+        F.when(F.abs(F.xxhash64("doc_id")) % 3 == 0, F.lit(None)).otherwise(F.col("n_tok")).alias("n_tok"),
+        "source",
+    )
+    with pytest.raises(Exception, match="null on exactly the same rows"):
+        encode_job.run(spark, bad, str(tmp_path / "o"), resume=False)
+
+
+# ------------------------------------------ generic column registry
+
+def _events_6col(spark, n=4000):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").limit(n)
+    toks = F.expr(
+        "transform(sequence(1, cast(event_id % 7 as int) + 1), "
+        "i -> cast((event_id * 31 + i) % 997 as int))"
+    )
+    h = F.abs(F.xxhash64("event_id"))
+    return ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.when(h % 11 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("user_id").alias("user_id"),
+        (F.col("value") > 0.5).alias("flag"),
+    )
+
+
+def test_generic_columns_roundtrip_bit_identical(spark, tmp_path):
+    """A table with extra double/timestamp/bigint/bool columns (nulls
+    planted in the double) encodes and decodes bit-identically — the
+    generic column registry (VERDICT r3 #2; reference analyzes any flat
+    schema, column_context.rs:213-292)."""
+    from tokenlake import decode_job
+
+    out = str(tmp_path / "out")
+    df = _events_6col(spark).cache()
+    encode_job.run(spark, df, out, resume=False)
+    dec = decode_job.decode(spark, out)
+    assert set(dec.columns) == set(df.columns)
+    j = df.alias("a").join(dec.alias("b"), "doc_id")
+    assert j.count() == df.count()
+    mismatches = j.filter(
+        ~F.col("a.value").eqNullSafe(F.col("b.value"))
+        | (F.col("a.ts") != F.col("b.ts"))
+        | (F.col("a.user_id") != F.col("b.user_id"))
+        | ~F.col("a.flag").eqNullSafe(F.col("b.flag"))
+        | (F.col("a.tokens") != F.col("b.tokens"))
+    ).count()
+    assert mismatches == 0
+    # dtype metadata round-trips for the decode-schema discovery
+    et = decode_job.extra_types_of(decode_job.read_encoded(spark, out))
+    assert et == {"value": "double", "ts": "timestamp_ntz",
+                  "user_id": "bigint", "flag": "boolean"}
+    # projected decode of a single extra column works and prunes
+    only = decode_job.decode(spark, out, columns=("doc_id", "value"))
+    assert only.columns == ["doc_id", "value"]
+    assert only.count() == df.count()
+    df.unpersist()
+
+
+def test_generic_codec_choices(spark, tmp_path):
+    """The registry picks sane codecs: high-cardinality double → bss (R4
+    realized), bigint ids → a wide int codec, bool → width-1 FOR, and the
+    sorted doc_id string column → front coding."""
+    from tokenlake import decode_job
+
+    out = str(tmp_path / "out")
+    df = _events_6col(spark)
+    encode_job.run(spark, df, out, resume=False)
+    m = encode_job.column_metrics(decode_job.read_encoded(spark, out))
+    rows = {(r["column"], r["codec"]) for r in m.select("column", "codec").distinct().collect()}
+    codecs = {}
+    for c, k in rows:
+        codecs.setdefault(c, set()).add(k)
+    assert codecs["value"] == {"bss"}
+    assert codecs["flag"] == {"for"}
+    assert codecs["user_id"] <= {"plain", "for", "delta", "rle", "dict", "bss"}
+    assert "str_prefix" in codecs["doc_id"]  # numeric ids share prefixes
+    # bss payloads must beat plain+outer on the double column (the whole
+    # point of the transpose): compare against raw 8 B/value
+    v = m.filter(F.col("column") == "value").agg(
+        F.sum("encoded_bytes").alias("e"), F.sum("n_values").alias("n")
+    ).first()
+    assert v["e"] < 8 * v["n"]
+
+
+# ------------------------------------------ property: nullable roundtrips
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+    import pyarrow as pa
+
+    _scalars = st.sampled_from(["int32", "int64", "float64", "bool", "string"])
+
+    @st.composite
+    def _nullable_column(draw):
+        kind = draw(_scalars)
+        n = draw(st.integers(0, 300))
+        elem = {
+            "int32": st.integers(-(2**31), 2**31 - 1),
+            "int64": st.integers(-(2**63), 2**63 - 1),
+            "float64": st.floats(allow_nan=True, width=64),
+            "bool": st.booleans(),
+            "string": st.text(max_size=20),
+        }[kind]
+        vals = draw(st.lists(st.one_of(st.none(), elem), min_size=n, max_size=n))
+        typ = {
+            "int32": pa.int32(), "int64": pa.int64(), "float64": pa.float64(),
+            "bool": pa.bool_(), "string": pa.string(),
+        }[kind]
+        return pa.array(vals, typ), kind
+
+    @settings(max_examples=60, deadline=None)
+    @given(_nullable_column())
+    def test_property_nullable_any_column_roundtrip(col):
+        """Any supported scalar column with any null pattern round-trips
+        bit-identically through every applicable codec (validity bitmap at
+        the container layer)."""
+        from tokenlake.codecs import decode_column_arrow, encode_any_column
+
+        arr, kind = col
+        codecs = {
+            "int32": ["plain", "for", "delta", "rle", "dict", "bss"],
+            "int64": ["plain", "for", "delta", "rle", "dict", "bss"],
+            "float64": ["plain", "bss", "dict", "rle"],
+            "bool": ["for", "rle"],
+            "string": ["str_plain", "str_dict", "str_prefix"],
+        }[kind]
+        for codec in codecs:
+            out = decode_column_arrow(encode_any_column(arr, codec))
+            a = arr.cast(out.type) if kind == "string" else arr
+            got, want = out.to_pylist(), a.to_pylist()
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                if isinstance(w, float) and w != w:  # NaN: bit-pattern family
+                    assert isinstance(g, float) and g != g
+                else:
+                    assert g == w, (codec, kind)

@@ -218,8 +218,12 @@ def dtype_of_arrow(t: pa.DataType) -> int:
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return DT_BINARY
     if pa.types.is_timestamp(t):
-        if t.unit != "us":
-            raise ValueError(f"timestamp unit {t.unit!r} not supported (cast to us)")
+        if t.unit != "us" or t.tz is not None:
+            raise ValueError(
+                f"timestamp type {t} not supported — cast to timestamp_ntz "
+                "(µs, no zone); Spark's zoned TIMESTAMP would silently shift "
+                "on decode"
+            )
         return DT_TIMESTAMP_US
     if pa.types.is_date32(t):
         return DT_DATE32

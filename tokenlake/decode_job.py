@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .codecs import decode_column
+from .codecs import decode_column, decode_column_arrow
 
 DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 ALL_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
@@ -45,16 +45,43 @@ _COLUMN_TYPES = {
 }
 
 
-def _payloads_for(columns: tuple[str, ...]) -> list[str]:
-    unknown = [c for c in columns if c not in _COLUMN_PAYLOADS]
+def _payloads_for(columns: tuple[str, ...], extra: dict[str, str] | None = None) -> list[str]:
+    unknown = [
+        c for c in columns if c not in _COLUMN_PAYLOADS and c not in (extra or {})
+    ]
     if unknown:
-        raise ValueError(f"unknown decode columns {unknown}; valid: {list(ALL_COLUMNS)}")
+        raise ValueError(
+            f"unknown decode columns {unknown}; valid: {list(ALL_COLUMNS)}"
+            + (f" + extras {sorted(extra)}" if extra else "")
+        )
     need: list[str] = []
     for c in columns:
-        for p in _COLUMN_PAYLOADS[c]:
+        for p in _COLUMN_PAYLOADS.get(c, (c,)):
             if p not in need:
                 need.append(p)
     return need
+
+
+def _ntok_parts(buf: bytes):
+    """n_tok payload → (lens_for_offsets int64 with 0 at null rows,
+    n_tok arrow array, row validity bool array or None)."""
+    vals = decode_column(buf)
+    if isinstance(vals, np.ndarray):
+        return vals.astype(np.int64), pa.array(vals.astype(np.int32), pa.int32()), None
+    arr = vals if isinstance(vals, pa.Array) else vals.combine_chunks()
+    arr = arr.cast(pa.int32())
+    valid = np.asarray(arr.is_valid())
+    lens = np.asarray(pa.compute.fill_null(arr, 0), dtype=np.int64)
+    return lens, arr, valid
+
+
+def _narrow(arr: pa.Array) -> pa.Array:
+    """large_string/large_binary → string/binary for Spark interchange."""
+    if pa.types.is_large_string(arr.type):
+        return arr.cast(pa.string())
+    if pa.types.is_large_binary(arr.type):
+        return arr.cast(pa.binary())
+    return arr
 
 
 def decode_chunk_row(
@@ -64,20 +91,21 @@ def decode_chunk_row(
 
     Only the payloads the requested `columns` need are decoded (the S3
     column-chunk-read analog applied to decode: at 10^12 rows a tokens-only
-    reader must not pay for doc_id/source byte streams)."""
-    lens = (
-        decode_column(payloads["n_tok"]).astype(np.int64)
-        if "n_tok" in payloads
-        else None
-    )
+    reader must not pay for doc_id/source byte streams). Payloads are fully
+    self-describing (dtype + validity in the container header), so extra
+    columns decode with no side channel; null token rows are restored from
+    the row-validity bitmap the n_tok payload carries."""
+    lens = ntok = valid = None
+    if "n_tok" in payloads:
+        lens, ntok, valid = _ntok_parts(payloads["n_tok"])
     arrays: dict[str, pa.Array] = {}
     for c in columns:
         if c == "doc_id":
-            arrays[c] = decode_column(payloads["doc_id"]).cast(pa.string())
+            arrays[c] = _narrow(decode_column_arrow(payloads["doc_id"]))
         elif c == "source":
-            arrays[c] = decode_column(payloads["source"]).cast(pa.string())
+            arrays[c] = _narrow(decode_column_arrow(payloads["source"]))
         elif c == "n_tok":
-            arrays[c] = pa.array(lens.astype(np.int32), type=pa.int32())
+            arrays[c] = ntok
         elif c == "tokens":
             flat = decode_column(payloads["tokens"])
             offsets64 = np.zeros(len(lens) + 1, dtype=np.int64)
@@ -89,16 +117,28 @@ def decode_chunk_row(
                 raise ValueError(
                     f"chunk token count {offsets64[-1]} overflows int32 list offsets"
                 )
-            arrays[c] = pa.ListArray.from_arrays(
-                pa.array(offsets64.astype(np.int32), type=pa.int32()),
-                pa.array(flat, type=pa.int32()),
-            )
+            offsets = pa.array(offsets64.astype(np.int32), type=pa.int32())
+            values = pa.array(flat, type=pa.int32())
+            if valid is None:
+                arrays[c] = pa.ListArray.from_arrays(offsets, values)
+            else:
+                arrays[c] = pa.Array.from_buffers(
+                    pa.list_(pa.int32()),
+                    len(lens),
+                    [
+                        pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
+                        offsets.buffers()[1],
+                    ],
+                    children=[values],
+                )
+        else:
+            arrays[c] = _narrow(decode_column_arrow(payloads[c]))
     return pa.table({c: arrays[c] for c in columns})
 
 
 def decode_chunk(t: pa.Table) -> pa.Table:
     """Decode a table of encoded chunk rows (kernel entry; also usable
-    standalone on a driver-side pyarrow table)."""
+    standalone on a driver-side pyarrow table). Canonical columns only."""
     parts = []
     for i in range(t.num_rows):
         parts.append(
@@ -121,17 +161,52 @@ def decode_chunk(t: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def extra_types_of(encoded: DataFrame) -> dict[str, str]:
+    """Extra decoded columns and their Spark types, read from the chunk
+    metrics (one tiny aggregate over the metadata columns — payloads stay
+    untouched; O(#columns) rows reach the driver)."""
+    payload_cols = [c[len("payload_") :] for c in encoded.columns if c.startswith("payload_")]
+    extras = [c for c in payload_cols if c not in ALL_COLUMNS]
+    if not extras:
+        return {}
+    rows = (
+        encoded.select(F.explode("columns").alias("c"))
+        .select(F.col("c.column").alias("column"), F.col("c.dtype").alias("dtype"))
+        .filter(F.col("column").isin(extras))
+        .distinct()
+        .collect()
+    )
+    types = {r["column"]: r["dtype"] for r in rows}
+    missing = [c for c in extras if c not in types]
+    if missing:
+        raise ValueError(f"no dtype metadata for extra columns {missing}")
+    return {c: types[c] for c in extras}  # input-order
+
+
 def decode_dataframe(
-    encoded: DataFrame, columns: tuple[str, ...] | list[str] | None = None
+    encoded: DataFrame,
+    columns: tuple[str, ...] | list[str] | None = None,
+    extra_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """Shuffle-free decode: column-pruned scan → mapInArrow.
 
     `columns` projects the decode: only the payload columns those outputs
     need are scanned (parquet column pruning skips the rest entirely) and
-    decoded. Default = all four sequence columns."""
-    cols = tuple(columns) if columns is not None else ALL_COLUMNS
-    need = _payloads_for(cols)
-    schema = ", ".join(f"{c} {_COLUMN_TYPES[c]}" for c in cols)
+    decoded. Default = all four sequence columns plus any extras named in
+    `extra_types` (column → Spark DDL type; see extra_types_of /
+    decode() for the metadata-driven path). mapInArrow needs the output
+    schema at plan time, which is why extras carry their type here even
+    though each payload is self-describing at runtime."""
+    extra_types = dict(extra_types or {})
+    payload_cols = {c[len("payload_") :] for c in encoded.columns if c.startswith("payload_")}
+    unk = [c for c in extra_types if c not in payload_cols]
+    if unk:
+        raise ValueError(f"extra_types names columns with no payload: {unk}")
+    cols = tuple(columns) if columns is not None else (*ALL_COLUMNS, *extra_types)
+    need = _payloads_for(cols, extra_types)
+    schema = ", ".join(
+        f"{c} {_COLUMN_TYPES.get(c) or extra_types[c]}" for c in cols
+    )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -174,7 +249,10 @@ def decode(
     out_dir: str,
     columns: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
-    return decode_dataframe(dedup_attempts(read_encoded(spark, out_dir)), columns)
+    """Decode a stored table — extras (and their Spark types) discovered
+    from the chunk metrics automatically."""
+    enc = dedup_attempts(read_encoded(spark, out_dir))
+    return decode_dataframe(enc, columns, extra_types=extra_types_of(enc))
 
 
 def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:

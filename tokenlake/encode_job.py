@@ -15,6 +15,7 @@ re-encodes only unfinished chunks.
 
 from __future__ import annotations
 
+import re
 import time
 import zlib
 
@@ -41,19 +42,9 @@ from .stats import compute_chunk_stats
 # the doc_id payload. A chunk row IS the row-group analog; the payload
 # columns are its column chunks.
 COLMETA_FIELDS = (
-    "column string, codec string, outer string, n_values long, "
-    "encoded_bytes long, raw_bytes long, rule string, "
+    "column string, codec string, outer string, dtype string, n_values long, "
+    "null_count long, encoded_bytes long, raw_bytes long, rule string, "
     "min_val long, max_val long, distinct_est long, elapsed_ms double"
-)
-
-ENCODED_SCHEMA = (
-    "chunk_id string, n_rows long, n_values long, "
-    "encoded_bytes long, raw_bytes long, "
-    "doc_id_min string, doc_id_max string, stats_exact boolean, "
-    "input_fingerprint string, elapsed_ms double, nbuckets int, bloom binary, "
-    f"columns array<struct<{COLMETA_FIELDS}>>, "
-    "payload_tokens binary, payload_n_tok binary, payload_doc_id binary, "
-    "payload_source binary"
 )
 
 _COLMETA_ARROW = pa.struct(
@@ -61,7 +52,9 @@ _COLMETA_ARROW = pa.struct(
         ("column", pa.string()),
         ("codec", pa.string()),
         ("outer", pa.string()),
+        ("dtype", pa.string()),
         ("n_values", pa.int64()),
+        ("null_count", pa.int64()),
         ("encoded_bytes", pa.int64()),
         ("raw_bytes", pa.int64()),
         ("rule", pa.string()),
@@ -72,29 +65,60 @@ _COLMETA_ARROW = pa.struct(
     ]
 )
 
-ENCODED_ARROW_SCHEMA = pa.schema(
-    [
-        ("chunk_id", pa.string()),
-        ("n_rows", pa.int64()),
-        ("n_values", pa.int64()),
-        ("encoded_bytes", pa.int64()),
-        ("raw_bytes", pa.int64()),
-        ("doc_id_min", pa.string()),
-        ("doc_id_max", pa.string()),
-        ("stats_exact", pa.bool_()),
-        ("input_fingerprint", pa.string()),
-        ("elapsed_ms", pa.float64()),
-        ("nbuckets", pa.int32()),
-        ("bloom", pa.binary()),
-        ("columns", pa.list_(_COLMETA_ARROW)),
-        ("payload_tokens", pa.binary()),
-        ("payload_n_tok", pa.binary()),
-        ("payload_doc_id", pa.binary()),
-        ("payload_source", pa.binary()),
-    ]
-)
-
 PAYLOAD_COLUMNS = ("tokens", "n_tok", "doc_id", "source")
+
+# columns added by chunk assignment, never encoded
+_META_INPUT_COLS = ("chunk_id", "nbuckets")
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def extra_columns_of(names) -> list[str]:
+    """Input columns beyond the canonical sequence schema, in input order —
+    each becomes its own `payload_<name>` column chunk (generic column
+    registry; the reference analyzes any flat schema over 8 physical types,
+    column_context.rs:213-292)."""
+    extras = [c for c in names if c not in SEQ_COLUMNS and c not in _META_INPUT_COLS]
+    for c in extras:
+        if not _NAME_RE.match(c) or c.startswith("payload_"):
+            raise ValueError(f"unsupported extra column name {c!r}")
+    return extras
+
+
+def encoded_schema_ddl(extras: list[str] | tuple[str, ...] = ()) -> str:
+    payloads = "".join(f", payload_{c} binary" for c in (*PAYLOAD_COLUMNS, *extras))
+    return (
+        "chunk_id string, n_rows long, n_values long, "
+        "encoded_bytes long, raw_bytes long, "
+        "doc_id_min string, doc_id_max string, stats_exact boolean, "
+        "input_fingerprint string, elapsed_ms double, nbuckets int, bloom binary, "
+        f"columns array<struct<{COLMETA_FIELDS}>>" + payloads
+    )
+
+
+def encoded_arrow_schema(extras: list[str] | tuple[str, ...] = ()) -> pa.Schema:
+    return pa.schema(
+        [
+            ("chunk_id", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_values", pa.int64()),
+            ("encoded_bytes", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("doc_id_min", pa.string()),
+            ("doc_id_max", pa.string()),
+            ("stats_exact", pa.bool_()),
+            ("input_fingerprint", pa.string()),
+            ("elapsed_ms", pa.float64()),
+            ("nbuckets", pa.int32()),
+            ("bloom", pa.binary()),
+            ("columns", pa.list_(_COLMETA_ARROW)),
+            *[(f"payload_{c}", pa.binary()) for c in (*PAYLOAD_COLUMNS, *extras)],
+        ]
+    )
+
+
+ENCODED_SCHEMA = encoded_schema_ddl()
+ENCODED_ARROW_SCHEMA = encoded_arrow_schema()
 
 LINEAGE_SCHEMA = (
     "chunk_id string, input_fingerprint string, status string, "
@@ -138,22 +162,114 @@ def truncate_stat_max(s: str, limit: int = MAX_STAT_LENGTH) -> str:
 
 def _fingerprint(doc_ids: pa.Array, flat: np.ndarray) -> str:
     """Cheap order-stable content hash for lineage: crc32 over the flat token
-    buffer plus the doc_id utf8 data + lengths (buffer-level, no per-row work)."""
+    buffer plus the doc_id utf8 data + lengths (buffer-level, no per-row work).
+    Null doc_ids hash as length -1; the validity buffer is folded in below."""
     c = zlib.crc32(flat.tobytes())
-    c = zlib.crc32(np.asarray(pc.utf8_length(doc_ids), dtype=np.int64).tobytes(), c)
+    lens = pc.fill_null(pc.utf8_length(doc_ids), -1)
+    c = zlib.crc32(np.asarray(lens, dtype=np.int64).tobytes(), c)
     for buf in doc_ids.buffers():
         if buf is not None:
             c = zlib.crc32(buf, c)
     return f"{c:08x}-{len(doc_ids)}-{len(flat)}"
 
 
+def _chunk0(col: pa.ChunkedArray, empty_type: pa.DataType) -> pa.Array:
+    return col.chunk(0) if col.num_chunks else pa.array([], empty_type)
+
+
+def _pick_str_codec(valid: pa.Array, allow_dict: bool = True) -> tuple[str, bytes | None, str]:
+    """(codec, pre-built body or None, rule) for a string/binary column:
+    trial-encode str_plain vs str_prefix (both one vectorized pass over a
+    byte stream that is tiny next to the token payload), add str_dict when
+    cardinality says the table pays (R1 on strings,
+    dictionary_encoding.rs:312-477), keep the winner under the R3 ≥5% rule."""
+    from .codecs.strcodecs import enc_str_dict, enc_str_plain, enc_str_prefix
+
+    n = len(valid)
+    if n == 0:
+        return "str_plain", None, "string-byte-array-encoding"
+    bodies = {"str_plain": enc_str_plain(valid), "str_prefix": enc_str_prefix(valid)}
+    if allow_dict and pc.count_distinct(valid).as_py() < 0.5 * n:
+        bodies["str_dict"] = enc_str_dict(valid)
+    best = min(bodies, key=lambda c: (len(bodies[c]), c))
+    # R3: a winner that saves <5% vs plain isn't worth the decode detour
+    if best != "str_plain" and len(bodies[best]) > 0.95 * len(bodies["str_plain"]):
+        best = "str_plain"
+    rule = {
+        "str_plain": "string-byte-array-encoding",
+        "str_prefix": "delta-byte-array-front-coding",
+        "str_dict": "dictionary-encoding-cardinality",
+    }[best]
+    return best, bodies[best], rule
+
+
+def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
+    """One extra scalar column → (payload, ChunkStats|None, rule).
+    Dispatch: Spark/Arrow type → codec family (the generic column registry;
+    reference column_context.rs:213-292 covers the same physical types)."""
+    from .codecs.container import (
+        DT_BOOL,
+        DT_FLOAT32,
+        DT_FLOAT64,
+        dtype_of_arrow,
+        encode_any_column,
+        int_view_of,
+        is_string_kind,
+        is_wide,
+    )
+    from .select import select_float_codec
+
+    dtype = dtype_of_arrow(arr.type)
+    outer = cfg.outer_for(name)
+    forced = cfg.overrides.get(name)
+    valid = arr.drop_null() if arr.null_count else arr
+    if is_string_kind(dtype):
+        if forced:
+            codec, rule = forced, "forced"
+        else:
+            codec, _, rule = _pick_str_codec(valid, allow_dict=f"!dict:{name}" not in cfg.overrides)
+        return encode_any_column(arr, codec, outer), None, rule
+    if dtype == DT_BOOL:
+        return encode_any_column(arr, forced or "for", outer), None, "bool-bitpack"
+    view = int_view_of(valid, dtype) if len(valid) else np.empty(0, np.int32)
+    wide = is_wide(dtype)
+    st = compute_chunk_stats(view, n_rows=len(arr))
+    if dtype in (DT_FLOAT32, DT_FLOAT64):
+        d = select_float_codec(view, st, forced=forced, wide=wide)
+    else:
+        d = select_codec(
+            view, st, forced=forced,
+            allow_dict=f"!dict:{name}" not in cfg.overrides,
+            dict_page_limit=cfg.dict_limit_for(name),
+            wide=wide,
+        )
+    payload = encode_any_column(arr, d.codec, outer)
+    elem = 8 if wide else 4
+    if d.codec not in ("plain", "bss") and len(payload) > len(view) * elem + 64:
+        # hard guarantee: never worse than plain (R3 escape hatch)
+        payload = encode_any_column(arr, "plain", outer)
+        d = select_codec(view, st, forced="plain", wide=wide)
+    return payload, st, d.rule
+
+
 def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
-    """Encode one chunk (all four columns) → one metrics+payload row per column.
+    """Encode one chunk → one row: per-column payloads + metrics.
 
     Arrow-native (applyInArrow): the token flatten is a zero-copy view of the
     list array's value buffer — no pandas object columns, no per-row Python.
     Rows are sorted by doc_id so chunk content, fingerprint, and decode order
     are independent of Spark's shuffle arrival order.
+
+    Nulls flow through every column (validity bitmaps at the container
+    layer; null_count in the metrics — the reference's null_count tracking,
+    column_context.rs:37-41,144-158). A null tokens row must have a null
+    n_tok (and vice versa): the row-validity bitmap is stored once, on the
+    n_tok payload, and the tokens payload holds only valid rows' values.
+    Null ELEMENTS inside a token array are rejected — the input contract is
+    array<int32 NOT NULL>.
+
+    Any input column beyond the canonical four becomes its own
+    `payload_<name>` column chunk via the generic registry (_encode_extra).
     """
     t0 = time.perf_counter()
     cfg = cfg or EncodeConfig()
@@ -162,20 +278,32 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     chunk_id = t.column("chunk_id")[0].as_py()
     nbuckets = t.column("nbuckets")[0].as_py()
     n_rows = t.num_rows
-    doc = t.column("doc_id").chunk(0) if t.column("doc_id").num_chunks else pa.array([], pa.string())
-    src = t.column("source").chunk(0) if t.column("source").num_chunks else pa.array([], pa.string())
-    toks = t.column("tokens").chunk(0) if t.column("tokens").num_chunks else pa.array([], pa.list_(pa.int32()))
-    lens = t.column("n_tok").to_numpy().astype(np.int64)
-    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    extras = extra_columns_of(t.schema.names)
+    doc = _chunk0(t.column("doc_id"), pa.string())
+    src = _chunk0(t.column("source"), pa.string())
+    toks = _chunk0(t.column("tokens"), pa.list_(pa.int32()))
+    ntok_arr = _chunk0(t.column("n_tok"), pa.int32())
+    if toks.null_count or ntok_arr.null_count:
+        tv, nv = np.asarray(toks.is_valid()), np.asarray(ntok_arr.is_valid())
+        if not np.array_equal(tv, nv):
+            raise ValueError("tokens and n_tok must be null on exactly the same rows")
+        toks_valid = toks.drop_null()
+    else:
+        toks_valid = toks
+    if len(toks_valid) and toks_valid.flatten().null_count:
+        raise ValueError("null token elements not supported (contract: array<int32 NOT NULL>)")
+    flat = toks_valid.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     fp = _fingerprint(doc, flat)
     stat_limit = cfg.statistics_truncate_length or MAX_STAT_LENGTH
     # `statistics none` blanks the stored stats (reference EnabledStatistics,
     # prescription.rs:113-130); doc_id bounds ride the doc_id column's level
     doc_stats = cfg.stats_for("doc_id") != "none"
-    raw_min = doc[0].as_py() if n_rows else ""
-    raw_max = doc[n_rows - 1].as_py() if n_rows else ""
-    did_min = truncate_stat_min(raw_min, stat_limit) if n_rows and doc_stats else ""
-    did_max = truncate_stat_max(raw_max, stat_limit) if n_rows and doc_stats else ""
+    doc_valid = doc.drop_null() if doc.null_count else doc
+    n_doc = len(doc_valid)
+    raw_min = doc_valid[0].as_py() if n_doc else ""
+    raw_max = doc_valid[n_doc - 1].as_py() if n_doc else ""
+    did_min = truncate_stat_min(raw_min, stat_limit) if n_doc and doc_stats else ""
+    did_max = truncate_stat_max(raw_max, stat_limit) if n_doc and doc_stats else ""
     # A5 min_is_exact semantics (column_context.rs:478-541): bounds are only
     # trusted as exact when stored untruncated with stats enabled
     stats_exact = bool(doc_stats and did_min == raw_min and did_max == raw_max)
@@ -184,7 +312,9 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     payloads: dict[str, bytes] = {}
     chunk_bloom: list = [None]
 
-    def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None, bloom=None):
+    def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None, bloom=None, null_count=0, dtype_ddl=None):
+        from .codecs.container import DTYPE_SPARK, dtype_of
+
         codec, outer_name = codec_of(payload)
         keep_stats = cfg.stats_for(column) != "none"
         payloads[column] = payload
@@ -195,7 +325,9 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "column": column,
                 "codec": codec,
                 "outer": outer_name,
+                "dtype": dtype_ddl or DTYPE_SPARK[dtype_of(payload)],
                 "n_values": n_values,
+                "null_count": null_count,
                 "encoded_bytes": len(payload),
                 "raw_bytes": raw_bytes,
                 "rule": rule,
@@ -221,38 +353,69 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         payload = encode_int_column(flat, "plain", outer=cfg.outer_for("tokens"))
     bp = cfg.bloom_for("tokens")
     bloom_buf = build_bloom(flat, fpp=bp["fpp"], ndv=bp["ndv"]) if bp else None
-    emit("tokens", payload, len(flat), flat.nbytes, st, decision.rule, tcol, bloom=bloom_buf)
+    emit("tokens", payload, len(flat), flat.nbytes, st, decision.rule, tcol,
+         bloom=bloom_buf, null_count=toks.null_count, dtype_ddl="array<int>")
 
-    # n_tok: small-int lengths — same selector machinery
+    # n_tok: small-int lengths — same selector machinery; carries the shared
+    # row-validity bitmap when null rows exist
     tcol = time.perf_counter()
-    lens32 = lens.astype(np.int32)
-    lst = compute_chunk_stats(lens32, n_rows)
+    lens_valid = (ntok_arr.drop_null() if ntok_arr.null_count else ntok_arr).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int32)
+    lst = compute_chunk_stats(lens_valid, n_rows)
     ldec = select_codec(
-        lens32, lst, forced=overrides.get("n_tok"),
+        lens_valid, lst, forced=overrides.get("n_tok"),
         allow_dict="!dict:n_tok" not in overrides,
         dict_page_limit=cfg.dict_limit_for("n_tok"),
     )
-    emit("n_tok", encode_int_column(lens32, ldec.codec, outer=cfg.outer_for("n_tok")), n_rows, lens32.nbytes, lst, ldec.rule, tcol)
+    if ntok_arr.null_count:
+        from .codecs.container import encode_any_column
 
-    # doc_id: unique strings → plain unless dictionary-friendly (R1 on strings)
+        nbuf = encode_any_column(ntok_arr, ldec.codec, cfg.outer_for("n_tok"))
+    else:
+        nbuf = encode_int_column(lens_valid, ldec.codec, outer=cfg.outer_for("n_tok"))
+    emit("n_tok", nbuf, n_rows, lens_valid.nbytes, lst, ldec.rule, tcol,
+         null_count=ntok_arr.null_count)
+
+    # doc_id: sorted unique ids → front coding vs plain vs dict (R1/R5 on strings)
     tcol = time.perf_counter()
     forced_doc = overrides.get("doc_id")
     if forced_doc:
-        doc_codec = forced_doc
-    elif "!dict:doc_id" in overrides:
-        doc_codec = "str_plain"
+        doc_codec, doc_rule = forced_doc, "forced"
     else:
-        ndv_doc = pc.count_distinct(doc).as_py() if n_rows else 0
-        doc_codec = "str_dict" if ndv_doc < 0.5 * max(n_rows, 1) else "str_plain"
-    dbuf = encode_str_column(doc, doc_codec, outer=cfg.outer_for("doc_id"))
-    doc_bytes = int(pc.sum(pc.binary_length(doc)).as_py() or 0)
-    emit("doc_id", dbuf, n_rows, doc_bytes, None, "string-byte-array-encoding", tcol)
+        doc_codec, _, doc_rule = _pick_str_codec(
+            doc_valid, allow_dict="!dict:doc_id" not in overrides
+        )
+    if doc.null_count:
+        from .codecs.container import encode_any_column
+
+        dbuf = encode_any_column(doc, doc_codec, cfg.outer_for("doc_id"))
+    else:
+        dbuf = encode_str_column(doc, doc_codec, outer=cfg.outer_for("doc_id"))
+    doc_bytes = int(pc.sum(pc.binary_length(doc_valid)).as_py() or 0)
+    emit("doc_id", dbuf, n_rows, doc_bytes, None, doc_rule, tcol, null_count=doc.null_count)
 
     # source: constant within a chunk by construction → dictionary
     tcol = time.perf_counter()
-    sbuf = encode_str_column(src, overrides.get("source", "str_dict"), outer=cfg.outer_for("source"))
-    src_bytes = int(pc.sum(pc.binary_length(src)).as_py() or 0)
-    emit("source", sbuf, n_rows, src_bytes, None, "dictionary-encoding-cardinality", tcol)
+    if src.null_count:
+        from .codecs.container import encode_any_column
+
+        sbuf = encode_any_column(src, overrides.get("source", "str_dict"), cfg.outer_for("source"))
+    else:
+        sbuf = encode_str_column(src, overrides.get("source", "str_dict"), outer=cfg.outer_for("source"))
+    src_bytes = int(pc.sum(pc.binary_length(src.drop_null() if src.null_count else src)).as_py() or 0)
+    emit("source", sbuf, n_rows, src_bytes, None, "dictionary-encoding-cardinality", tcol,
+         null_count=src.null_count)
+
+    # extra columns: generic registry dispatch
+    from .codecs.container import DTYPE_SPARK
+
+    for name in extras:
+        tcol = time.perf_counter()
+        arr = _chunk0(t.column(name), t.schema.field(name).type)
+        ebuf, est, erule = _encode_extra(arr, name, cfg)
+        raw = sum(len(b) for b in (arr.buffers() or []) if b is not None)
+        emit(name, ebuf, n_rows, raw, est, erule, tcol, null_count=arr.null_count)
 
     row = {
         "chunk_id": chunk_id,
@@ -268,9 +431,9 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         "nbuckets": nbuckets,
         "bloom": chunk_bloom[0],
         "columns": col_meta,
-        **{f"payload_{c}": payloads[c] for c in PAYLOAD_COLUMNS},
+        **{f"payload_{c}": payloads[c] for c in (*PAYLOAD_COLUMNS, *extras)},
     }
-    return pa.Table.from_pylist([row], schema=ENCODED_ARROW_SCHEMA)
+    return pa.Table.from_pylist([row], schema=encoded_arrow_schema(extras))
 
 
 def encode_dataframe(
@@ -280,8 +443,10 @@ def encode_dataframe(
     max_values: int = MAX_CHUNK_VALUES,
     buckets: DataFrame | None = None,
 ) -> DataFrame:
-    """sequences DataFrame → encoded DataFrame (lazy; no action triggered)."""
+    """sequences(+extras) DataFrame → encoded DataFrame (lazy; no action
+    triggered). Extra scalar columns each get their own payload column."""
     cfg = cfg or EncodeConfig()
+    extras = extra_columns_of(df.columns)
     if buckets is None:
         buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.effective_max_values(max_values))
     chunked = assign_chunks(df, buckets)
@@ -289,7 +454,7 @@ def encode_dataframe(
     def fn(t: pa.Table) -> pa.Table:
         return encode_chunk(t, cfg)
 
-    return chunked.groupBy("chunk_id").applyInArrow(fn, ENCODED_SCHEMA)
+    return chunked.groupBy("chunk_id").applyInArrow(fn, encoded_schema_ddl(extras))
 
 
 def column_metrics(encoded: DataFrame) -> DataFrame:
@@ -318,6 +483,8 @@ def column_metrics(encoded: DataFrame) -> DataFrame:
         F.col("c.column").alias("column"),
         F.col("c.codec").alias("codec"),
         F.col("c.outer").alias("outer"),
+        F.col("c.dtype").alias("dtype"),
+        F.col("c.null_count").alias("null_count"),
         F.col("c.n_values").alias("n_values"),
         F.col("c.encoded_bytes").alias("encoded_bytes"),
         F.col("c.raw_bytes").alias("raw_bytes"),
@@ -442,6 +609,8 @@ def run(
     enc_path = f"{out_dir}/encoded"
     lin_path = f"{out_dir}/lineage"
     cfg = cfg or EncodeConfig()
+    extras = extra_columns_of(df.columns)
+    enc_ddl = encoded_schema_ddl(extras)
     buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.effective_max_values(max_values))
     chunked = assign_chunks(df, buckets, salt=salt)
 
@@ -462,7 +631,7 @@ def run(
     def fn(t: pa.Table) -> pa.Table:
         return encode_chunk(t, cfg)
 
-    encoded = chunked.groupBy("chunk_id").applyInArrow(fn, ENCODED_SCHEMA)
+    encoded = chunked.groupBy("chunk_id").applyInArrow(fn, enc_ddl)
     # each attempt writes its own partition dir so the lineage derivation
     # below re-reads ONLY this attempt's files — at 10^12 rows re-reading the
     # whole encoded table per resume would be a full extra scan
@@ -482,7 +651,7 @@ def run(
     # data; a crash between the two writes only re-encodes, never corrupts).
     # Explicit schema: a fully-skipped resume writes zero data files, which
     # schema inference would reject.
-    committed = spark.read.schema(ENCODED_SCHEMA).parquet(f"{enc_path}/attempt={attempt}")
+    committed = spark.read.schema(enc_ddl).parquet(f"{enc_path}/attempt={attempt}")
     lineage = lineage_from_encoded(committed, attempt)
     lineage.write.mode("append").parquet(lin_path)
 
@@ -562,9 +731,8 @@ def compact(
         min_rows = max_rows // 2
     enc = dedup_attempts(read_encoded(spark, src_dir))
     undersized = (F.col("n_rows") < min_rows) & (F.col("n_values") < max_values // 2)
-    from pyspark.sql.types import StructType
-
-    body_cols = StructType.fromDDL(ENCODED_SCHEMA).fieldNames()
+    # body = everything but the attempt partition column — extras-aware
+    body_cols = [c for c in enc.columns if c != "attempt"]
 
     # dest is fully replaced up front: a prior (possibly crashed) compact's
     # attempt=2 files would survive the attempt=1 overwrite below, and the
@@ -614,9 +782,11 @@ def compact(
     # decode UDF would pay for every undersized payload twice
     from pyspark import StorageLevel
 
-    small_seq = decode_dataframe(enc.filter(undersized)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from .decode_job import extra_types_of
+
+    small_seq = decode_dataframe(
+        enc.filter(undersized), extra_types=extra_types_of(enc)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         run(
             spark,

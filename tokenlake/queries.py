@@ -1163,6 +1163,118 @@ def tl_streaming_ingest(spark, sf_dir):
     return _materialize_and_clean(spark, result, wd)
 
 
+def tl_nullable_roundtrip(spark, sf_dir):
+    """Null-preserving roundtrip (round 4): plant nulls in doc_id and in
+    tokens+n_tok (together — the row-validity contract), encode → decode,
+    and compare the MULTISET of row fingerprints per source (nulls can't
+    equi-join). Rows-only: the fingerprints flow through the engine's own
+    codecs, which SQL can't replay. Fully lazy — no scratch dir."""
+    from . import decode_job, encode_job
+    from .schema import sequences_from_documents
+
+    seq = sequences_from_documents(spark, sf_dir)
+    h = F.abs(F.xxhash64("doc_id"))
+    null_tok = (h % 5) == 0
+    nseq = seq.select(
+        F.when((h % 7) == 0, F.lit(None)).otherwise(F.col("doc_id")).alias("doc_id"),
+        F.when(null_tok, F.lit(None)).otherwise(F.col("tokens")).alias("tokens"),
+        F.when(null_tok, F.lit(None)).otherwise(F.col("n_tok")).alias("n_tok"),
+        "source",
+    )
+    enc = encode_job.encode_dataframe(nseq, max_rows=2048, max_values=1_000_000)
+    dec = decode_job.decode_dataframe(enc)
+
+    def keyed(df):
+        k = F.concat_ws(
+            "|",
+            F.coalesce("doc_id", F.lit("<null>")),
+            F.coalesce(F.hash("tokens").cast("string"), F.lit("<null>")),
+            F.coalesce(F.col("n_tok").cast("string"), F.lit("<null>")),
+            "source",
+        )
+        return df.select(F.col("source"), k.alias("k")).groupBy("source", "k").count()
+
+    left, right = keyed(nseq), keyed(dec)
+    j = left.join(
+        right.select("source", "k", F.col("count").alias("dec_count")),
+        ["source", "k"],
+        "left",
+    )
+    return j.groupBy("source").agg(
+        F.sum("count").cast("bigint").alias("rows"),
+        F.sum(F.when(F.col("count").eqNullSafe(F.col("dec_count")), F.col("count")).otherwise(0))
+        .cast("bigint")
+        .alias("identical_rows"),
+    )
+
+
+# deterministic events→sequences derivation shared by the Spark query and
+# the DuckDB oracle: the token list is a closed-form function of event_id so
+# BOTH sides can rebuild it independently (no engine code in the oracle)
+_GEN_TOKENS_SPARK = (
+    "transform(sequence(1, cast(event_id % 7 as int) + 1), "
+    "i -> cast((event_id * 31 + i) % 997 as int))"
+)
+
+
+def q_generic_roundtrip(spark, sf_dir):
+    """Generic column registry, oracle-checked end-to-end: derive a 8-column
+    table from events (doc_id, tokens, n_tok, source + double with planted
+    nulls, timestamp, bigint, bool), push it through encode→decode, and
+    aggregate per source. The oracle computes the same aggregates straight
+    from events — so a single flipped bit in ANY column's codec path breaks
+    the hash match. This is the reference's any-flat-schema surface
+    (column_context.rs:213-292) as a driver-gated query."""
+    from . import decode_job, encode_job
+
+    ev = _events(spark, sf_dir)
+    toks = F.expr(_GEN_TOKENS_SPARK)
+    df = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("user_id").alias("user_id"),
+        (F.col("value") > 0.5).alias("flag"),
+    )
+    enc = encode_job.encode_dataframe(df, max_rows=4096, max_values=1_000_000)
+    dec = decode_job.decode_dataframe(
+        enc,
+        extra_types={
+            "value": "double", "ts": "timestamp_ntz",
+            "user_id": "bigint", "flag": "boolean",
+        },
+    )
+    tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return dec.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("n_tok").cast("bigint").alias("sum_n_tok"),
+        F.sum(tok_sum).cast("bigint").alias("sum_tokens"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("null_values"),
+        F.sum(F.unix_micros(F.col("ts").cast("timestamp"))).cast("bigint").alias("sum_ts_us"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+        F.sum(F.col("flag").cast("int")).cast("bigint").alias("flags_true"),
+    )
+
+
+SQL_GENERIC_ROUNDTRIP = """
+SELECT event_type AS source,
+       count(*)::BIGINT AS n_rows,
+       sum(event_id % 7 + 1)::BIGINT AS sum_n_tok,
+       sum(list_sum(list_transform(generate_series(1, event_id % 7 + 1),
+                                   i -> (event_id * 31 + i) % 997)))::BIGINT AS sum_tokens,
+       round(sum(CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END), 4) AS sum_value,
+       sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_values,
+       sum(epoch_us(ts))::BIGINT AS sum_ts_us,
+       sum(user_id)::BIGINT AS sum_user,
+       sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)::BIGINT AS flags_true
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1207,7 +1319,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_search": q_ann_ivf_search,
     "dedup_embedding": q_dedup_embedding,
     "multimodal_meta": q_multimodal_meta,
+    "generic_roundtrip": q_generic_roundtrip,
     # engine ops — rows-only (no SQL equivalent for custom codecs / hashes)
+    "tl_nullable_roundtrip": tl_nullable_roundtrip,
     "tl_encode_metrics": tl_encode_metrics,
     "tl_roundtrip_check": tl_roundtrip_check,
     "tl_simhash_candidates": tl_simhash_candidates,
@@ -1261,4 +1375,5 @@ ORACLES: dict[str, str] = {
     "ann_ivf_search": SQL_ANN_IVF_SEARCH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "generic_roundtrip": SQL_GENERIC_ROUNDTRIP,
 }

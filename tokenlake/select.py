@@ -58,13 +58,16 @@ class Decision:
     candidates: dict = field(default_factory=dict)
 
 
-def estimate_bytes(stats: ChunkStats, codec: str) -> int:
-    """Analytical size estimate from sampled stats (no data pass)."""
+def estimate_bytes(stats: ChunkStats, codec: str, wide: bool = False) -> int:
+    """Analytical size estimate from sampled stats (no data pass).
+    `wide` = 64-bit element stream (int64/double/timestamp): plain costs
+    8 B/value and the bit-width-based estimates already scale with the real
+    value range, so only plain needs the switch."""
     n = stats.n_values
     if n == 0:
         return _HEADER
     if codec == "plain":
-        return 4 * n + _HEADER
+        return (8 if wide else 4) * n + _HEADER
     if codec in ("for", "bitpack"):
         w = width_for(stats.max_val - stats.min_val)
         return (w * n + 7) // 8 + _HEADER
@@ -126,9 +129,13 @@ def suggested_max_chunk_rows(current_rows: int, payload_bytes: int, limit: int =
 
 
 def candidate_codecs(
-    stats: ChunkStats, allow_dict: bool = True, dict_page_limit: int | None = None
+    stats: ChunkStats,
+    allow_dict: bool = True,
+    dict_page_limit: int | None = None,
+    allow_fsst: bool = True,
 ) -> list[str]:
-    """Rule-threshold pruning → candidate set (cheap, no data pass)."""
+    """Rule-threshold pruning → candidate set (cheap, no data pass).
+    `allow_fsst=False` for 64-bit streams (fsst is int32-only by contract)."""
     cands = ["plain", "for"]
     ratio = stats.cardinality_ratio
     # R1: ratio > 0.5 ⇒ never dictionary; a directed page limit the table
@@ -141,7 +148,7 @@ def candidate_codecs(
         max(stats.max_val - stats.min_val, 1)
     ):
         cands.append("delta")
-    if ratio < FSST_MAX_RATIO and stats.n_values >= 1024:
+    if allow_fsst and ratio < FSST_MAX_RATIO and stats.n_values >= 1024:
         cands.append("fsst")
     return cands
 
@@ -166,14 +173,15 @@ def select_codec(
     forced: str | None = None,
     allow_dict: bool = True,
     dict_page_limit: int | None = None,
+    wide: bool = False,
 ) -> Decision:
     """Pick the minimum-estimated-size codec; R3 escape hatch to plain."""
     if forced is not None:
-        return Decision(forced, estimate_bytes(stats, forced) if forced != "fsst" else _fsst_trial_bytes(flat, stats), "forced", "suggestion")
-    cands = candidate_codecs(stats, allow_dict, dict_page_limit)
+        return Decision(forced, estimate_bytes(stats, forced, wide) if forced != "fsst" else _fsst_trial_bytes(flat, stats), "forced", "suggestion")
+    cands = candidate_codecs(stats, allow_dict, dict_page_limit, allow_fsst=not wide)
     ests = {}
     for c in cands:
-        ests[c] = _fsst_trial_bytes(flat, stats) if c == "fsst" else estimate_bytes(stats, c)
+        ests[c] = _fsst_trial_bytes(flat, stats) if c == "fsst" else estimate_bytes(stats, c, wide)
     best = min(ests, key=lambda c: (ests[c], c))
     plain_est = ests["plain"]
     # R3: if the winner saves <5% vs plain, store plain (decode speed wins)
@@ -188,3 +196,20 @@ def select_codec(
         "plain": "low-compression-ratio",
     }[best]
     return Decision(best, ests[best], rule, "suggestion", ests)
+
+
+# R4 gate (reference rules/float_encoding.rs:17-90): high-cardinality float
+# streams go BYTE_STREAM_SPLIT; low-cardinality ones fall back to the int
+# machinery on their bit patterns (dict/rle win there)
+FLOAT_BSS_RATIO = 0.1
+
+
+def select_float_codec(view: np.ndarray, stats: ChunkStats, forced: str | None = None, wide: bool = False) -> Decision:
+    """R4 realized: BSS for distinct-ratio ≥ 0.1 float streams, else the
+    standard selector over the bit-pattern view (a float column with few
+    distinct values is a dictionary column wearing an IEEE costume)."""
+    if forced is not None:
+        return Decision(forced, estimate_bytes(stats, forced, wide) if forced in ("plain", "for", "delta", "rle", "dict") else 0, "forced", "suggestion")
+    if stats.cardinality_ratio >= FLOAT_BSS_RATIO:
+        return Decision("bss", estimate_bytes(stats, "plain", wide), "float-byte-stream-split", "suggestion")
+    return select_codec(view, stats, allow_dict=True, wide=wide)
