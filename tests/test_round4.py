@@ -283,3 +283,56 @@ if HAVE_HYP:
                     assert isinstance(g, float) and g != g
                 else:
                     assert g == w, (codec, kind)
+
+
+# ------------------------------------------ salt-proof lookup
+
+def test_lookup_multibatch_salted_table_no_isin(spark, tmp_path):
+    """lookup() on a multi-batch (salted) table: candidates reach the scan
+    via a broadcast semi-join — no driver-collected `chunk_id IN (...)`
+    literal list (round-3 verdict: the isin list grew O(#ids × #batches) on
+    long-lived streamed tables)."""
+    from tokenlake import decode_job
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.02, profiles=("lowcard", "sorted_ts"))
+    # three salted batches — same mechanism streaming ingest uses
+    for i, salt in enumerate(["b0", "b1", "b2"]):
+        part = df.filter(F.abs(F.xxhash64("doc_id")) % 3 == i)
+        encode_job.run(spark, part, out, resume=False, salt=salt)
+    want = [r["doc_id"] for r in df.orderBy("doc_id").limit(5).collect()]
+    got = decode_job.lookup(spark, out, want)
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the O(#requested-ids) doc_id IN (...) filter is fine; a literal
+    # chunk_id candidate list is not — candidates must arrive via the
+    # broadcast semi-join
+    assert not re.search(r"chunk_id#?\d* IN \(", plan)
+    assert "In(chunk_id" not in plan  # none pushed as a literal scan filter
+    assert "LeftSemi, BuildRight" in plan
+    rows = got.collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(want)
+    # and decoded content is right
+    orig = {r["doc_id"]: r["tokens"] for r in df.filter(F.col("doc_id").isin(want)).collect()}
+    for r in rows:
+        assert r["tokens"] == orig[r["doc_id"]]
+
+
+# ------------------------------------------ full-depth deterministic lint
+
+def test_full_depth_lint_deterministic_across_layouts(spark):
+    """full_depth lint must emit IDENTICAL stats regardless of input
+    partitioning/arrival order (it sorts chunks into encode order and uses
+    whole-stream stats) — the property the SQL oracle relies on."""
+    df = _df(spark, scale=0.02, profiles=("lowcard", "sorted_ts"))
+    a = lint_job.lint(spark, df, full_depth=True).orderBy("chunk_id", "column").collect()
+    b = (
+        lint_job.lint(spark, df.repartition(13), full_depth=True)
+        .orderBy("chunk_id", "column")
+        .collect()
+    )
+    keep = ("chunk_id", "column", "codec", "distinct_est", "max_zz_delta",
+            "min_val", "max_val", "cardinality_ratio", "run_ratio", "sorted_frac")
+    assert [[r[k] for k in keep] for r in a] == [[r[k] for k in keep] for r in b]
+    assert len(a) > 0

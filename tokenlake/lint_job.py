@@ -40,6 +40,7 @@ from .stats import compute_chunk_stats, extrapolate_stats
 LINT_SCHEMA = (
     "chunk_id string, column string, codec string, rule string, "
     "severity string, est_bytes long, sample_rows long, sample_values long, "
+    "distinct_est long, max_zz_delta long, min_val long, max_val long, "
     "cardinality_ratio double, run_ratio double, sorted_frac double, "
     "body_bytes long, outer_ratio double, dict_payload_bytes long, "
     "location string"
@@ -54,7 +55,10 @@ _OUTER_TRIAL_BYTES = 1 << 16  # bounded zstd-3 trial sample per chunk
 
 
 def lint_chunk(
-    t: pa.Table, cfg: EncodeConfig | None = None, fraction: float = 1.0
+    t: pa.Table,
+    cfg: EncodeConfig | None = None,
+    fraction: float = 1.0,
+    full_stats: bool = False,
 ) -> pa.Table:
     """Stats + selection over one chunk's sampled rows → decision rows.
 
@@ -62,9 +66,14 @@ def lint_chunk(
     extrapolated to full-chunk magnitudes before the cost model so that
     fixed codec costs (dict/FSST tables) amortize the way they will in the
     real encode — a 0.5% screening sample then picks the same codec a 30%
-    sample does."""
+    sample does.
+
+    `full_stats` sorts the chunk by doc_id (encode order) and computes every
+    stat over the whole stream — the deterministic mode the SQL lint oracle
+    replays (order-sensitive quantities like run_ratio would otherwise
+    depend on shuffle arrival order)."""
     cfg = cfg or EncodeConfig()
-    t = t.combine_chunks()
+    t = (t.sort_by("doc_id") if full_stats else t).combine_chunks()
     chunk_id = t.column("chunk_id")[0].as_py()
     n_rows = t.num_rows
     toks = t.column("tokens").chunk(0) if t.column("tokens").num_chunks else pa.array([], pa.list_(pa.int32()))
@@ -73,7 +82,7 @@ def lint_chunk(
 
     rows = []
     for column, values, nv in (("tokens", flat, len(flat)), ("n_tok", lens, n_rows)):
-        st = extrapolate_stats(compute_chunk_stats(values, n_rows), fraction)
+        st = extrapolate_stats(compute_chunk_stats(values, n_rows, full=full_stats), fraction)
         d = select_codec(
             values, st, forced=cfg.overrides.get(column),
             allow_dict=f"!dict:{column}" not in cfg.overrides,
@@ -102,6 +111,10 @@ def lint_chunk(
                 "est_bytes": int(d.est_bytes),
                 "sample_rows": n_rows,
                 "sample_values": nv,
+                "distinct_est": int(st.distinct_est),
+                "max_zz_delta": int(st.max_zz_delta),
+                "min_val": int(st.min_val),
+                "max_val": int(st.max_val),
                 "cardinality_ratio": float(st.cardinality_ratio),
                 "run_ratio": float(st.run_ratio),
                 "sorted_frac": float(st.sorted_frac),
@@ -135,6 +148,7 @@ def lint(
     max_rows: int = MAX_CHUNK_ROWS,
     max_values: int = MAX_CHUNK_VALUES,
     two_pass: bool = True,
+    full_depth: bool = False,
 ) -> DataFrame:
     """Sampled plan-only lint: decisions DataFrame, ordered by severity
     (lib.rs:44 sort_by_key(severity)).
@@ -179,7 +193,7 @@ def lint(
             # per-source fraction captured by closure: pyspark 4.1 infers the
             # UDF eval type from the signature — keep (pa.Table) -> pa.Table
             src = t.column("source")[0].as_py() if t.num_rows else ""
-            return lint_chunk(t, cfg, fraction=fracs.get(src, default_frac))
+            return lint_chunk(t, cfg, fraction=fracs.get(src, default_frac), full_stats=full_depth)
 
         d = chunked.groupBy("chunk_id").applyInArrow(fn, LINT_SCHEMA)
         if fracs:
@@ -196,7 +210,12 @@ def lint(
             frac_col = F.lit(float(default_frac))
         return d.withColumn("sample_fraction", frac_col)
 
-    if not two_pass:
+    if full_depth:
+        # deterministic mode for the SQL oracle: every row, whole-stream
+        # stats, chunks sorted in encode order — no sampling anywhere
+        buckets = plan_buckets(df, mr, mv)
+        decisions = pass_at(df, buckets, {}, 1.0)
+    elif not two_pass:
         buckets = plan_buckets(df, mr, mv)
         decisions = pass_at(df.sample(fraction=fraction, seed=seed), buckets, {}, fraction)
     else:

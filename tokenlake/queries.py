@@ -1217,6 +1217,130 @@ _GEN_TOKENS_SPARK = (
 )
 
 
+def _events_sequences(spark, sf_dir):
+    """events → canonical sequences via the closed-form token derivation."""
+    ev = _events(spark, sf_dir)
+    toks = F.expr(_GEN_TOKENS_SPARK)
+    return ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+    )
+
+
+def q_lint_decisions_full(spark, sf_dir):
+    """ORACLE-CHECKED lint (round 4, VERDICT #6): the full-depth
+    deterministic lint (fraction 1.0, whole-stream stats, encode-order
+    chunks, one chunk per source) over the closed-form events sequences.
+    DuckDB recomputes every stat the R1/R6 rules consume — exact NDV,
+    cardinality ratio, run ratio, sortedness, zigzag-delta width — plus the
+    rule GATES themselves (DictOnly/Ambiguous/NoDict classification, RLE
+    viability, the R6 delta gate), straight from the raw events table. The
+    codec/estimator outputs stay engine-side (no SQL analog of the cost
+    model); their INPUTS are what this locks down. R3/R7 have their own
+    oracle queries (r3_low_compression, r7_chunk_sizing)."""
+    from . import lint_job
+    from .select import DELTA_SORTED_FRAC, DICT_ENABLE_RATIO, DICT_REJECT_RATIO, RLE_RUN_RATIO
+
+    df = _events_sequences(spark, sf_dir)
+    d = lint_job.lint(
+        spark, df, full_depth=True, max_rows=1 << 40, max_values=1 << 50
+    )
+    src = F.expr(
+        "substring(chunk_id, 1, length(chunk_id)"
+        " - length(element_at(split(chunk_id, '#'), -1)) - 1)"
+    )
+    width = lambda c: F.when(c <= 0, F.lit(0)).otherwise(
+        F.floor(F.log2(c.cast("double"))).cast("bigint") + 1
+    )
+    return d.select(
+        src.alias("source"),
+        F.col("column"),
+        F.col("sample_values").cast("bigint").alias("n_values"),
+        F.col("distinct_est").cast("bigint").alias("distinct_cnt"),
+        F.round("cardinality_ratio", 6).alias("cardinality_ratio"),
+        F.round("run_ratio", 6).alias("run_ratio"),
+        F.round("sorted_frac", 6).alias("sorted_frac"),
+        F.col("max_zz_delta").cast("bigint").alias("max_zz_delta"),
+        F.col("min_val").cast("bigint").alias("min_val"),
+        F.col("max_val").cast("bigint").alias("max_val"),
+        F.when(F.col("cardinality_ratio") > DICT_REJECT_RATIO, F.lit("NoDict"))
+        .when(F.col("cardinality_ratio") > DICT_ENABLE_RATIO, F.lit("Ambiguous"))
+        .otherwise(F.lit("DictOnly"))
+        .alias("dict_class"),
+        (F.col("run_ratio") < RLE_RUN_RATIO).alias("rle_viable"),
+        (
+            (F.col("sorted_frac") >= DELTA_SORTED_FRAC)
+            | (width(F.col("max_zz_delta")) < width(F.col("max_val") - F.col("min_val")))
+        ).alias("delta_viable"),
+    )
+
+
+SQL_LINT_FULL = """
+WITH seq AS (
+  SELECT event_type AS source, cast(event_id AS VARCHAR) AS doc_id,
+         event_id % 7 + 1 AS n_tok,
+         list_transform(generate_series(1, event_id % 7 + 1),
+                        i -> (event_id * 31 + i) % 997) AS tokens
+  FROM events
+),
+flat AS (
+  SELECT source, doc_id, unnest(tokens) AS v, generate_subscripts(tokens, 1) AS ord
+  FROM seq
+),
+tok_d AS (
+  SELECT source, v,
+         v - lag(v) OVER (PARTITION BY source ORDER BY doc_id, ord) AS d
+  FROM flat
+),
+ntok_d AS (
+  SELECT source, n_tok AS v,
+         n_tok - lag(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS d
+  FROM seq
+),
+stats AS (
+  SELECT source, 'tokens' AS "column",
+         count(*)::BIGINT AS n_values,
+         count(DISTINCT v)::BIGINT AS distinct_cnt,
+         round(count(DISTINCT v)::DOUBLE / count(*), 6) AS cardinality_ratio,
+         round((1 + sum(CASE WHEN d IS NOT NULL AND d <> 0 THEN 1 ELSE 0 END))::DOUBLE
+               / count(*), 6) AS run_ratio,
+         round(coalesce(avg(CASE WHEN d IS NOT NULL
+                            THEN CASE WHEN d >= 0 THEN 1.0 ELSE 0.0 END END), 1.0), 6)
+           AS sorted_frac,
+         coalesce(max(CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END), 0)::BIGINT
+           AS max_zz_delta,
+         min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+  FROM tok_d GROUP BY source
+  UNION ALL
+  SELECT source, 'n_tok',
+         count(*)::BIGINT,
+         count(DISTINCT v)::BIGINT,
+         round(count(DISTINCT v)::DOUBLE / count(*), 6),
+         round((1 + sum(CASE WHEN d IS NOT NULL AND d <> 0 THEN 1 ELSE 0 END))::DOUBLE
+               / count(*), 6),
+         round(coalesce(avg(CASE WHEN d IS NOT NULL
+                            THEN CASE WHEN d >= 0 THEN 1.0 ELSE 0.0 END END), 1.0), 6),
+         coalesce(max(CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END), 0)::BIGINT,
+         min(v)::BIGINT, max(v)::BIGINT
+  FROM ntok_d GROUP BY source
+)
+SELECT *,
+       CASE WHEN cardinality_ratio > 0.5 THEN 'NoDict'
+            WHEN cardinality_ratio > 0.1 THEN 'Ambiguous'
+            ELSE 'DictOnly' END AS dict_class,
+       run_ratio < 0.5 AS rle_viable,
+       (sorted_frac >= 0.90 OR
+        (CASE WHEN max_zz_delta <= 0 THEN 0
+              ELSE floor(log2(max_zz_delta))::BIGINT + 1 END
+         < CASE WHEN max_val - min_val <= 0 THEN 0
+                ELSE floor(log2(max_val - min_val))::BIGINT + 1 END))
+         AS delta_viable
+FROM stats
+"""
+
+
 def q_generic_roundtrip(spark, sf_dir):
     """Generic column registry, oracle-checked end-to-end: derive a 8-column
     table from events (doc_id, tokens, n_tok, source + double with planted
@@ -1320,6 +1444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "multimodal_meta": q_multimodal_meta,
     "generic_roundtrip": q_generic_roundtrip,
+    "lint_decisions_full": q_lint_decisions_full,
     # engine ops — rows-only (no SQL equivalent for custom codecs / hashes)
     "tl_nullable_roundtrip": tl_nullable_roundtrip,
     "tl_encode_metrics": tl_encode_metrics,
@@ -1376,4 +1501,5 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "generic_roundtrip": SQL_GENERIC_ROUNDTRIP,
+    "lint_decisions_full": SQL_LINT_FULL,
 }

@@ -113,20 +113,24 @@ def _avg_block_width(zz: np.ndarray, block: int = 128) -> float:
     return float(widths.mean())
 
 
-def compute_chunk_stats(flat: np.ndarray, n_rows: int) -> ChunkStats:
+def compute_chunk_stats(flat: np.ndarray, n_rows: int, full: bool = False) -> ChunkStats:
     """Stats over the flat token stream of one chunk (head-of-chunk sample,
-    mirroring the reference's first-row-group sampling, cardinality.rs:116-122)."""
+    mirroring the reference's first-row-group sampling, cardinality.rs:116-122).
+
+    `full=True` computes every quantity over the WHOLE stream — exact NDV,
+    run count, sortedness — for the deterministic full-depth lint whose
+    decisions a SQL oracle replays (no sampling noise allowed there)."""
     n = len(flat)
     if n == 0:
         return ChunkStats(0, n_rows, 0, 0, 0, 0, 0, 0, 1.0, 0, 0.0, 0.0, 0)
-    sample = flat[:SAMPLE_VALUES]
+    sample = flat if full else flat[:SAMPLE_VALUES]
     sn = len(sample)
     s64 = sample.astype(np.int64)
     d = np.diff(s64)
     zz = ((d << 1) ^ (d >> 63)).astype(np.uint64)
     runs = 1 + int(np.count_nonzero(d)) if sn > 1 else sn
     ndv = len(np.unique(sample))
-    if ndv < 0.5 * sn and n > sn:
+    if not full and ndv < 0.5 * sn and n > sn:
         # tier-2 analog: sample saturated ⇒ dictionary plausible ⇒ resolve NDV
         # exactly with one hash pass (reference reads the dictionary page for
         # the exact count, cardinality.rs:160-177; pd.unique is our dict page)
