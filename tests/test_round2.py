@@ -471,9 +471,11 @@ def test_prescription_dictionary_growth(spark):
     (dictionary_encoding.rs:155-240)."""
 
     def mkrow(payload):
+        # field order = LINT_SCHEMA (round 4 added distinct_est, max_zz_delta,
+        # min_val, max_val)
         return ("c#0", "tokens", "dict", "dictionary-encoding-cardinality",
-                "suggestion", 100, 1000, 50000, 0.01, 1.0, 0.5, 1000, 0.5, payload,
-                "column")
+                "suggestion", 100, 1000, 50000, 500, 10, 0, 4096,
+                0.01, 1.0, 0.5, 1000, 0.5, payload, "column")
 
     grow = spark.createDataFrame([mkrow(5 << 20)], schema=lint_job.LINT_SCHEMA)
     rx = lint_job.prescription_from_decisions(grow)

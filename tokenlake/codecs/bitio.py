@@ -62,11 +62,12 @@ def pack_uints(vals: np.ndarray, width: int) -> bytes:
         return np.ascontiguousarray(vals).astype(_CAST_DTYPES[width], copy=False).tobytes()
     dt = _carrier(width)
     v = np.ascontiguousarray(vals).astype(dt, copy=False)
-    vv = v.view(np.uint8).reshape(n, dt.itemsize)  # little-endian byte matrix
     k, r = divmod(width, 8)
-    parts = [np.ascontiguousarray(vv[:, b]).tobytes() for b in range(k)]
+    # plane b = (v >> 8b) truncated to a byte: two sequential passes beat the
+    # cache-hostile strided column copy out of an (n, itemsize) byte matrix
+    parts = [(v >> np.uint8(8 * b)).astype(np.uint8).tobytes() for b in range(k)]
     if r:
-        top = vv[:, k]
+        top = (v >> np.uint8(8 * k)).astype(np.uint8)
         for j in range(r):
             parts.append(np.packbits((top >> j) & 1, bitorder="little").tobytes())
     return b"".join(parts)
@@ -82,10 +83,11 @@ def unpack_uints(buf, n: int, width: int, dtype=np.uint64) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8)
     dt = _carrier(width)
     k, r = divmod(width, 8)
-    vv = np.zeros((n, dt.itemsize), dtype=np.uint8)
+    out = np.zeros(n, dtype=dt)
     pos = 0
     for b in range(k):
-        vv[:, b] = raw[pos : pos + n]
+        # sequential widen+shift+or per plane — no byte-matrix scatter
+        out |= raw[pos : pos + n].astype(dt) << np.uint8(8 * b)
         pos += n
     if r:
         nbb = (n + 7) // 8
@@ -94,19 +96,26 @@ def unpack_uints(buf, n: int, width: int, dtype=np.uint64) -> np.ndarray:
             bits = np.unpackbits(raw[pos : pos + nbb], bitorder="little", count=n)
             top |= bits << j
             pos += nbb
-        vv[:, k] = top
-    return vv.ravel().view(dt.newbyteorder("<")).astype(dtype, copy=False)
+        out |= top.astype(dt) << np.uint8(8 * k)
+    return out.astype(dtype, copy=False)
 
 
 def sorted_factorize(arr: np.ndarray):
     """(sorted_unique_values, codes) — hash-based, ~20× faster than np.unique
-    with return_inverse on large low-cardinality data; output identical."""
+    with return_inverse on large low-cardinality data; output identical.
+
+    Codes come back in the smallest unsigned dtype that fits the value count:
+    the big gather (rank[codes], one element per input value) then moves 1-4
+    bytes per value instead of 8 — these kernels are memory-bound, so the
+    code stream's width IS the cost."""
     import pandas as pd
 
     codes, vals = pd.factorize(arr)
     order = np.argsort(vals, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
+    nv = len(order)
+    small = np.uint8 if nv <= 1 << 8 else np.uint16 if nv <= 1 << 16 else np.uint32
+    rank = np.empty(nv, dtype=small)
+    rank[order] = np.arange(nv, dtype=small)
     return np.asarray(vals)[order], rank[codes]
 
 

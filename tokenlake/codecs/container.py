@@ -179,10 +179,11 @@ def unwrap(buf: bytes | memoryview) -> tuple[int, memoryview, int, int]:
     return codec_id, body, dtype, flags
 
 
-def encode_int_column(arr: np.ndarray, codec: str, outer: str = "auto") -> bytes:
-    """Canonical int32 fast path (tokens / n_tok): no nulls, no dtype ceremony."""
+def encode_int_column(arr: np.ndarray, codec: str, outer: str = "auto", fact=None) -> bytes:
+    """Canonical int32 fast path (tokens / n_tok): no nulls, no dtype
+    ceremony. `fact` forwards a precomputed factorization to enc_dict."""
     cid = intcodecs.INT_CODEC_IDS[codec]
-    return wrap(cid, intcodecs.encode_int_body(cid, arr), outer, DT_INT32)
+    return wrap(cid, intcodecs.encode_int_body(cid, arr, fact=fact), outer, DT_INT32)
 
 
 def encode_str_column(values, codec: str, outer: str = "auto") -> bytes:

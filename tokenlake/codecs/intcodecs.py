@@ -213,16 +213,20 @@ def dec_rle(body: memoryview, wide: bool = False) -> np.ndarray:
 
 # ---------------------------------------------------------------- dictionary
 
-def enc_dict(arr: np.ndarray, wide: bool = False) -> bytes:
+def enc_dict(arr: np.ndarray, wide: bool = False, fact=None) -> bytes:
+    """`fact`: optional precomputed (sorted_unique_values, codes) — the
+    stats pass already factorized the stream when its sample saturated."""
     n = len(arr)
     if n == 0:
         vbuf = enc_delta(np.empty(0, dtype=np.int64 if wide else np.int32))
         return _U32.pack(0) + _U32.pack(len(vbuf)) + vbuf + b"\x00"
-    vals, inv = sorted_factorize(arr)
+    vals, inv = fact if fact is not None else sorted_factorize(arr)
     # unique values are sorted → delta-pack the dictionary itself
     vbuf = enc_delta(vals if wide else vals.astype(np.int32))
     w = width_for(len(vals) - 1)
-    return _U32.pack(n) + _U32.pack(len(vbuf)) + vbuf + bytes([w]) + pack_uints(inv.astype(np.uint64), w)
+    # inv goes to pack_uints in its native narrow dtype — pack casts to the
+    # carrier itself; a uint64 round-trip here would double the memory traffic
+    return _U32.pack(n) + _U32.pack(len(vbuf)) + vbuf + bytes([w]) + pack_uints(inv, w)
 
 
 def dec_dict(body: memoryview, wide: bool = False) -> np.ndarray:
@@ -307,13 +311,24 @@ def _pair_membership(ph: np.ndarray, chosen: np.ndarray, lut: np.ndarray, mask: 
 
 def _greedy_nonoverlap(cand: np.ndarray) -> np.ndarray:
     """Left-to-right greedy over overlapping candidate pair starts: inside each
-    run of consecutive candidates keep even offsets. One maximum.accumulate
-    pass instead of per-run bookkeeping."""
-    n = len(cand)
-    pos = np.arange(n, dtype=np.int64)
-    run_start = np.where(cand & ~np.r_[False, cand[:-1]], pos, 0)
+    run of consecutive candidates keep even offsets.
+
+    Works on the candidate INDEX list (m entries), not the full position
+    axis: after the one unavoidable flatnonzero pass over `cand`, every op
+    is O(m) — candidates are typically a small fraction of the stream, and
+    the former full-width arange/where/accumulate passes were the single
+    hottest spot of the whole encode kernel."""
+    idx = np.flatnonzero(cand)
+    m = len(idx)
+    if m == 0:
+        return idx
+    # run start per candidate: forward-fill idx over breaks in consecutiveness
+    brk = np.empty(m, dtype=bool)
+    brk[0] = True
+    np.not_equal(np.diff(idx), 1, out=brk[1:])
+    run_start = np.where(brk, idx, 0)
     np.maximum.accumulate(run_start, out=run_start)
-    return np.flatnonzero(cand & (((pos - run_start) & 1) == 0))
+    return idx[((idx - run_start) & 1) == 0]
 
 
 def enc_fsst(arr: np.ndarray) -> bytes:
@@ -385,11 +400,11 @@ def enc_fsst(arr: np.ndarray) -> bytes:
         vbuf,
         struct.pack("<H", npairs),
         bytes([pw]),
-        pack_uints(lefts.astype(np.uint64), pw),
-        pack_uints(rights.astype(np.uint64), pw),
+        pack_uints(lefts, pw),
+        pack_uints(rights, pw),
         _U32.pack(len(stream)),
         bytes([sw]),
-        pack_uints(stream.astype(np.uint64), sw),
+        pack_uints(stream, sw),
     ]
     return b"".join(out)
 
@@ -449,9 +464,11 @@ _WIDE_AWARE_ENC = {PLAIN: True, FOR: False, DELTA: False, RLE: False, DICT: True
 WIDE_CODECS = frozenset({"plain", "for", "delta", "rle", "dict", "bss"})
 
 
-def encode_int_body(codec_id: int, arr: np.ndarray, wide: bool = False) -> bytes:
+def encode_int_body(codec_id: int, arr: np.ndarray, wide: bool = False, fact=None) -> bytes:
     if wide and codec_id == FSST:
         raise ValueError("fsst is int32-only; wide integer streams use plain/for/delta/rle/dict/bss")
+    if codec_id == DICT:
+        return enc_dict(arr, wide=wide, fact=fact)
     if wide and _WIDE_AWARE_ENC[codec_id]:
         return _ENCODERS[codec_id](arr, wide=True)
     return _ENCODERS[codec_id](arr)

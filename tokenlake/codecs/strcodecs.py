@@ -80,7 +80,7 @@ def dec_str_plain(body: memoryview) -> pa.Array:
 def enc_str_dict(values) -> bytes:
     arr = _to_arrow(values)
     d = arr.dictionary_encode()
-    indices = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    indices = d.indices.to_numpy(zero_copy_only=False)
     dict_buf = enc_str_plain(d.dictionary)
     ndv = len(d.dictionary)
     w = width_for(ndv - 1) if ndv > 1 else 0

@@ -164,9 +164,9 @@ def _fingerprint(doc_ids: pa.Array, flat: np.ndarray) -> str:
     """Cheap order-stable content hash for lineage: crc32 over the flat token
     buffer plus the doc_id utf8 data + lengths (buffer-level, no per-row work).
     Null doc_ids hash as length -1; the validity buffer is folded in below."""
-    c = zlib.crc32(flat.tobytes())
+    c = zlib.crc32(np.ascontiguousarray(flat))  # buffer protocol — no copy
     lens = pc.fill_null(pc.utf8_length(doc_ids), -1)
-    c = zlib.crc32(np.asarray(lens, dtype=np.int64).tobytes(), c)
+    c = zlib.crc32(np.ascontiguousarray(lens, dtype=np.int64), c)
     for buf in doc_ids.buffers():
         if buf is not None:
             c = zlib.crc32(buf, c)
@@ -338,15 +338,27 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
             }
         )
 
-    # tokens: the payload column — full selector
+    # tokens: the payload column — full selector. The stats pass' exact-NDV
+    # resolve factorizes the stream ONCE and the dictionary encoder reuses
+    # it (fact cache) — previously the same hash pass ran twice per chunk.
     tcol = time.perf_counter()
-    st = compute_chunk_stats(flat, n_rows)
+    from .codecs.bitio import sorted_factorize
+
+    fact_cache: dict = {}
+
+    def _resolve_ndv():
+        fact_cache["f"] = sorted_factorize(flat)
+        return len(fact_cache["f"][0])
+
+    st = compute_chunk_stats(flat, n_rows, ndv_resolver=_resolve_ndv)
     decision = select_codec(
         flat, st, forced=overrides.get("tokens"),
         allow_dict="!dict:tokens" not in overrides,
         dict_page_limit=cfg.dict_limit_for("tokens"),
     )
-    payload = encode_int_column(flat, decision.codec, outer=cfg.outer_for("tokens"))
+    payload = encode_int_column(
+        flat, decision.codec, outer=cfg.outer_for("tokens"), fact=fact_cache.get("f")
+    )
     if len(payload) > len(flat) * 4 + 64 and decision.codec != "plain":
         # hard guarantee: never worse than plain (R3 escape hatch)
         decision = select_codec(flat, st, forced="plain")
@@ -379,17 +391,26 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
 
     # doc_id: sorted unique ids → front coding vs plain vs dict (R1/R5 on strings)
     tcol = time.perf_counter()
+    from .codecs.container import wrap as _wrap
+    from .codecs.strcodecs import STR_CODEC_IDS
+
     forced_doc = overrides.get("doc_id")
+    doc_body = None
     if forced_doc:
         doc_codec, doc_rule = forced_doc, "forced"
     else:
-        doc_codec, _, doc_rule = _pick_str_codec(
+        doc_codec, doc_body, doc_rule = _pick_str_codec(
             doc_valid, allow_dict="!dict:doc_id" not in overrides
         )
     if doc.null_count:
         from .codecs.container import encode_any_column
 
         dbuf = encode_any_column(doc, doc_codec, cfg.outer_for("doc_id"))
+    elif doc_body is not None:
+        # the winning trial body IS the payload — don't encode it twice
+        from .codecs.container import DT_STRING
+
+        dbuf = _wrap(STR_CODEC_IDS[doc_codec], doc_body, cfg.outer_for("doc_id"), DT_STRING)
     else:
         dbuf = encode_str_column(doc, doc_codec, outer=cfg.outer_for("doc_id"))
     doc_bytes = int(pc.sum(pc.binary_length(doc_valid)).as_py() or 0)

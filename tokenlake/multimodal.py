@@ -38,6 +38,45 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# decoder contract (round 4): a real decoder plugs in behind this registry.
+# The engine never imports an image library itself; an environment that has
+# one registers `register_decoder("image/png", pil_decode)` and every
+# decode_media call-site picks it up. tests/test_round4.py pins the contract
+# a future real decoder must satisfy (deterministic, uint8 ndarray, shape
+# checks, fixed input → fixed feature vector).
+# --------------------------------------------------------------------------
+
+DECODERS: dict[str, callable] = {}
+
+
+def register_decoder(media_type: str, fn) -> None:
+    """Register `fn(payload: bytes) -> np.ndarray` for a media type."""
+    DECODERS[media_type] = fn
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Dispatch to a registered decoder and validate its output against the
+    contract: a C-contiguous uint8 ndarray of rank 1 (audio samples),
+    2 (grayscale), or 3 (H×W×C). Raises NotImplementedError when no decoder
+    is registered — the honest state of this container."""
+    fn = DECODERS.get(media_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"no decoder registered for {media_type!r}; media decode requires "
+            "an image/audio library not present in this environment "
+            "(register one via register_decoder)"
+        )
+    arr = fn(payload)
+    if not isinstance(arr, np.ndarray) or arr.dtype != np.uint8 or arr.ndim not in (1, 2, 3):
+        raise ValueError(
+            f"decoder for {media_type!r} violated the contract: need a rank-1/2/3 "
+            f"uint8 ndarray, got {type(arr).__name__}"
+            + (f" dtype={arr.dtype} ndim={arr.ndim}" if isinstance(arr, np.ndarray) else "")
+        )
+    return np.ascontiguousarray(arr)
+
+
 def decode_image_stub(payload: bytes) -> np.ndarray:
     """Where a real pixel decode would go (PIL/libvips not in this container)."""
     raise NotImplementedError(

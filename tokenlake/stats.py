@@ -113,13 +113,22 @@ def _avg_block_width(zz: np.ndarray, block: int = 128) -> float:
     return float(widths.mean())
 
 
-def compute_chunk_stats(flat: np.ndarray, n_rows: int, full: bool = False) -> ChunkStats:
+def compute_chunk_stats(
+    flat: np.ndarray, n_rows: int, full: bool = False, ndv_resolver=None
+) -> ChunkStats:
     """Stats over the flat token stream of one chunk (head-of-chunk sample,
     mirroring the reference's first-row-group sampling, cardinality.rs:116-122).
 
     `full=True` computes every quantity over the WHOLE stream — exact NDV,
     run count, sortedness — for the deterministic full-depth lint whose
-    decisions a SQL oracle replays (no sampling noise allowed there)."""
+    decisions a SQL oracle replays (no sampling noise allowed there).
+
+    `ndv_resolver`: optional zero-arg callable returning the exact NDV,
+    invoked ONLY when the saturation tier fires. The encode path passes one
+    that factorizes the stream and caches the result for the dictionary
+    encoder — the exact-NDV hash pass and the dict-table build were the same
+    work done twice (the reference reads the dictionary page once for both,
+    cardinality.rs:160-177)."""
     n = len(flat)
     if n == 0:
         return ChunkStats(0, n_rows, 0, 0, 0, 0, 0, 0, 1.0, 0, 0.0, 0.0, 0)
@@ -134,9 +143,12 @@ def compute_chunk_stats(flat: np.ndarray, n_rows: int, full: bool = False) -> Ch
         # tier-2 analog: sample saturated ⇒ dictionary plausible ⇒ resolve NDV
         # exactly with one hash pass (reference reads the dictionary page for
         # the exact count, cardinality.rs:160-177; pd.unique is our dict page)
-        import pandas as pd
+        if ndv_resolver is not None:
+            distinct_est = int(ndv_resolver())
+        else:
+            import pandas as pd
 
-        distinct_est = len(pd.unique(flat))
+            distinct_est = len(pd.unique(flat))
     else:
         distinct_est = scale_distinct(ndv, sn, n)
     return ChunkStats(
