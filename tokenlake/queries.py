@@ -917,60 +917,124 @@ FROM documents
 # engine pipeline operators (not SQL-expressible → rows-only checks)
 # --------------------------------------------------------------------------
 
-def tl_encode_metrics(spark, sf_dir):
-    """Full engine: documents → sequences → chunked encode; metrics only
-    (the per-column view over the wide one-row-per-chunk layout)."""
-    from . import encode_job
+def tl_lint_vs_encode(spark, sf_dir):
+    """Lint-predicts-encode over ONE shared bucket plan (round-4 merge of
+    the former tl_encode_metrics + tl_lint entries — 53→50 driver budget):
+    the sampled two-pass lint and the real chunked encode run at the SAME
+    chunk caps, so chunk ids agree, and every encoded (chunk, column) row
+    carries the lint's predicted codec next to the actual one. Rows-only
+    (the decision logic is the numpy cost model; the full-depth
+    deterministic variant lint_decisions_full is the oracle-checked lint)."""
+    from . import encode_job, lint_job
     from .schema import sequences_from_documents
 
     seq = sequences_from_documents(spark, sf_dir)
     enc = encode_job.encode_dataframe(seq, max_rows=2048, max_values=1_000_000)
-    return encode_job.column_metrics(enc).select(
-        "chunk_id", "column", "codec", "rule", "n_rows", "n_values", "encoded_bytes", "raw_bytes"
+    metrics = encode_job.column_metrics(enc).select(
+        "chunk_id", "column", "codec", "rule", "n_rows", "n_values",
+        "null_count", "encoded_bytes", "raw_bytes",
+    )
+    decisions = lint_job.lint(
+        spark, seq, fraction=0.5, max_rows=2048, max_values=1_000_000
+    ).select("chunk_id", "column", F.col("codec").alias("lint_codec"))
+    return metrics.join(decisions, ["chunk_id", "column"], "left").withColumn(
+        "lint_agrees",
+        F.when(F.col("lint_codec").isNull(), F.lit(None)).otherwise(
+            F.col("lint_codec") == F.col("codec")
+        ),
     )
 
 
 def tl_roundtrip_check(spark, sf_dir):
-    """Encode → decode → bit-identity join, per source (one lazy plan)."""
+    """Encode → decode → bit-identity, per source, WITH planted nulls
+    (round-4 merge of the former separate tl_nullable_roundtrip): a
+    deterministic subset gets null doc_id (~1/7) and null tokens+n_tok
+    (~1/5, together — the row-validity contract), so this one query gates
+    both the canonical fast paths and the container validity-bitmap paths.
+    Comparison is a null-safe row-fingerprint multiset per source (nulls
+    can't equi-join). One lazy plan, no scratch dir."""
     from . import decode_job, encode_job
     from .schema import sequences_from_documents
 
     seq = sequences_from_documents(spark, sf_dir)
-    enc = encode_job.encode_dataframe(seq, max_rows=2048, max_values=1_000_000)
-    dec = decode_job.decode_dataframe(enc).select(
-        "doc_id",
-        F.col("tokens").alias("d_tokens"),
-        F.col("n_tok").alias("d_n_tok"),
-        F.col("source").alias("d_source"),
+    h = F.abs(F.xxhash64("doc_id"))
+    null_tok = (h % 5) == 0
+    nseq = seq.select(
+        F.when((h % 7) == 0, F.lit(None)).otherwise(F.col("doc_id")).alias("doc_id"),
+        F.when(null_tok, F.lit(None)).otherwise(F.col("tokens")).alias("tokens"),
+        F.when(null_tok, F.lit(None)).otherwise(F.col("n_tok")).alias("n_tok"),
+        "source",
     )
-    j = seq.join(dec, "doc_id", "left")
-    # full-row predicate (tokens, n_tok, source) — keep in lockstep with
-    # verify_bit_identical and tl_streaming_ingest
+    enc = encode_job.encode_dataframe(nseq, max_rows=2048, max_values=1_000_000)
+    dec = decode_job.decode_dataframe(enc)
+
+    def keyed(df):
+        k = F.concat_ws(
+            "|",
+            F.coalesce("doc_id", F.lit("<null>")),
+            F.coalesce(F.hash("tokens").cast("string"), F.lit("<null>")),
+            F.coalesce(F.col("n_tok").cast("string"), F.lit("<null>")),
+            "source",
+        )
+        return df.select(
+            F.col("source"),
+            k.alias("k"),
+            F.col("doc_id").isNull().cast("long").alias("null_doc"),
+            F.col("tokens").isNull().cast("long").alias("null_tok"),
+        ).groupBy("source", "k").agg(
+            F.count("*").alias("count"),
+            F.sum("null_doc").alias("null_doc"),
+            F.sum("null_tok").alias("null_tok"),
+        )
+
+    left, right = keyed(nseq), keyed(dec)
+    j = left.join(
+        right.select("source", "k", F.col("count").alias("dec_count")),
+        ["source", "k"],
+        "left",
+    )
     return j.groupBy("source").agg(
-        F.count("*").alias("rows"),
+        F.sum("count").cast("bigint").alias("rows"),
         F.sum(
-            F.when(
-                F.col("d_tokens").isNotNull()
-                & (F.col("tokens") == F.col("d_tokens"))
-                & (F.col("n_tok") == F.col("d_n_tok"))
-                & (F.col("source") == F.col("d_source")),
-                1,
-            ).otherwise(0)
-        ).alias("bit_identical_rows"),
+            F.when(F.col("count").eqNullSafe(F.col("dec_count")), F.col("count")).otherwise(0)
+        ).cast("bigint").alias("bit_identical_rows"),
+        F.sum("null_doc").cast("bigint").alias("null_doc_rows"),
+        F.sum("null_tok").cast("bigint").alias("null_token_rows"),
     )
 
 
-def tl_simhash_candidates(spark, sf_dir):
-    """Hamming-band blocking over the full 64-bit simhash → candidate
-    near-dup pairs (equi-join on band value, no cartesian; 32-bit bands +
-    hot-bucket guard — textops.simhash_candidates). Subsumes round 2's
-    separate tl_simhash entry (the signature computation is this query's
-    first stage). Rows-only: xxhash64 has no portable DuckDB equivalent."""
-    return textops.simhash_candidates(_docs(spark, sf_dir))
+def tl_hash_blocking(spark, sf_dir):
+    """Hash-family candidate blocking, both families in one result (round-4
+    merge of the former tl_simhash_candidates + tl_lsh_cosine entries —
+    53→50 driver budget):
 
+    - `simhash_hamming_band`: 64-bit simhash, Hamming-band equi-join
+      candidates over documents (32-bit bands + hot-bucket guard,
+      textops.simhash_candidates), summarized per left doc;
+    - `hyperplane_lsh`: signed-projection cosine buckets over embeddings
+      (similarity.lsh_hyperplane_buckets), one row per bucket.
 
-def tl_lsh_cosine(spark, sf_dir):
-    return similarity.lsh_hyperplane_buckets(_emb(spark, sf_dir))
+    Both are two-stage bucketed plans — no cartesian anywhere. Rows-only:
+    xxhash64 has no portable DuckDB equivalent (the hyperplane-LSH family
+    IS oracle-checked separately via dedup_embedding's plane replay)."""
+    pairs = textops.simhash_candidates(_docs(spark, sf_dir))
+    sim = (
+        pairs.groupBy("doc_a")
+        .agg(F.count("*").cast("long").alias("n"), F.min("doc_b").alias("lo"))
+        .select(
+            F.lit("simhash_hamming_band").alias("method"),
+            F.col("doc_a").cast("string").alias("key"),
+            "n",
+            F.col("lo").cast("string").alias("lo"),
+        )
+    )
+    lsh = similarity.lsh_hyperplane_buckets(_emb(spark, sf_dir)).select(
+        F.lit("hyperplane_lsh").alias("method"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("n_vecs").alias("n"),
+        F.col("min_vec").cast("string").alias("lo"),
+    )
+    return sim.unionByName(lsh)
 
 
 def tl_ivf_train(spark, sf_dir):
@@ -1067,18 +1131,6 @@ def tl_multimodal_features(spark, sf_dir):
     return feat.select("doc_id", "byte_len", sig.alias("feature_sig"))
 
 
-def tl_lint(spark, sf_dir):
-    """Plan-only sampled lint (lint_job.py) over the docs-derived sequences —
-    the reference's primary `parquet-linter FILE` entry point (lib.rs:18-46):
-    decisions DataFrame ordered by severity, no payload encode. Rows-only
-    (decision logic is the numpy cost model — no SQL equivalent)."""
-    from . import lint_job
-    from .schema import sequences_from_documents
-
-    seq = sequences_from_documents(spark, sf_dir)
-    return lint_job.lint(spark, seq, fraction=0.5)
-
-
 def tl_encoded_table_ops(spark, sf_dir):
     """Encoded-table lifecycle over ONE shared small encode — two surfaces
     that each paid a full encode as separate round-2 entries (tl_lineage_lint
@@ -1161,51 +1213,6 @@ def tl_streaming_ingest(spark, sf_dir):
         ).alias("bit_identical_rows"),
     )
     return _materialize_and_clean(spark, result, wd)
-
-
-def tl_nullable_roundtrip(spark, sf_dir):
-    """Null-preserving roundtrip (round 4): plant nulls in doc_id and in
-    tokens+n_tok (together — the row-validity contract), encode → decode,
-    and compare the MULTISET of row fingerprints per source (nulls can't
-    equi-join). Rows-only: the fingerprints flow through the engine's own
-    codecs, which SQL can't replay. Fully lazy — no scratch dir."""
-    from . import decode_job, encode_job
-    from .schema import sequences_from_documents
-
-    seq = sequences_from_documents(spark, sf_dir)
-    h = F.abs(F.xxhash64("doc_id"))
-    null_tok = (h % 5) == 0
-    nseq = seq.select(
-        F.when((h % 7) == 0, F.lit(None)).otherwise(F.col("doc_id")).alias("doc_id"),
-        F.when(null_tok, F.lit(None)).otherwise(F.col("tokens")).alias("tokens"),
-        F.when(null_tok, F.lit(None)).otherwise(F.col("n_tok")).alias("n_tok"),
-        "source",
-    )
-    enc = encode_job.encode_dataframe(nseq, max_rows=2048, max_values=1_000_000)
-    dec = decode_job.decode_dataframe(enc)
-
-    def keyed(df):
-        k = F.concat_ws(
-            "|",
-            F.coalesce("doc_id", F.lit("<null>")),
-            F.coalesce(F.hash("tokens").cast("string"), F.lit("<null>")),
-            F.coalesce(F.col("n_tok").cast("string"), F.lit("<null>")),
-            "source",
-        )
-        return df.select(F.col("source"), k.alias("k")).groupBy("source", "k").count()
-
-    left, right = keyed(nseq), keyed(dec)
-    j = left.join(
-        right.select("source", "k", F.col("count").alias("dec_count")),
-        ["source", "k"],
-        "left",
-    )
-    return j.groupBy("source").agg(
-        F.sum("count").cast("bigint").alias("rows"),
-        F.sum(F.when(F.col("count").eqNullSafe(F.col("dec_count")), F.col("count")).otherwise(0))
-        .cast("bigint")
-        .alias("identical_rows"),
-    )
 
 
 # deterministic events→sequences derivation shared by the Spark query and
@@ -1446,16 +1453,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "generic_roundtrip": q_generic_roundtrip,
     "lint_decisions_full": q_lint_decisions_full,
     # engine ops — rows-only (no SQL equivalent for custom codecs / hashes)
-    "tl_nullable_roundtrip": tl_nullable_roundtrip,
-    "tl_encode_metrics": tl_encode_metrics,
+    "tl_lint_vs_encode": tl_lint_vs_encode,
     "tl_roundtrip_check": tl_roundtrip_check,
-    "tl_simhash_candidates": tl_simhash_candidates,
-    "tl_lsh_cosine": tl_lsh_cosine,
+    "tl_hash_blocking": tl_hash_blocking,
     "tl_ivf_train": tl_ivf_train,
     "tl_dedup_stream": tl_dedup_stream,
     "tl_windowed_stats": tl_windowed_stats,
     "tl_multimodal_features": tl_multimodal_features,
-    "tl_lint": tl_lint,
     "tl_encoded_table_ops": tl_encoded_table_ops,
     "tl_streaming_ingest": tl_streaming_ingest,
 }
