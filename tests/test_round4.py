@@ -393,3 +393,64 @@ def test_media_feature_vector_pinned(spark):
     assert feats[1] == [97.5, 99.5, 101.5, 103.5]
     # len-2 payload over 4 dims: empty segments contribute 0.0
     assert feats[2] == [0.0, 122.0, 0.0, 122.0]
+
+
+# ------------------------------------------ R1 evidence tier (lint_encoded)
+
+def test_lint_encoded_evidence_tier(spark, tmp_path):
+    """R1's classify-from-actual-encodings tier (dictionary_encoding.rs:
+    274-310): over a stored table, the lint reads each chunk's REAL codec +
+    exact NDV from the metrics — no sampling, no payload read. A
+    dict-friendly source stored as dict is `ok`; forcing plain on it makes
+    the evidence say `enable-dictionary`; `statistics none` chunks classify
+    `no-evidence` (the fall-back-to-sampling arm)."""
+    from tokenlake.plan import Prescription
+
+    out = str(tmp_path / "a")
+    df = _df(spark, scale=0.02, profiles=("lowcard",))
+    encode_job.run(spark, df, out, resume=False)
+    d = lint_job.lint_encoded(spark, out)
+    tok = {r["rule"] for r in d.filter(F.col("column") == "tokens").collect()}
+    assert tok == {"ok"}  # dict stored, ratio tiny → evidence says fine
+
+    out2 = str(tmp_path / "b")
+    cfg = Prescription.parse("set column tokens encoding plain").apply()
+    encode_job.run(spark, df, out2, cfg=cfg, resume=False)
+    d2 = lint_job.lint_encoded(spark, out2)
+    tok2 = {(r["rule"], r["severity"]) for r in d2.filter(F.col("column") == "tokens").collect()}
+    assert tok2 == {("enable-dictionary", "warning")}
+
+    out3 = str(tmp_path / "c")
+    cfg3 = Prescription.parse("set column tokens statistics none").apply()
+    encode_job.run(spark, df, out3, cfg=cfg3, resume=False)
+    d3 = lint_job.lint_encoded(spark, out3)
+    tok3 = {r["rule"] for r in d3.filter(F.col("column") == "tokens").collect()}
+    assert tok3 == {"no-evidence"}
+    # metrics-only: the plan must not read any payload column
+    plan = d3._jdf.queryExecution().executedPlan().toString()
+    assert "payload_tokens" not in plan
+
+
+def test_compact_generic_table_with_extras(spark, tmp_path):
+    """Compaction of a table carrying extra columns: kept chunks copy every
+    payload (extras included) byte-identically, merged chunks re-encode
+    through the generic registry, and the compacted table still decodes
+    bit-identically."""
+    from tokenlake import decode_job
+
+    out, dst = str(tmp_path / "out"), str(tmp_path / "dst")
+    df = _events_6col(spark, n=1500).cache()
+    # small caps → guaranteed undersized fragments to merge
+    encode_job.run(spark, df, out, resume=False, max_rows=64, max_values=50_000)
+    r = encode_job.compact(spark, out, dst, max_rows=4096, max_values=1_000_000)
+    assert r["chunks_after"] < r["chunks_before"]
+    dec = decode_job.decode(spark, dst)
+    j = df.alias("a").join(dec.alias("b"), "doc_id")
+    assert j.count() == df.count()
+    bad = j.filter(
+        (F.col("a.tokens") != F.col("b.tokens"))
+        | ~F.col("a.value").eqNullSafe(F.col("b.value"))
+        | (F.col("a.ts") != F.col("b.ts"))
+    ).count()
+    assert bad == 0
+    df.unpersist()

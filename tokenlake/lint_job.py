@@ -404,6 +404,62 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
     return rx
 
 
+def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
+    """R1's EVIDENCE tier over an already-encoded table (reference
+    dictionary_encoding.rs:274-310: classify Dict/Fallback/NoDict from the
+    ACTUAL page-header encodings before any sampling): the engine's stored
+    chunk metrics carry each column chunk's real codec and exact-or-scaled
+    NDV, so the classification reads evidence, not samples — a metrics-only
+    scan, zero payload bytes touched.
+
+    Per (chunk, column) with an int-family codec:
+    - stored codec dict + cardinality ratio > 0.5      → `disable-dictionary`
+      (warning: the table outgrew its dictionary; reference flow :29-68)
+    - stored codec non-dict + ratio < 0.1              → `enable-dictionary`
+      (warning: R1's enable threshold says the table would pay)
+    - stored dict whose est. table > 16 MB             → `dictionary-overflow`
+      (suggestion: shrink chunks / raise page limit — the Fallback arm)
+    - otherwise                                        → `ok` (suggestion)
+
+    Chunks written with `statistics none` have blanked NDV (distinct_est=0
+    with values present) and classify as `no-evidence` — the reference's
+    fall-back-to-sampling arm; run the sampled `lint` on the decoded rows
+    for those. Decision rows are column-located like lint()'s."""
+    from pyspark.sql import functions as F
+
+    from .decode_job import dedup_attempts, read_encoded
+    from .encode_job import column_metrics
+    from .select import DICT_ENABLE_RATIO, DICT_PAGE_SIZE_MAX, DICT_REJECT_RATIO
+
+    m = column_metrics(dedup_attempts(read_encoded(spark, out_dir)))
+    int_kind = F.col("dtype").isin("int", "bigint", "smallint", "tinyint", "array<int>")
+    is_dict = F.col("codec") == "dict"
+    has_stats = (F.col("distinct_est") > 0) | (F.col("n_values") == F.col("null_count"))
+    ratio = F.col("distinct_est") / F.greatest(F.col("n_values") - F.col("null_count"), F.lit(1))
+    table_bytes = F.col("distinct_est") * 4 * 1.25  # estimate_dictionary_payload_bytes
+    rule = (
+        F.when(F.col("n_values") == F.col("null_count"), F.lit("ok"))  # all-null
+        .when(~has_stats, F.lit("no-evidence"))
+        .when(is_dict & (ratio > DICT_REJECT_RATIO), F.lit("disable-dictionary"))
+        .when(~is_dict & (ratio < DICT_ENABLE_RATIO), F.lit("enable-dictionary"))
+        .when(is_dict & (table_bytes > DICT_PAGE_SIZE_MAX), F.lit("dictionary-overflow"))
+        .otherwise(F.lit("ok"))
+    )
+    return m.filter(int_kind).select(
+        "chunk_id",
+        "column",
+        "codec",
+        rule.alias("rule"),
+        F.when(rule.isin("disable-dictionary", "enable-dictionary"), F.lit("warning"))
+        .otherwise(F.lit("suggestion"))
+        .alias("severity"),
+        F.round(ratio, 6).alias("cardinality_ratio"),
+        F.col("distinct_est"),
+        F.col("n_values"),
+        F.lit("column").alias("location"),
+    )
+
+
 def lint_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     """Invariant lint over an encoded table: `error`-severity decisions for
     chunks whose lineage row is missing/incomplete or whose recorded
