@@ -454,3 +454,35 @@ def test_compact_generic_table_with_extras(spark, tmp_path):
     ).count()
     assert bad == 0
     df.unpersist()
+
+
+# ------------------------------------------ null-safe + extras-aware verify
+
+def test_verify_surfaces_nullable_and_generic(spark, tmp_path):
+    """Both verification shapes pass on a nullable table (null doc_ids pair
+    by content key) and on a generic table (extra columns participate), and
+    verify_bit_identical catches a corrupted extra column."""
+    from tokenlake import decode_job, verify
+
+    ndf, _ = _nullable_df(spark)
+    out = str(tmp_path / "n")
+    encode_job.run(spark, ndf, out, resume=False)
+    dec = decode_job.decode(spark, out)
+    assert verify.verify_by_hash(ndf, dec)["pass"]
+    r = verify.verify_bit_identical(ndf, dec)
+    assert r["pass"], r
+
+    gdf = _events_6col(spark, n=800).cache()
+    gout = str(tmp_path / "g")
+    encode_job.run(spark, gdf, gout, resume=False)
+    gdec = decode_job.decode(spark, gout)
+    assert verify.verify_by_hash(gdf, gdec)["pass"]
+    assert verify.verify_bit_identical(gdf, gdec)["pass"]
+    # corrupt one extra column → both verifiers must fail
+    bad = gdec.withColumn(
+        "value", F.when(F.col("doc_id") == gdf.select("doc_id").first()[0],
+                        F.lit(1e9)).otherwise(F.col("value"))
+    )
+    assert not verify.verify_by_hash(gdf, bad)["pass"]
+    assert not verify.verify_bit_identical(gdf, bad)["pass"]
+    gdf.unpersist()

@@ -15,18 +15,24 @@ from pyspark.sql import DataFrame, functions as F
 
 def verify_by_hash(source: DataFrame, decoded: DataFrame) -> dict:
     """Scale-path verification: no join. Each side is reduced to
-    (count, sum(xxhash64(doc_id, tokens, n_tok, source))) per source — two
-    scans and a tiny aggregate instead of shuffling both full datasets.
-    A single differing row flips the sum with probability 1 - 2^-64; use
+    (count, sum(xxhash64(<all shared columns>))) per source — two scans and
+    a tiny aggregate instead of shuffling both full datasets. A single
+    differing row flips the sum with probability 1 - 2^-64; use
     verify_bit_identical for the exact per-row certificate.
+
+    Null-safe (Spark's xxhash64 folds nulls deterministically) and
+    extras-aware: every column the two frames share participates, so a
+    generic table's double/timestamp/bool columns are covered too.
 
     At 10^12 rows this is the only verification shape that stays one pass:
     the full-outer join variant shuffles 2× the corpus.
     """
+    cols = sorted(set(source.columns) & set(decoded.columns))
+
     def digest(df: DataFrame) -> DataFrame:
         # decimal(38,0) sum: 10^12 rows × |2^63| stays within 38 digits, and
         # never trips the ANSI long-overflow that sum(bigint) would
-        h = F.xxhash64("doc_id", "tokens", "n_tok", "source").cast("decimal(38,0)")
+        h = F.xxhash64(*cols).cast("decimal(38,0)")
         return df.groupBy("source").agg(
             F.count("*").alias("rows"), F.sum(h).alias("h")
         )
@@ -46,39 +52,39 @@ def verify_by_hash(source: DataFrame, decoded: DataFrame) -> dict:
 def verify_bit_identical(source: DataFrame, decoded: DataFrame) -> dict:
     """Returns {'rows': n, 'matched': m, 'missing': k, 'mismatched': j}.
 
-    A row matches iff doc_id joins AND tokens arrays are element-wise equal
-    AND n_tok and source agree. One job: full-outer join + conditional agg.
+    A row matches iff its key joins AND every shared column agrees
+    null-safely. One job: full-outer join + conditional agg.
+
+    Null doc_ids can't equi-join, so the join key is
+    coalesce(doc_id, '<null>#' || xxhash64(content)): a null-doc row pairs
+    with its decoded twin by content. doc_id is otherwise assumed unique
+    (the input contract).
     """
-    s = source.select(
-        F.col("doc_id"),
-        F.col("tokens").alias("s_tokens"),
-        F.col("n_tok").alias("s_n_tok"),
-        F.col("source").alias("s_source"),
-        F.lit(1).alias("s_present"),  # existence marker: a NULL tokens value
-        # must not read as "row absent" after the full-outer join
-    )
-    d = decoded.select(
-        F.col("doc_id"),
-        F.col("tokens").alias("d_tokens"),
-        F.col("n_tok").alias("d_n_tok"),
-        F.col("source").alias("d_source"),
-        F.lit(1).alias("d_present"),
-    )
-    j = s.join(d, "doc_id", "full_outer")
+    cols = sorted(set(source.columns) & set(decoded.columns))
+    value_cols = [c for c in cols if c != "doc_id"]
+
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        key = F.coalesce(
+            F.col("doc_id"),
+            F.concat(F.lit("<null>#"), F.xxhash64(*cols).cast("string")),
+        )
+        sel = [key.alias("_k"), F.lit(1).alias(f"{prefix}_present")]
+        # existence marker: a NULL column value must not read as "row
+        # absent" after the full-outer join
+        sel += [F.col(c).alias(f"{prefix}_{c}") for c in value_cols]
+        return df.select(*sel)
+
+    s = keyed(source, "s")
+    d = keyed(decoded, "d")
+    j = s.join(d, "_k", "full_outer")
+    match = F.col("s_present").isNotNull() & F.col("d_present").isNotNull()
+    for c in value_cols:
+        match = match & F.col(f"s_{c}").eqNullSafe(F.col(f"d_{c}"))
     agg = j.agg(
         F.count("*").alias("rows"),
         F.sum(F.when(F.col("s_present").isNull(), 1).otherwise(0)).alias("extra"),
         F.sum(F.when(F.col("d_present").isNull(), 1).otherwise(0)).alias("missing"),
-        F.sum(
-            F.when(
-                F.col("s_present").isNotNull()
-                & F.col("d_present").isNotNull()
-                & F.col("s_tokens").eqNullSafe(F.col("d_tokens"))
-                & F.col("s_n_tok").eqNullSafe(F.col("d_n_tok"))
-                & F.col("s_source").eqNullSafe(F.col("d_source")),
-                1,
-            ).otherwise(0)
-        ).alias("matched"),
+        F.sum(F.when(match, 1).otherwise(0)).alias("matched"),
     ).first()
     rows = agg["rows"]
     return {
