@@ -486,3 +486,21 @@ def test_verify_surfaces_nullable_and_generic(spark, tmp_path):
     assert not verify.verify_by_hash(gdf, bad)["pass"]
     assert not verify.verify_bit_identical(gdf, bad)["pass"]
     gdf.unpersist()
+
+
+def test_cli_lint_encoded(spark, tmp_path, capsys):
+    """CLI evidence-tier lint: exit 0 on a well-encoded table, exit 1 when
+    the stored encodings contradict the evidence (forced plain on a
+    dict-friendly column)."""
+    from tokenlake import cli
+
+    out = str(tmp_path / "a")
+    df = _df(spark, scale=0.01, profiles=("lowcard",))
+    encode_job.run(spark, df, out, resume=False)
+    assert cli.main(["lint-encoded", out], spark=spark) == 0
+
+    out2 = str(tmp_path / "b")
+    cfg = Prescription.parse("set column tokens encoding plain").apply()
+    encode_job.run(spark, df, out2, cfg=cfg, resume=False)
+    assert cli.main(["lint-encoded", out2, "--severity", "warning"], spark=spark) == 1
+    assert "enable-dictionary" in capsys.readouterr().out

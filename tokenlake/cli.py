@@ -89,6 +89,18 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--min-rows", type=int, default=None,
                     help="chunks under this row count are merged (default: half the row cap)")
     cp.add_argument("--cpus", type=int, default=8)
+
+    le = sub.add_parser(
+        "lint-encoded",
+        help="R1 evidence tier over a stored table: classify dictionary "
+        "status from the actual chunk encodings (metrics-only, no sampling)",
+    )
+    le.add_argument("input", help="encoded table dir")
+    le.add_argument(
+        "--severity", default="suggestion", choices=list(SEVERITY_RANK),
+        help="print only diagnostics at or above this level",
+    )
+    le.add_argument("--cpus", type=int, default=8)
     return p
 
 
@@ -198,6 +210,27 @@ def cmd_verify(args, spark=None) -> int:
             spark.stop()
 
 
+def cmd_lint_encoded(args, spark=None) -> int:
+    from . import lint_job
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        rows = lint_job.lint_encoded(spark, args.input).collect()
+        floor = SEVERITY_RANK[args.severity]
+        shown = [r for r in rows if SEVERITY_RANK.get(r["severity"], 0) >= floor]
+        for r in shown:
+            print(
+                f"{r['severity']:<10} {r['rule']:<20} {r['chunk_id']}:{r['column']}"
+                f" codec={r['codec']} ratio={r['cardinality_ratio']}"
+            )
+        print(f"{len(shown)} diagnostics ({len(rows)} total before severity filter)")
+        # same CI gate as lint: exit 1 when evidence says change something
+        return 1 if any(SEVERITY_RANK.get(r["severity"], 0) >= 1 for r in rows) else 0
+    finally:
+        if own:
+            spark.stop()
+
+
 def cmd_compact(args, spark=None) -> int:
     from . import encode_job
 
@@ -223,6 +256,8 @@ def main(argv=None, spark=None) -> int:
         return cmd_verify(args, spark)
     if args.command == "compact":
         return cmd_compact(args, spark)
+    if args.command == "lint-encoded":
+        return cmd_lint_encoded(args, spark)
     return cmd_rewrite(args, spark)
 
 
