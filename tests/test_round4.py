@@ -504,3 +504,31 @@ def test_cli_lint_encoded(spark, tmp_path, capsys):
     encode_job.run(spark, df, out2, cfg=cfg, resume=False)
     assert cli.main(["lint-encoded", out2, "--severity", "warning"], spark=spark) == 1
     assert "enable-dictionary" in capsys.readouterr().out
+
+
+def test_plan_from_encoded_infers_extras(spark, tmp_path):
+    """X1 inference generalizes to extra columns: majority codec/outer per
+    extra, and `statistics none` on an extra bigint column round-trips as
+    none (the blanked-stats signal is dtype-driven, not hard-wired to
+    tokens/n_tok)."""
+    out = str(tmp_path / "out")
+    df = _events_6col(spark, n=1200)
+    cfg = Prescription.parse("set column user_id statistics none").apply()
+    encode_job.run(spark, df, out, cfg=cfg, resume=False)
+    inferred = encode_job.plan_from_encoded(spark, out)
+    assert inferred.stats_level.get("user_id") == "none"
+    assert "value" in inferred.overrides  # majority codec captured (bss)
+    assert inferred.overrides["value"] == "bss"
+    assert inferred.stats_level.get("value") is None  # stats present → default
+
+
+def test_str_prefix_long_shared_prefixes_past_cap():
+    """Strings sharing prefixes longer than PREFIX_CAP (255) must still
+    round-trip exactly — the cap bounds compression, never correctness."""
+    from tokenlake.codecs.strcodecs import dec_str_prefix, enc_str_prefix
+
+    base = "x" * 400
+    vals = [base + f"{i:06d}" for i in range(500)] + [base[:300], base + "zz" * 200]
+    arr = pa.array(vals, pa.large_string())
+    out = dec_str_prefix(memoryview(enc_str_prefix(arr)))
+    assert out.cast(pa.string()).to_pylist() == vals

@@ -575,7 +575,12 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
             .select("column", col)
         )
 
-    int_stats = (F.col("column").isin("tokens", "n_tok")) & (F.col("n_values") > 0)
+    # any int-family column (canonical or extra) stores distinct_est ≥ 1
+    # when it has data and stats are on — the dtype field makes the
+    # blanked-stats check generic instead of hard-wired to tokens/n_tok
+    int_stats = F.col("dtype").isin(
+        "int", "bigint", "smallint", "tinyint", "array<int>"
+    ) & (F.col("n_values") > F.col("null_count"))
     doc_stats = (F.col("column") == "doc_id") & (F.col("n_rows") > 0)
     rows = (
         majority("codec")
