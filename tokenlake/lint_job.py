@@ -72,33 +72,31 @@ def lint_chunk(
     stat over the whole stream — the deterministic mode the SQL lint oracle
     replays (order-sensitive quantities like run_ratio would otherwise
     depend on shuffle arrival order)."""
+    from .codecs import encode_int_column
+    from .codecs.container import _outer_compress
+
     cfg = cfg or EncodeConfig()
     t = (t.sort_by("doc_id") if full_stats else t).combine_chunks()
     chunk_id = t.column("chunk_id")[0].as_py()
     n_rows = t.num_rows
     toks = t.column("tokens").chunk(0) if t.column("tokens").num_chunks else pa.array([], pa.list_(pa.int32()))
+    if toks.null_count:
+        toks = toks.drop_null()
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
-    lens = t.column("n_tok").to_numpy().astype(np.int32)
+    ntok_col = t.column("n_tok")
+    lens = (
+        ntok_col.drop_null() if ntok_col.null_count else ntok_col
+    ).to_numpy(zero_copy_only=False).astype(np.int32)
 
     rows = []
-    for column, values, nv in (("tokens", flat, len(flat)), ("n_tok", lens, n_rows)):
-        st = extrapolate_stats(compute_chunk_stats(values, n_rows, full=full_stats), fraction)
-        d = select_codec(
-            values, st, forced=cfg.overrides.get(column),
-            allow_dict=f"!dict:{column}" not in cfg.overrides,
-        )
-        plain_bytes = 4 * max(st.n_values, 1)
-        saving = 1.0 - d.est_bytes / plain_bytes
+
+    def emit(column, st, d, body, nv):
+        plain_bytes = 4 * max(st.n_values, 1) if st else max(len(body), 1)
+        saving = 1.0 - d.est_bytes / plain_bytes if st else 0.0
         # Severity ordering mirrors diagnostic.rs:8-12: big wins are warnings
         # (you are leaving >50% on the table), marginal ones suggestions;
         # `error` is reserved for broken invariants (lint_lineage).
         severity = "warning" if saving > 0.5 else "suggestion"
-        # R2 inputs: real sampled encode body + bounded zstd-3 trial ratio
-        # (the reference samples one row group, column_context.rs:543)
-        from .codecs import encode_int_column
-        from .codecs.container import _outer_compress
-
-        body = encode_int_column(values, d.codec, outer="none")
         trial = bytes(body[-_OUTER_TRIAL_BYTES:]) if len(body) > _OUTER_TRIAL_BYTES else bytes(body)
         outer_ratio = len(_outer_compress("zstd", 3, trial)) / max(len(trial), 1)
         rows.append(
@@ -111,19 +109,79 @@ def lint_chunk(
                 "est_bytes": int(d.est_bytes),
                 "sample_rows": n_rows,
                 "sample_values": nv,
-                "distinct_est": int(st.distinct_est),
-                "max_zz_delta": int(st.max_zz_delta),
-                "min_val": int(st.min_val),
-                "max_val": int(st.max_val),
-                "cardinality_ratio": float(st.cardinality_ratio),
-                "run_ratio": float(st.run_ratio),
-                "sorted_frac": float(st.sorted_frac),
+                "distinct_est": int(st.distinct_est) if st else 0,
+                "max_zz_delta": int(st.max_zz_delta) if st else 0,
+                "min_val": int(st.min_val) if st else 0,
+                "max_val": int(st.max_val) if st else 0,
+                "cardinality_ratio": float(st.cardinality_ratio) if st else 1.0,
+                "run_ratio": float(st.run_ratio) if st else 1.0,
+                "sorted_frac": float(st.sorted_frac) if st else 1.0,
                 "body_bytes": len(body),
                 "outer_ratio": float(outer_ratio),
-                "dict_payload_bytes": int(estimate_dictionary_payload_bytes(st)),
+                "dict_payload_bytes": int(estimate_dictionary_payload_bytes(st)) if st else 0,
                 "location": "column",
             }
         )
+
+    for column, values, nv in (("tokens", flat, len(flat)), ("n_tok", lens, n_rows)):
+        st = extrapolate_stats(compute_chunk_stats(values, n_rows, full=full_stats), fraction)
+        d = select_codec(
+            values, st, forced=cfg.overrides.get(column),
+            allow_dict=f"!dict:{column}" not in cfg.overrides,
+        )
+        # R2 inputs: real sampled encode body + bounded zstd-3 trial ratio
+        # (the reference samples one row group, column_context.rs:543)
+        body = encode_int_column(values, d.codec, outer="none")
+        emit(column, st, d, body, nv)
+
+    # extra columns: the reference lints EVERY leaf column of a flat schema
+    # (lib.rs:18-46 over column_context.rs:213-292); same dispatch as the
+    # encoder's generic registry, stats-only depth
+    from .encode_job import _pick_str_codec, extra_columns_of
+    from .select import Decision, select_float_codec
+
+    for name in extra_columns_of(t.schema.names):
+        from .codecs.container import (
+            DT_BOOL,
+            DT_FLOAT32,
+            DT_FLOAT64,
+            dtype_of_arrow,
+            int_view_of,
+            is_string_kind,
+            is_wide,
+        )
+        from .codecs.strcodecs import STR_CODEC_IDS, encode_str_body
+
+        arr = t.column(name)
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], t.schema.field(name).type)
+        dtype = dtype_of_arrow(arr.type)
+        valid = arr.drop_null() if arr.null_count else arr
+        if is_string_kind(dtype):
+            codec, body, rule = _pick_str_codec(
+                valid, allow_dict=f"!dict:{name}" not in cfg.overrides
+            )
+            if body is None:
+                body = encode_str_body(STR_CODEC_IDS[codec], valid)
+            emit(name, None, Decision(codec, len(body), rule), body, n_rows)
+            continue
+        view = int_view_of(valid, dtype) if len(valid) else np.empty(0, np.int32)
+        wide = is_wide(dtype)
+        st = extrapolate_stats(compute_chunk_stats(view, n_rows, full=full_stats), fraction)
+        if dtype == DT_BOOL:
+            d = Decision("for", (st.n_values + 7) // 8, "bool-bitpack")
+        elif dtype in (DT_FLOAT32, DT_FLOAT64):
+            d = select_float_codec(view, st, forced=cfg.overrides.get(name), wide=wide)
+        else:
+            d = select_codec(
+                view, st, forced=cfg.overrides.get(name),
+                allow_dict=f"!dict:{name}" not in cfg.overrides,
+                dict_page_limit=cfg.dict_limit_for(name),
+                wide=wide,
+            )
+        from .codecs.intcodecs import INT_CODEC_IDS, encode_int_body
+
+        body = encode_int_body(INT_CODEC_IDS[d.codec], view, wide=wide)
+        emit(name, st, d, body, n_rows)
     return pa.Table.from_pylist(rows)
 
 
