@@ -553,3 +553,50 @@ def test_lint_covers_extra_columns(spark):
     rx = lint_job.prescription_from_decisions(d).format()
     assert "set column value encoding bss" in rx
     d.unpersist()
+
+
+def test_streaming_ingest_with_extras(spark, tmp_path):
+    """Micro-batch streaming ingest of a table WITH extra columns: the
+    batch-salted encode carries the extras, and the drained table decodes
+    them bit-identically."""
+    from tokenlake import decode_job, streaming
+
+    df = _events_6col(spark, n=600).cache()
+    inc = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    df.write.mode("overwrite").parquet(inc)
+    q = streaming.encode_stream(spark, inc, out)
+    q.awaitTermination(300)
+    dec = decode_job.decode(spark, out)
+    j = df.alias("a").join(dec.alias("b"), "doc_id")
+    assert j.count() == df.count()
+    bad = j.filter(
+        ~F.col("a.value").eqNullSafe(F.col("b.value"))
+        | (F.col("a.ts") != F.col("b.ts"))
+        | (F.col("a.tokens") != F.col("b.tokens"))
+    ).count()
+    assert bad == 0
+    df.unpersist()
+
+
+def test_projected_decode_of_extra_prunes_payloads(spark, tmp_path):
+    """Decoding only (doc_id, value) must scan ONLY those two payload
+    columns — parquet column pruning keeps every other payload byte
+    untouched (S3 analog extended to extras)."""
+    from tokenlake import decode_job
+
+    out = str(tmp_path / "out")
+    encode_job.run(spark, _events_6col(spark, n=800), out, resume=False)
+    dec = decode_job.decode(spark, out, columns=("doc_id", "value"))
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    # the dedup side-scan reads (chunk_id, attempt); the PAYLOAD scan is the
+    # ReadSchema mentioning payload_ columns — that one must be pruned
+    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    payload_scans = [s for s in schemas if "payload_" in s]
+    assert payload_scans, schemas
+    for rs in payload_scans:
+        assert "payload_doc_id" in rs and "payload_value" in rs
+        for absent in ("payload_tokens", "payload_n_tok", "payload_source",
+                       "payload_ts", "payload_user_id", "payload_flag"):
+            assert absent not in rs, (absent, rs)
+    assert dec.count() == 800

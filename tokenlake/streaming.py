@@ -38,6 +38,7 @@ def encode_stream(
     checkpoint: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    schema: str | None = None,
 ):
     """Start the streaming encode; returns the StreamingQuery.
 
@@ -45,8 +46,19 @@ def encode_stream(
     the batch-backfill mode (and what tests use). With available_now=False the
     query keeps watching for new files (optionally rate-limited by
     max_files_per_trigger so one giant drop doesn't become one giant batch).
+
+    `schema`: readStream needs the schema up front; default = the canonical
+    four columns. When omitted AND the input dir already holds files with
+    extra columns, their full schema is picked up from one batch-read of the
+    directory footer so extras stream through the generic registry instead
+    of being silently dropped.
     """
-    reader = spark.readStream.schema(SEQUENCES_SPARK_SCHEMA)
+    if schema is None:
+        try:
+            schema = spark.read.parquet(input_dir).schema  # footer sniff
+        except Exception:
+            schema = SEQUENCES_SPARK_SCHEMA  # empty dir: canonical default
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
