@@ -274,7 +274,21 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     t0 = time.perf_counter()
     cfg = cfg or EncodeConfig()
     overrides = cfg.overrides
-    t = t.sort_by("doc_id").combine_chunks()
+    t = t.combine_chunks()
+    # skip the whole-chunk gather when rows already arrive in encode order —
+    # decode emits sorted rows, so compaction/re-encode inputs hit this path
+    # (one cheap comparison pass over the id column vs a multi-MB take)
+    doc_probe = t.column("doc_id").chunk(0) if t.num_rows else None
+    already_sorted = t.num_rows <= 1 or (
+        doc_probe.null_count == 0
+        and bool(
+            pc.all(
+                pc.greater_equal(doc_probe.slice(1), doc_probe.slice(0, len(doc_probe) - 1))
+            ).as_py()
+        )
+    )
+    if not already_sorted:
+        t = t.sort_by("doc_id").combine_chunks()
     chunk_id = t.column("chunk_id")[0].as_py()
     nbuckets = t.column("nbuckets")[0].as_py()
     n_rows = t.num_rows
