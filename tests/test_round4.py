@@ -600,3 +600,67 @@ def test_projected_decode_of_extra_prunes_payloads(spark, tmp_path):
                        "payload_ts", "payload_user_id", "payload_flag"):
             assert absent not in rs, (absent, rs)
     assert dec.count() == 800
+
+
+if HAVE_HYP:
+
+    @st.composite
+    def _chunk_table(draw):
+        n = draw(st.integers(1, 60))
+        rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+        # canonical columns with optional nulls
+        null_rows = rng.random(n) < draw(st.floats(0, 0.4))
+        doc_null = rng.random(n) < draw(st.floats(0, 0.3))
+        lens = rng.integers(0, 20, n)
+        toks = [None if null_rows[i] else rng.integers(-(2**31), 2**31 - 1, lens[i], dtype=np.int64).astype(np.int32).tolist() for i in range(n)]
+        cols = {
+            "chunk_id": pa.array(["t#0"] * n),
+            "nbuckets": pa.array(np.ones(n, np.int32)),
+            "doc_id": pa.array([None if doc_null[i] else f"d{rng.integers(0, 40)}" for i in range(n)], pa.string()),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([None if t is None else len(t) for t in toks], pa.int32()),
+            "source": pa.array(["t"] * n),
+        }
+        kinds = draw(st.lists(st.sampled_from(["d", "l", "b", "s", "f"]), max_size=3, unique=True))
+        for k in kinds:
+            nulls = rng.random(n) < 0.2
+            if k == "d":
+                v = [None if nulls[i] else float(rng.normal()) for i in range(n)]
+                cols["xd"] = pa.array(v, pa.float64())
+            elif k == "l":
+                v = [None if nulls[i] else int(rng.integers(-(2**63), 2**63 - 1)) for i in range(n)]
+                cols["xl"] = pa.array(v, pa.int64())
+            elif k == "b":
+                cols["xb"] = pa.array([None if nulls[i] else bool(rng.integers(0, 2)) for i in range(n)], pa.bool_())
+            elif k == "s":
+                cols["xs"] = pa.array([None if nulls[i] else "s" * int(rng.integers(0, 9)) for i in range(n)], pa.string())
+            elif k == "f":
+                v = [None if nulls[i] else float(np.float32(rng.normal())) for i in range(n)]
+                cols["xf"] = pa.array(v, pa.float32())
+        return pa.table(cols)
+
+    @settings(max_examples=40, deadline=None)
+    @given(_chunk_table())
+    def test_property_encode_chunk_generic_roundtrip(t):
+        """Fuzz the full chunk kernel: any mix of nullable extras + null
+        canonical rows encodes and decodes back to the SAME multiset of
+        rows (order-normalized by the encoder's doc_id sort)."""
+        from tokenlake.decode_job import decode_chunk_row
+        from tokenlake.encode_job import encode_chunk, extra_columns_of
+
+        enc = encode_chunk(t)
+        extras = extra_columns_of(t.schema.names)
+        cols = ("doc_id", "tokens", "n_tok", "source", *extras)
+        payloads = {c: enc.column(f"payload_{c}")[0].as_py() for c in
+                    {"tokens", "n_tok", "doc_id", "source", *extras}}
+        out = decode_chunk_row(payloads, cols)
+        def norm(tbl):
+            rows = []
+            for i in range(tbl.num_rows):
+                rows.append(tuple(
+                    tuple(v) if isinstance(v, list) else
+                    (repr(v) if isinstance(v, float) else v)
+                    for v in (tbl.column(c)[i].as_py() for c in cols)
+                ))
+            return sorted(rows, key=repr)
+        assert norm(out) == norm(t.select(list(cols)))
