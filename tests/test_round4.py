@@ -664,3 +664,15 @@ if HAVE_HYP:
                 ))
             return sorted(rows, key=repr)
         assert norm(out) == norm(t.select(list(cols)))
+
+
+def test_reserved_input_column_names_rejected(spark, tmp_path):
+    """An input column named chunk_id/nbuckets/attempt would be silently
+    clobbered by chunk assignment (or collide with the attempt partition on
+    read-back) — encode must refuse loudly."""
+    df = _df(spark, scale=0.002)
+    for bad in ("chunk_id", "nbuckets", "attempt"):
+        with pytest.raises(Exception, match="reserved"):
+            encode_job.run(
+                spark, df.withColumn(bad, F.lit(1)), str(tmp_path / bad), resume=False
+            )

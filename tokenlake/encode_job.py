@@ -73,11 +73,24 @@ _META_INPUT_COLS = ("chunk_id", "nbuckets")
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
-def extra_columns_of(names) -> list[str]:
+def extra_columns_of(names, input_side: bool = False) -> list[str]:
     """Input columns beyond the canonical sequence schema, in input order —
     each becomes its own `payload_<name>` column chunk (generic column
     registry; the reference analyzes any flat schema over 8 physical types,
-    column_context.rs:213-292)."""
+    column_context.rs:213-292).
+
+    `input_side=True` (encode entry points) additionally REJECTS inputs that
+    carry the engine's reserved names: chunk assignment withColumn()s
+    chunk_id/nbuckets over the input, so user data under those names would
+    be silently clobbered, and `attempt` collides with the encoded table's
+    partition column on read-back."""
+    if input_side:
+        reserved = [c for c in names if c in (*_META_INPUT_COLS, "attempt")]
+        if reserved:
+            raise ValueError(
+                f"input columns {reserved} collide with engine-reserved names "
+                "(chunk_id/nbuckets/attempt); rename them before encoding"
+            )
     extras = [c for c in names if c not in SEQ_COLUMNS and c not in _META_INPUT_COLS]
     for c in extras:
         if not _NAME_RE.match(c) or c.startswith("payload_"):
@@ -481,7 +494,7 @@ def encode_dataframe(
     """sequences(+extras) DataFrame → encoded DataFrame (lazy; no action
     triggered). Extra scalar columns each get their own payload column."""
     cfg = cfg or EncodeConfig()
-    extras = extra_columns_of(df.columns)
+    extras = extra_columns_of(df.columns, input_side=True)
     if buckets is None:
         buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.effective_max_values(max_values))
     chunked = assign_chunks(df, buckets)
@@ -649,7 +662,7 @@ def run(
     enc_path = f"{out_dir}/encoded"
     lin_path = f"{out_dir}/lineage"
     cfg = cfg or EncodeConfig()
-    extras = extra_columns_of(df.columns)
+    extras = extra_columns_of(df.columns, input_side=True)
     enc_ddl = encoded_schema_ddl(extras)
     buckets = plan_buckets(df, cfg.max_chunk_rows or max_rows, cfg.effective_max_values(max_values))
     chunked = assign_chunks(df, buckets, salt=salt)
