@@ -676,3 +676,25 @@ def test_reserved_input_column_names_rejected(spark, tmp_path):
             encode_job.run(
                 spark, df.withColumn(bad, F.lit(1)), str(tmp_path / bad), resume=False
             )
+
+
+def test_lookup_returns_extras(spark, tmp_path):
+    """Point lookup on a generic table returns the full row — extras
+    included — not just the canonical four columns."""
+    from tokenlake import decode_job
+
+    out = str(tmp_path / "out")
+    df = _events_6col(spark, n=900).cache()
+    encode_job.run(spark, df, out, resume=False)
+    want = [r["doc_id"] for r in df.limit(3).collect()]
+    got = decode_job.lookup(spark, out, want)
+    assert set(got.columns) == set(df.columns)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert sorted(rows) == sorted(want)
+    orig = {r["doc_id"]: r for r in df.filter(F.col("doc_id").isin(want)).collect()}
+    for k in want:
+        assert rows[k]["user_id"] == orig[k]["user_id"]
+        assert rows[k]["ts"] == orig[k]["ts"]
+        a, b = rows[k]["value"], orig[k]["value"]
+        assert (a is None and b is None) or a == b
+    df.unpersist()

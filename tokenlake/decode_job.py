@@ -281,7 +281,9 @@ def scan_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
     pruned = dedup_attempts(
         read_encoded(spark, out_dir).join(cands, "chunk_id", "left_semi")
     )
-    return decode_dataframe(pruned).filter(F.array_contains("tokens", F.lit(int(token))))
+    return decode_dataframe(pruned, extra_types=extra_types_of(pruned)).filter(
+        F.array_contains("tokens", F.lit(int(token)))
+    )
 
 
 def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
@@ -315,4 +317,6 @@ def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
         ).alias("chunk_id")
     )
     pruned = dedup_attempts(enc.join(F.broadcast(cands), "chunk_id", "left_semi"))
-    return decode_dataframe(pruned).filter(F.col("doc_id").isin(list(doc_ids)))
+    return decode_dataframe(pruned, extra_types=extra_types_of(enc)).filter(
+        F.col("doc_id").isin(list(doc_ids))
+    )

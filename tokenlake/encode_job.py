@@ -238,9 +238,15 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     valid = arr.drop_null() if arr.null_count else arr
     if is_string_kind(dtype):
         if forced:
-            codec, rule = forced, "forced"
+            codec, body, rule = forced, None, "forced"
         else:
-            codec, _, rule = _pick_str_codec(valid, allow_dict=f"!dict:{name}" not in cfg.overrides)
+            codec, body, rule = _pick_str_codec(valid, allow_dict=f"!dict:{name}" not in cfg.overrides)
+        if body is not None and not arr.null_count:
+            # the winning trial body IS the payload (same reuse as doc_id)
+            from .codecs.container import wrap
+            from .codecs.strcodecs import STR_CODEC_IDS
+
+            return wrap(STR_CODEC_IDS[codec], body, outer, dtype), None, rule
         return encode_any_column(arr, codec, outer), None, rule
     if dtype == DT_BOOL:
         return encode_any_column(arr, forced or "for", outer), None, "bool-bitpack"
