@@ -698,3 +698,16 @@ def test_lookup_returns_extras(spark, tmp_path):
         a, b = rows[k]["value"], orig[k]["value"]
         assert (a is None and b is None) or a == b
     df.unpersist()
+
+
+def test_append_with_different_schema_rejected(spark, tmp_path):
+    """Appending a different column set to an existing table would leave
+    attempt dirs with divergent parquet schemas (a later read silently
+    drops the other attempts' payloads) — must refuse."""
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.003)
+    encode_job.run(spark, df, out, resume=False)
+    with pytest.raises(ValueError, match="appends must match"):
+        encode_job.run(spark, df.withColumn("xtra", F.lit(1.5)), out, salt="b2")
+    # same schema appends stay fine
+    encode_job.run(spark, df, out, salt="b3")

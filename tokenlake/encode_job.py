@@ -682,6 +682,26 @@ def run(
     except Exception:
         done = None
 
+    if done is not None:
+        # appending a DIFFERENT column set would leave attempt dirs with
+        # divergent parquet schemas; a later read picks one footer and the
+        # other attempts' extra payloads silently vanish. Refuse up front.
+        try:
+            have = {
+                c[len("payload_") :]
+                for c in spark.read.parquet(enc_path).columns
+                if c.startswith("payload_")
+            }
+        except Exception:
+            have = None
+        want = {*PAYLOAD_COLUMNS, *extras}
+        if have is not None and have != want:
+            raise ValueError(
+                f"existing table at {out_dir!r} stores columns {sorted(have)} "
+                f"but the input carries {sorted(want)}; appends must match the "
+                "stored schema (use a new out_dir for a different shape)"
+            )
+
     skipped = 0
     if resume and done is not None:
         skipped = done.count()
