@@ -158,7 +158,12 @@ def enc_str_prefix(values) -> bytes:
             sstarts = np.minimum(seg_starts, total - 1)
             base[nonzero] = (gc[sstarts] - mis[sstarts])[nonzero]
             hit = (eq & (gc == np.repeat(base, L))).astype(np.int64)
-            counts = np.add.reduceat(hit, sstarts)
+            # reduceat at the UNCLAMPED starts over a sentinel-padded hit:
+            # clamping a trailing zero-length segment's start to total-1 would
+            # shorten the preceding segment's range and undercount its run by
+            # one byte (round-4 advice); the sentinel 0 keeps index `total`
+            # valid and adds nothing to the last real segment's sum
+            counts = np.add.reduceat(np.append(hit, 0), seg_starts)
             counts[~nonzero] = 0
             plen[1:] = counts
     slen = lens - plen

@@ -176,7 +176,18 @@ def extra_types_of(encoded: DataFrame) -> dict[str, str]:
         .distinct()
         .collect()
     )
-    types = {r["column"]: r["dtype"] for r in rows}
+    types: dict[str, str] = {}
+    for r in rows:
+        prev = types.setdefault(r["column"], r["dtype"])
+        if prev != r["dtype"]:
+            # an append that slipped past the schema guard (or a hand-mixed
+            # table) stored two dtypes for one column; silently keeping one
+            # would declare a mapInArrow schema half the payloads violate
+            raise ValueError(
+                f"column {r['column']!r} stores conflicting dtypes "
+                f"{sorted({prev, r['dtype']})}; the table mixes incompatible "
+                "appends — re-encode it into a fresh out_dir"
+            )
     missing = [c for c in extras if c not in types]
     if missing:
         raise ValueError(f"no dtype metadata for extra columns {missing}")

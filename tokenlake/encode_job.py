@@ -514,7 +514,14 @@ def encode_dataframe(
 def column_metrics(encoded: DataFrame) -> DataFrame:
     """Tall per-(chunk, column) metrics view over the wide encoded layout —
     the metadata-scan surface (S2 analog). Reads only the metrics columns;
-    parquet column pruning keeps every payload byte untouched."""
+    parquet column pruning keeps every payload byte untouched.
+
+    Schema evolution: tables written before the v3 metadata (no dtype /
+    null_count fields in the columns struct) still read — dtype is coalesced
+    from the codec family exactly as the container layer's v2 fallback
+    implies it (unwrap(): str codecs → string, else int; tokens → array<int>)
+    and null_count reads 0 (pre-v3 tables could not store nulls)."""
+    meta_fields = set(encoded.schema["columns"].dataType.elementType.fieldNames())
     base = encoded.select(
         "chunk_id",
         "n_rows",
@@ -537,8 +544,16 @@ def column_metrics(encoded: DataFrame) -> DataFrame:
         F.col("c.column").alias("column"),
         F.col("c.codec").alias("codec"),
         F.col("c.outer").alias("outer"),
-        F.col("c.dtype").alias("dtype"),
-        F.col("c.null_count").alias("null_count"),
+        (
+            F.col("c.dtype")
+            if "dtype" in meta_fields
+            else F.when(F.col("c.codec").startswith("str_"), F.lit("string"))
+            .when(F.col("c.column") == "tokens", F.lit("array<int>"))
+            .otherwise(F.lit("int"))
+        ).alias("dtype"),
+        (
+            F.col("c.null_count") if "null_count" in meta_fields else F.lit(0).cast("long")
+        ).alias("null_count"),
         F.col("c.n_values").alias("n_values"),
         F.col("c.encoded_bytes").alias("encoded_bytes"),
         F.col("c.raw_bytes").alias("raw_bytes"),
@@ -687,13 +702,12 @@ def run(
         # divergent parquet schemas; a later read picks one footer and the
         # other attempts' extra payloads silently vanish. Refuse up front.
         try:
+            stored = spark.read.parquet(enc_path)
             have = {
-                c[len("payload_") :]
-                for c in spark.read.parquet(enc_path).columns
-                if c.startswith("payload_")
+                c[len("payload_") :] for c in stored.columns if c.startswith("payload_")
             }
         except Exception:
-            have = None
+            stored, have = None, None
         want = {*PAYLOAD_COLUMNS, *extras}
         if have is not None and have != want:
             raise ValueError(
@@ -701,6 +715,40 @@ def run(
                 f"but the input carries {sorted(want)}; appends must match the "
                 "stored schema (use a new out_dir for a different shape)"
             )
+        if stored is not None:
+            # same NAMES is not enough: an extra whose type changed (double →
+            # float) would store divergent dtype metadata across attempts and
+            # decode would declare one mapInArrow schema while half the
+            # payloads carry the other type (round-4 advice). Compare dtypes.
+            meta_fields = set(stored.schema["columns"].dataType.elementType.fieldNames())
+            if "dtype" not in meta_fields:
+                raise ValueError(
+                    f"existing table at {out_dir!r} predates per-column dtype "
+                    "metadata; appending would mix metrics-struct schemas in "
+                    "one table — re-encode it (decode + run into a fresh "
+                    "out_dir) before appending"
+                )
+            if extras:
+                from .decode_job import extra_types_of
+
+                stored_types = extra_types_of(stored)
+                input_types = {
+                    c: df.schema[c].dataType.simpleString() for c in extras
+                }
+                diverged = {
+                    c: (stored_types.get(c), input_types[c])
+                    for c in extras
+                    if stored_types.get(c) != input_types[c]
+                }
+                if diverged:
+                    raise ValueError(
+                        f"append type mismatch at {out_dir!r}: "
+                        + ", ".join(
+                            f"{c} is stored as {s!r} but the input carries {i!r}"
+                            for c, (s, i) in sorted(diverged.items())
+                        )
+                        + "; cast the input to the stored types or use a new out_dir"
+                    )
 
     skipped = 0
     if resume and done is not None:

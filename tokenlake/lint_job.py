@@ -490,13 +490,37 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     from .select import DICT_ENABLE_RATIO, DICT_PAGE_SIZE_MAX, DICT_REJECT_RATIO
 
     m = column_metrics(dedup_attempts(read_encoded(spark, out_dir)))
-    int_kind = F.col("dtype").isin("int", "bigint", "smallint", "tinyint", "array<int>")
+    int_kind = F.col("dtype").isin(
+        "int", "bigint", "smallint", "tinyint", "timestamp_ntz", "date"
+    ) | F.col("dtype").startswith("array<")
     is_dict = F.col("codec") == "dict"
-    has_stats = (F.col("distinct_est") > 0) | (F.col("n_values") == F.col("null_count"))
-    ratio = F.col("distinct_est") / F.greatest(F.col("n_values") - F.col("null_count"), F.lit(1))
-    table_bytes = F.col("distinct_est") * 4 * 1.25  # estimate_dictionary_payload_bytes
+    # list-granularity columns (tokens / array extras) count VALUES in
+    # n_values but null ROWS in null_count — null rows contribute zero
+    # values already, so the denominator must not subtract them (mixed
+    # units; round-4 advice). Their all-null signature is n_values == 0
+    # with null rows present.
+    is_list = F.col("dtype").startswith("array<")
+    all_null = F.when(
+        is_list, (F.col("n_values") == 0) & (F.col("null_count") > 0)
+    ).otherwise((F.col("n_values") == F.col("null_count")) & (F.col("n_values") > 0))
+    empty = F.col("n_values") == 0
+    denom = F.when(is_list, F.col("n_values")).otherwise(
+        F.col("n_values") - F.col("null_count")
+    )
+    has_stats = (F.col("distinct_est") > 0) | all_null | empty
+    ratio = F.col("distinct_est") / F.greatest(denom, F.lit(1))
+    # estimate_dictionary_payload_bytes: entry width follows the stored
+    # dtype — 8 B for the wide int family, 4 B otherwise (a 4 B estimate
+    # fires the overflow arm 2× late for bigint/timestamp extras)
+    entry_bytes = F.when(
+        F.col("dtype").isin(
+            "bigint", "timestamp_ntz", "array<bigint>", "array<timestamp_ntz>"
+        ),
+        F.lit(8),
+    ).otherwise(F.lit(4))
+    table_bytes = F.col("distinct_est") * entry_bytes * 1.25
     rule = (
-        F.when(F.col("n_values") == F.col("null_count"), F.lit("ok"))  # all-null
+        F.when(all_null | empty, F.lit("ok"))
         .when(~has_stats, F.lit("no-evidence"))
         .when(is_dict & (ratio > DICT_REJECT_RATIO), F.lit("disable-dictionary"))
         .when(~is_dict & (ratio < DICT_ENABLE_RATIO), F.lit("enable-dictionary"))
