@@ -58,6 +58,17 @@ _WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US})
 _STR_DTYPES = frozenset({DT_STRING, DT_BINARY})
 
 FLAG_NULLS = 1  # body carries a validity-bitmap section
+# list-typed payload: body = u32 lengths_frame_len | lengths_frame |
+# values_frame, both full TL frames (outer "none" inside — the composite's
+# own outer covers everything once). The header's codec byte is the VALUES
+# codec (so codec_of reports the payload that matters and the BSS
+# forced-outer-trial logic applies) and the dtype byte is the ELEMENT dtype.
+# Null list ROWS ride the lengths frame's validity bitmap; null ELEMENTS
+# ride the values frame's. This is the tokens/n_tok pattern generalized to
+# any element type — the reference detects fixed-fanout embedding columns
+# and prescribes for them (rules/vector_embedding.rs:19-76); here the same
+# column finally lands on a real codec path (floats → bss).
+FLAG_LIST = 2
 
 CODEC_NAMES = {**intcodecs.INT_CODEC_NAMES, **strcodecs.STR_CODEC_NAMES}
 CODEC_IDS = {**intcodecs.INT_CODEC_IDS, **strcodecs.STR_CODEC_IDS}
@@ -308,10 +319,81 @@ def encode_any_column(arr: pa.Array, codec: str, outer: str = "auto") -> bytes:
     return wrap(cid, prefix + body, outer, dtype, flags)
 
 
+def encode_list_column(arr: pa.Array, values_codec: str, outer: str = "auto") -> bytes:
+    """Encode an arrow list array of ANY supported scalar element type.
+
+    Layout (FLAG_LIST): the per-row element counts and the flattened values
+    each become a full inner TL frame — self-describing, so decode needs no
+    side channel. Lengths use FOR (a fixed-fanout embedding column packs to
+    ~zero bits; ragged fanouts stay near their entropy); values run the
+    caller-selected codec. Null rows and null elements are both preserved."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        arr = arr.cast(pa.list_(t.value_type))
+        t = arr.type
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        raise ValueError(f"encode_list_column needs a list array, got {t}")
+    elem_dtype = dtype_of_arrow(t.value_type)
+    lengths = pa.compute.list_value_length(arr).cast(pa.int32())
+    values = arr.flatten()  # valid rows' elements only (null rows add none)
+    lengths_frame = encode_any_column(lengths, "for", outer="none")
+    values_frame = encode_any_column(values, values_codec, outer="none")
+    body = struct.pack("<I", len(lengths_frame)) + lengths_frame + values_frame
+    cid = (
+        strcodecs.STR_CODEC_IDS[values_codec]
+        if values_codec in strcodecs.STR_CODEC_IDS
+        else intcodecs.INT_CODEC_IDS[values_codec]
+    )
+    return wrap(cid, body, outer, elem_dtype, FLAG_LIST)
+
+
+def _decode_list_body(body: memoryview, dtype: int) -> pa.Array:
+    (llen,) = struct.unpack_from("<I", body, 0)
+    lengths = decode_column_arrow(body[4 : 4 + llen])
+    values = decode_column_arrow(body[4 + llen :])
+    values = _narrow_interchange(values)
+    n = len(lengths)
+    lens64 = np.asarray(pa.compute.fill_null(lengths, 0), dtype=np.int64)
+    offsets64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens64, out=offsets64[1:])
+    if offsets64[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"list payload element count {offsets64[-1]} overflows int32 offsets"
+        )
+    offsets = offsets64.astype(np.int32)
+    if lengths.null_count == 0:
+        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+    valid = np.asarray(lengths.is_valid())
+    return pa.Array.from_buffers(
+        pa.list_(values.type),
+        n,
+        [
+            pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
+            pa.py_buffer(offsets.tobytes()),
+        ],
+        children=[values],
+    )
+
+
+def _narrow_interchange(arr: pa.Array) -> pa.Array:
+    """large_string/large_binary → string/binary (Spark's Arrow interchange
+    types) so list children match the declared array<...> schema."""
+    if pa.types.is_large_string(arr.type):
+        return arr.cast(pa.string())
+    if pa.types.is_large_binary(arr.type):
+        return arr.cast(pa.binary())
+    return arr
+
+
 def decode_column_arrow(buf: bytes | memoryview) -> pa.Array:
     """Decode any framed payload → arrow array of its logical type, nulls
-    restored at their original positions."""
+    restored at their original positions. List payloads (FLAG_LIST) decode
+    to pa.list_ arrays with int32 offsets — Spark's interchange shape."""
     cid, body, dtype, flags = unwrap(buf)
+    if flags & FLAG_LIST:
+        return _decode_list_body(body, dtype)
     valid = None
     if flags & FLAG_NULLS:
         (n_total,) = struct.unpack_from("<I", body, 0)

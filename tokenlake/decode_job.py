@@ -161,10 +161,13 @@ def decode_chunk(t: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def extra_types_of(encoded: DataFrame) -> dict[str, str]:
+def extra_types_of(encoded: DataFrame, strict: bool = True) -> dict[str, str]:
     """Extra decoded columns and their Spark types, read from the chunk
     metrics (one tiny aggregate over the metadata columns — payloads stay
-    untouched; O(#columns) rows reach the driver)."""
+    untouched; O(#columns) rows reach the driver). `strict=False` tolerates
+    columns with no metrics rows yet (a schema-only/empty table, e.g. the
+    kept-set of an all-small compaction) instead of raising; conflicting
+    dtypes raise either way."""
     payload_cols = [c[len("payload_") :] for c in encoded.columns if c.startswith("payload_")]
     extras = [c for c in payload_cols if c not in ALL_COLUMNS]
     if not extras:
@@ -189,9 +192,9 @@ def extra_types_of(encoded: DataFrame) -> dict[str, str]:
                 "appends — re-encode it into a fresh out_dir"
             )
     missing = [c for c in extras if c not in types]
-    if missing:
+    if missing and strict:
         raise ValueError(f"no dtype metadata for extra columns {missing}")
-    return {c: types[c] for c in extras}  # input-order
+    return {c: types[c] for c in extras if c in types}  # input-order
 
 
 def decode_dataframe(

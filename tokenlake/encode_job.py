@@ -216,8 +216,75 @@ def _pick_str_codec(valid: pa.Array, allow_dict: bool = True) -> tuple[str, byte
     return best, bodies[best], rule
 
 
+def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
+    """One extra LIST column → (payload, stats, rule, n_values, dtype_ddl).
+    The tokens pattern generalized: flattened values pick their codec via
+    the normal per-family selector (floats → the R4 bss gate — the
+    reference's embedding detection, rules/vector_embedding.rs:19-76,
+    finally feeding a real codec path); per-row lengths FOR-pack inside the
+    same self-describing frame."""
+    from .codecs.container import (
+        DT_BOOL,
+        DT_FLOAT32,
+        DT_FLOAT64,
+        DTYPE_SPARK,
+        dtype_of_arrow,
+        encode_list_column,
+        int_view_of,
+        is_string_kind,
+        is_wide,
+    )
+    from .select import select_codec, select_float_codec
+
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        arr = arr.cast(pa.list_(t.value_type))
+        t = arr.type
+    elem = dtype_of_arrow(t.value_type)
+    ddl = f"array<{DTYPE_SPARK[elem]}>"
+    outer = cfg.outer_for(name)
+    forced = cfg.overrides.get(name)
+    values = arr.flatten()
+    valid = values.drop_null() if values.null_count else values
+    if is_string_kind(elem):
+        if forced:
+            codec, rule = forced, "forced"
+        else:
+            codec, _, rule = _pick_str_codec(valid, allow_dict=f"!dict:{name}" not in cfg.overrides)
+        return encode_list_column(arr, codec, outer), None, rule, len(values), ddl
+    if elem == DT_BOOL:
+        return (
+            encode_list_column(arr, forced or "for", outer),
+            None,
+            "bool-bitpack",
+            len(values),
+            ddl,
+        )
+    view = int_view_of(valid, elem) if len(valid) else np.empty(0, np.int32)
+    wide = is_wide(elem)
+    st = compute_chunk_stats(view, n_rows=len(arr))
+    if elem in (DT_FLOAT32, DT_FLOAT64):
+        d = select_float_codec(view, st, forced=forced, wide=wide)
+    else:
+        d = select_codec(
+            view, st, forced=forced,
+            allow_dict=f"!dict:{name}" not in cfg.overrides,
+            dict_page_limit=cfg.dict_limit_for(name),
+            wide=wide,
+        )
+    payload = encode_list_column(arr, d.codec, outer)
+    elem_bytes = 8 if wide else 4
+    if d.codec not in ("plain", "bss") and len(payload) > len(view) * elem_bytes + 128:
+        # hard guarantee: never worse than plain (R3 escape hatch)
+        payload = encode_list_column(arr, "plain", outer)
+        d = select_codec(view, st, forced="plain", wide=wide)
+    return payload, st, d.rule, len(values), ddl
+
+
 def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
-    """One extra scalar column → (payload, ChunkStats|None, rule).
+    """One extra column → (payload, ChunkStats|None, rule, n_values|None,
+    dtype_ddl|None) — the last two are set only for list columns (element
+    count and the array<...> DDL string).
     Dispatch: Spark/Arrow type → codec family (the generic column registry;
     reference column_context.rs:213-292 covers the same physical types)."""
     from .codecs.container import (
@@ -232,6 +299,12 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     )
     from .select import select_float_codec
 
+    if (
+        pa.types.is_list(arr.type)
+        or pa.types.is_large_list(arr.type)
+        or pa.types.is_fixed_size_list(arr.type)
+    ):
+        return _encode_list_extra(arr, name, cfg)
     dtype = dtype_of_arrow(arr.type)
     outer = cfg.outer_for(name)
     forced = cfg.overrides.get(name)
@@ -246,10 +319,10 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
             from .codecs.container import wrap
             from .codecs.strcodecs import STR_CODEC_IDS
 
-            return wrap(STR_CODEC_IDS[codec], body, outer, dtype), None, rule
-        return encode_any_column(arr, codec, outer), None, rule
+            return wrap(STR_CODEC_IDS[codec], body, outer, dtype), None, rule, None, None
+        return encode_any_column(arr, codec, outer), None, rule, None, None
     if dtype == DT_BOOL:
-        return encode_any_column(arr, forced or "for", outer), None, "bool-bitpack"
+        return encode_any_column(arr, forced or "for", outer), None, "bool-bitpack", None, None
     view = int_view_of(valid, dtype) if len(valid) else np.empty(0, np.int32)
     wide = is_wide(dtype)
     st = compute_chunk_stats(view, n_rows=len(arr))
@@ -268,7 +341,7 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         # hard guarantee: never worse than plain (R3 escape hatch)
         payload = encode_any_column(arr, "plain", outer)
         d = select_codec(view, st, forced="plain", wide=wide)
-    return payload, st, d.rule
+    return payload, st, d.rule, None, None
 
 
 def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
@@ -467,9 +540,14 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     for name in extras:
         tcol = time.perf_counter()
         arr = _chunk0(t.column(name), t.schema.field(name).type)
-        ebuf, est, erule = _encode_extra(arr, name, cfg)
+        ebuf, est, erule, n_vals, ddl = _encode_extra(arr, name, cfg)
+        # buffers() is recursive (child value buffers included), so raw
+        # covers list extras' element storage too; list extras count
+        # ELEMENTS in n_values (the tokens convention) but null ROWS in
+        # null_count
         raw = sum(len(b) for b in (arr.buffers() or []) if b is not None)
-        emit(name, ebuf, n_rows, raw, est, erule, tcol, null_count=arr.null_count)
+        emit(name, ebuf, n_rows if n_vals is None else n_vals, raw, est, erule,
+             tcol, null_count=arr.null_count, dtype_ddl=ddl)
 
     row = {
         "chunk_id": chunk_id,
@@ -623,11 +701,14 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
             .select("column", col)
         )
 
-    # any int-family column (canonical or extra) stores distinct_est ≥ 1
-    # when it has data and stats are on — the dtype field makes the
-    # blanked-stats check generic instead of hard-wired to tokens/n_tok
-    int_stats = F.col("dtype").isin(
-        "int", "bigint", "smallint", "tinyint", "array<int>"
+    # any int-family column (canonical or extra, scalar or list element)
+    # stores distinct_est ≥ 1 when it has data and stats are on — the dtype
+    # field makes the blanked-stats check generic instead of hard-wired to
+    # tokens/n_tok. (List columns count elements in n_values and null ROWS
+    # in null_count — the predicate stays conservative under the mixed
+    # units: a chunk it skips just doesn't contribute to the max below.)
+    int_stats = F.col("dtype").rlike(
+        "^(array<)?(int|bigint|smallint|tinyint)>?$"
     ) & (F.col("n_values") > F.col("null_count"))
     doc_stats = (F.col("column") == "doc_id") & (F.col("n_rows") > 0)
     rows = (
@@ -731,14 +812,16 @@ def run(
             if extras:
                 from .decode_job import extra_types_of
 
-                stored_types = extra_types_of(stored)
+                # non-strict: a schema-only table (empty kept-set of an
+                # all-small compaction) has no metrics rows to compare yet
+                stored_types = extra_types_of(stored, strict=False)
                 input_types = {
                     c: df.schema[c].dataType.simpleString() for c in extras
                 }
                 diverged = {
-                    c: (stored_types.get(c), input_types[c])
+                    c: (stored_types[c], input_types[c])
                     for c in extras
-                    if stored_types.get(c) != input_types[c]
+                    if c in stored_types and stored_types[c] != input_types[c]
                 }
                 if diverged:
                     raise ValueError(

@@ -1349,17 +1349,26 @@ FROM stats
 
 
 def q_generic_roundtrip(spark, sf_dir):
-    """Generic column registry, oracle-checked end-to-end: derive a 8-column
+    """Generic column registry, oracle-checked end-to-end: derive a 9-column
     table from events (doc_id, tokens, n_tok, source + double with planted
-    nulls, timestamp, bigint, bool), push it through encode→decode, and
+    nulls, timestamp, bigint, bool, and a ragged array<float> embedding
+    column with planted null rows), push it through encode→decode, and
     aggregate per source. The oracle computes the same aggregates straight
     from events — so a single flipped bit in ANY column's codec path breaks
     the hash match. This is the reference's any-flat-schema surface
-    (column_context.rs:213-292) as a driver-gated query."""
+    (column_context.rs:213-292) plus its embedding-column detection
+    (rules/vector_embedding.rs:19-76) as a driver-gated query: the emb
+    payload runs the list container (lengths + flattened float values,
+    round-5). Element values are exact binary fractions (k/8) so Spark
+    float32 and DuckDB double arithmetic agree exactly."""
     from . import decode_job, encode_job
 
     ev = _events(spark, sf_dir)
     toks = F.expr(_GEN_TOKENS_SPARK)
+    emb = F.expr(
+        "transform(sequence(1, cast(event_id % 3 as int) + 2),"
+        " i -> cast(((event_id * 13 + i) % 97) / 8.0 as float))"
+    )
     df = ev.select(
         F.col("event_id").cast("string").alias("doc_id"),
         toks.alias("tokens"),
@@ -1369,16 +1378,18 @@ def q_generic_roundtrip(spark, sf_dir):
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         F.col("user_id").alias("user_id"),
         (F.col("value") > 0.5).alias("flag"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(emb).alias("emb"),
     )
     enc = encode_job.encode_dataframe(df, max_rows=4096, max_values=1_000_000)
     dec = decode_job.decode_dataframe(
         enc,
         extra_types={
             "value": "double", "ts": "timestamp_ntz",
-            "user_id": "bigint", "flag": "boolean",
+            "user_id": "bigint", "flag": "boolean", "emb": "array<float>",
         },
     )
     tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
+    emb_sum = F.aggregate("emb", F.lit(0.0), lambda a, x: a + x)
     return dec.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("n_tok").cast("bigint").alias("sum_n_tok"),
@@ -1388,6 +1399,10 @@ def q_generic_roundtrip(spark, sf_dir):
         F.sum(F.unix_micros(F.col("ts").cast("timestamp"))).cast("bigint").alias("sum_ts_us"),
         F.sum("user_id").cast("bigint").alias("sum_user"),
         F.sum(F.col("flag").cast("int")).cast("bigint").alias("flags_true"),
+        F.round(F.sum(emb_sum), 4).alias("sum_emb"),
+        # explicit null guard: size(NULL) is -1 under legacy sizeOfNull
+        F.sum(F.when(F.col("emb").isNotNull(), F.size("emb"))).cast("bigint").alias("emb_vals"),
+        F.sum(F.col("emb").isNull().cast("int")).cast("bigint").alias("null_embs"),
     )
 
 
@@ -1401,7 +1416,14 @@ SELECT event_type AS source,
        sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_values,
        sum(epoch_us(ts))::BIGINT AS sum_ts_us,
        sum(user_id)::BIGINT AS sum_user,
-       sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)::BIGINT AS flags_true
+       sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)::BIGINT AS flags_true,
+       round(sum(CASE WHEN event_id % 13 = 0 THEN NULL ELSE
+           list_sum(list_transform(generate_series(1, event_id % 3 + 2),
+                                   i -> ((event_id * 13 + i) % 97) / 8.0)) END), 4)
+         AS sum_emb,
+       sum(CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id % 3 + 2 END)::BIGINT
+         AS emb_vals,
+       sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_embs
 FROM events GROUP BY 1
 """
 
