@@ -372,3 +372,78 @@ def test_property_list_column_roundtrip():
         assert out.to_pylist() == arr.to_pylist()
 
     check()
+
+
+# ------------------------------------------ decimal + fixed-size binary
+
+def test_decimal_extra_roundtrip(spark, tmp_path):
+    """A decimal(14,2) extra column (nulls planted) encodes through the
+    int64 unscaled carrier and decodes bit-identically with its precision/
+    scale intact (column_context.rs:215-291 parity, round-4 verdict #3)."""
+    out = str(tmp_path / "out")
+    df = (
+        _df(spark, scale=0.004)
+        .withColumn(
+            "price",
+            F.when(F.abs(F.xxhash64("doc_id")) % 7 == 0, F.lit(None)).otherwise(
+                (F.abs(F.xxhash64("doc_id")) % 1000000 / 4.0).cast("decimal(14,2)")
+            ),
+        )
+        .cache()
+    )
+    encode_job.run(spark, df, out, resume=False)
+    et = decode_job.extra_types_of(decode_job.read_encoded(spark, out))
+    assert et == {"price": "decimal(14,2)"}
+    dec = decode_job.decode(spark, out)
+    j = df.alias("a").join(dec.alias("b"), "doc_id")
+    assert j.count() == df.count()
+    assert j.filter(~F.col("a.price").eqNullSafe(F.col("b.price"))).count() == 0
+    # metrics row carries the exact DDL and real stats (unscaled carrier)
+    m = encode_job.column_metrics(decode_job.read_encoded(spark, out))
+    rows = m.filter(F.col("column") == "price").collect()
+    assert rows and all(r["dtype"] == "decimal(14,2)" for r in rows)
+    assert all(r["distinct_est"] > 0 for r in rows if r["n_values"] > r["null_count"])
+    df.unpersist()
+
+
+def test_property_decimal_fsb_roundtrip():
+    """Container-level property coverage for the two parameterized types."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from tokenlake.codecs.container import decode_column_arrow, encode_any_column
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        unscaled=st.lists(
+            st.one_of(st.none(), st.integers(-(10**17), 10**17)), max_size=30
+        ),
+        scale=st.integers(0, 6),
+        codec=st.sampled_from(["plain", "for", "dict", "delta"]),
+    )
+    def check_decimal(unscaled, scale, codec):
+        vals = [None if u is None else Decimal(u).scaleb(-scale) for u in unscaled]
+        arr = pa.array(vals, pa.decimal128(18, scale))
+        out = decode_column_arrow(encode_any_column(arr, codec))
+        assert out.to_pylist() == vals and out.type == arr.type
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        width=st.integers(1, 24),
+        n=st.integers(0, 30),
+        codec=st.sampled_from(["str_plain", "str_dict", "str_prefix"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check_fsb(width, n, codec, seed):
+        rng = np.random.default_rng(seed)
+        vals = [
+            None if rng.random() < 0.2 else rng.integers(0, 3, width).astype(np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        arr = pa.array(vals, pa.binary(width))
+        out = decode_column_arrow(encode_any_column(arr, codec))
+        assert out.to_pylist() == vals and out.type == arr.type
+
+    check_decimal()
+    check_fsb()

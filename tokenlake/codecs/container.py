@@ -44,18 +44,28 @@ _V2 = 2
 # logical dtype registry: container code → (name, spark ddl, arrow type)
 DT_INT32, DT_INT64, DT_INT16, DT_INT8, DT_FLOAT32, DT_FLOAT64 = range(6)
 DT_BOOL, DT_STRING, DT_BINARY, DT_TIMESTAMP_US, DT_DATE32 = range(6, 11)
+# parameterized types (reference column_context.rs:215-291 analyzes
+# FIXED_LEN_BYTE_ARRAY and decimal physical types): the dtype byte alone
+# can't carry (precision, scale) / byte width, so these prepend a tiny type
+# header to the codec body — u8 precision | u8 scale for decimal (unscaled
+# int64 carrier, precision ≤ 18), u32 width for fixed-size binary (str
+# family; the constant lengths FOR-pack to ~nothing).
+DT_DECIMAL64, DT_FIXED_BINARY = 11, 12
 
 DTYPE_SPARK = {
     DT_INT32: "int", DT_INT64: "bigint", DT_INT16: "smallint", DT_INT8: "tinyint",
     DT_FLOAT32: "float", DT_FLOAT64: "double", DT_BOOL: "boolean",
     DT_STRING: "string", DT_BINARY: "binary",
     DT_TIMESTAMP_US: "timestamp_ntz", DT_DATE32: "date",
+    # Spark views a stored fixed-size binary as plain binary; decimal DDL
+    # needs (p, s) — use spark_ddl_of_arrow for the exact string
+    DT_FIXED_BINARY: "binary",
 }
-SPARK_DTYPE = {v: k for k, v in DTYPE_SPARK.items()}
+SPARK_DTYPE = {v: k for k, v in DTYPE_SPARK.items() if k <= DT_DATE32}
 
 # dtypes whose value stream runs through the 64-bit ("wide") int codec path
-_WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US})
-_STR_DTYPES = frozenset({DT_STRING, DT_BINARY})
+_WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US, DT_DECIMAL64})
+_STR_DTYPES = frozenset({DT_STRING, DT_BINARY, DT_FIXED_BINARY})
 
 FLAG_NULLS = 1  # body carries a validity-bitmap section
 # list-typed payload: body = u32 lengths_frame_len | lengths_frame |
@@ -239,7 +249,25 @@ def dtype_of_arrow(t: pa.DataType) -> int:
         return DT_TIMESTAMP_US
     if pa.types.is_date32(t):
         return DT_DATE32
+    if pa.types.is_decimal(t):
+        if t.precision > 18:
+            raise ValueError(
+                f"decimal type {t} not supported — precision ≤ 18 fits the "
+                "int64 unscaled carrier; cast down (or to double) first"
+            )
+        return DT_DECIMAL64
+    if pa.types.is_fixed_size_binary(t):
+        return DT_FIXED_BINARY
     raise ValueError(f"unsupported column type for encoding: {t}")
+
+
+def spark_ddl_of_arrow(t: pa.DataType) -> str:
+    """Exact Spark DDL for a supported scalar type (decimal keeps its
+    precision/scale; fixed-size binary reads back as Spark binary)."""
+    code = dtype_of_arrow(t)
+    if code == DT_DECIMAL64:
+        return f"decimal({t.precision},{t.scale})"
+    return DTYPE_SPARK[code]
 
 
 def is_wide(dtype: int) -> bool:
@@ -253,6 +281,15 @@ def is_string_kind(dtype: int) -> bool:
 def int_view_of(arr: pa.Array, dtype: int) -> np.ndarray:
     """Bit-pattern numpy view of a null-free fixed-width arrow array:
     int32/int64 carrier for the int codec family."""
+    if dtype == DT_DECIMAL64:
+        # decimal128 stores 16 B little-endian two's-complement unscaled
+        # ints; precision ≤ 18 keeps |unscaled| < 2^63, so the low word IS
+        # the int64 value (sign extension lives entirely in the high word)
+        if len(arr) == 0:
+            return np.empty(0, np.int64)
+        buf = arr.buffers()[1]
+        pairs = np.frombuffer(buf, np.int64, count=2 * len(arr), offset=arr.offset * 16)
+        return np.ascontiguousarray(pairs[0::2])
     np_arr = arr.to_numpy(zero_copy_only=False)
     if dtype == DT_FLOAT32:
         return np.ascontiguousarray(np_arr, dtype=np.float32).view(np.int32)
@@ -278,8 +315,18 @@ def _arrow_type_of(dtype: int) -> pa.DataType:
     }[dtype]
 
 
-def _ints_to_arrow(vals: np.ndarray, dtype: int) -> pa.Array:
+def _ints_to_arrow(vals: np.ndarray, dtype: int, deci: tuple[int, int] | None = None) -> pa.Array:
     """Decoded carrier ints → arrow array of the logical type (bit-exact)."""
+    if dtype == DT_DECIMAL64:
+        p, s = deci
+        # rebuild the 16 B little-endian two's-complement storage: low word
+        # is the carrier, high word its sign extension (arithmetic shift)
+        pairs = np.empty((len(vals), 2), np.int64)
+        pairs[:, 0] = vals
+        pairs[:, 1] = np.asarray(vals, np.int64) >> 63
+        return pa.Array.from_buffers(
+            pa.decimal128(p, s), len(vals), [None, pa.py_buffer(pairs.tobytes())]
+        )
     if dtype == DT_FLOAT32:
         return pa.array(vals.view(np.float32), pa.float32())
     if dtype == DT_FLOAT64:
@@ -312,10 +359,15 @@ def encode_any_column(arr: pa.Array, codec: str, outer: str = "auto") -> bytes:
         arr = arr.drop_null()
     if is_string_kind(dtype):
         cid = strcodecs.STR_CODEC_IDS[codec]
-        body = strcodecs.encode_str_body(cid, arr)
+        vals = arr.cast(pa.large_binary()) if dtype == DT_FIXED_BINARY else arr
+        body = strcodecs.encode_str_body(cid, vals)
+        if dtype == DT_FIXED_BINARY:
+            body = struct.pack("<I", arr.type.byte_width) + body
     else:
         cid = intcodecs.INT_CODEC_IDS[codec]
         body = intcodecs.encode_int_body(cid, int_view_of(arr, dtype), wide=is_wide(dtype))
+        if dtype == DT_DECIMAL64:
+            body = struct.pack("<BB", arr.type.precision, arr.type.scale) + body
     return wrap(cid, prefix + body, outer, dtype, flags)
 
 
@@ -403,26 +455,44 @@ def decode_column_arrow(buf: bytes | memoryview) -> pa.Array:
             bitorder="little", count=n_total,
         ).astype(bool)
         body = body[4 + nbytes :]
+    # parameterized-type headers (after the validity section, before the
+    # codec body): decimal carries (precision, scale), fsb its byte width
+    deci = fsb_width = None
+    if dtype == DT_DECIMAL64:
+        deci = (body[0], body[1])
+        body = body[2:]
+    elif dtype == DT_FIXED_BINARY:
+        (fsb_width,) = struct.unpack_from("<I", body, 0)
+        body = body[4:]
     if cid in strcodecs.STR_CODEC_NAMES:
         vals = strcodecs.decode_str_body(cid, body)
-        if dtype == DT_BINARY:
+        if dtype in (DT_BINARY, DT_FIXED_BINARY):
             vals = vals.cast(pa.large_binary())
+
+        def _shape(a: pa.Array) -> pa.Array:
+            if dtype == DT_FIXED_BINARY:
+                return a.cast(pa.binary()).cast(pa.binary(fsb_width))
+            return a
+
         if valid is None:
-            return vals
+            return _shape(vals)
         if len(vals) == 0:  # all-null column
-            return pa.nulls(len(valid), vals.type)
+            return pa.nulls(
+                len(valid),
+                pa.binary(fsb_width) if dtype == DT_FIXED_BINARY else vals.type,
+            )
         # scatter valid strings back to their slots; null slots zero-length
         idx = np.full(len(valid), -1, np.int64)
         idx[valid] = np.arange(int(valid.sum()))
         taken = vals.take(pa.array(np.maximum(idx, 0), pa.int64()))
         mask = pa.array(valid, pa.bool_())
-        return pa.compute.if_else(mask, taken, pa.scalar(None, taken.type))
+        return _shape(pa.compute.if_else(mask, taken, pa.scalar(None, taken.type)))
     vals = intcodecs.decode_int_body(cid, body, wide=is_wide(dtype))
     if valid is None:
-        return _ints_to_arrow(vals, dtype)
+        return _ints_to_arrow(vals, dtype, deci)
     full = np.zeros(len(valid), dtype=vals.dtype)
     full[valid] = vals
-    dense = _ints_to_arrow(full, dtype)
+    dense = _ints_to_arrow(full, dtype, deci)
     mask = pa.array(valid, pa.bool_())
     return pa.compute.if_else(mask, dense, pa.scalar(None, dense.type))
 
@@ -432,7 +502,8 @@ def decode_column(buf: bytes | memoryview):
     payloads (the hot token path), pa.Array otherwise."""
     cid, body, dtype, flags = unwrap(buf)
     if flags or is_string_kind(dtype) or dtype not in (DT_INT32, DT_INT64):
-        if cid in strcodecs.STR_CODEC_NAMES and not flags:
+        # the raw-body shortcut must not skip DT_FIXED_BINARY's width header
+        if cid in strcodecs.STR_CODEC_NAMES and not flags and dtype != DT_FIXED_BINARY:
             return strcodecs.decode_str_body(cid, body)
         return decode_column_arrow(buf)
     return intcodecs.decode_int_body(cid, body, wide=is_wide(dtype))

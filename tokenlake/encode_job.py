@@ -227,12 +227,12 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         DT_BOOL,
         DT_FLOAT32,
         DT_FLOAT64,
-        DTYPE_SPARK,
         dtype_of_arrow,
         encode_list_column,
         int_view_of,
         is_string_kind,
         is_wide,
+        spark_ddl_of_arrow,
     )
     from .select import select_codec, select_float_codec
 
@@ -241,7 +241,7 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         arr = arr.cast(pa.list_(t.value_type))
         t = arr.type
     elem = dtype_of_arrow(t.value_type)
-    ddl = f"array<{DTYPE_SPARK[elem]}>"
+    ddl = f"array<{spark_ddl_of_arrow(t.value_type)}>"
     outer = cfg.outer_for(name)
     forced = cfg.overrides.get(name)
     values = arr.flatten()
@@ -305,7 +305,12 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         or pa.types.is_fixed_size_list(arr.type)
     ):
         return _encode_list_extra(arr, name, cfg)
+    from .codecs.container import spark_ddl_of_arrow
+
     dtype = dtype_of_arrow(arr.type)
+    # exact DDL for the metrics row: decimal carries (p, s) the dtype BYTE
+    # cannot (the payload header stores them separately)
+    ddl = spark_ddl_of_arrow(arr.type)
     outer = cfg.outer_for(name)
     forced = cfg.overrides.get(name)
     valid = arr.drop_null() if arr.null_count else arr
@@ -319,10 +324,10 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
             from .codecs.container import wrap
             from .codecs.strcodecs import STR_CODEC_IDS
 
-            return wrap(STR_CODEC_IDS[codec], body, outer, dtype), None, rule, None, None
-        return encode_any_column(arr, codec, outer), None, rule, None, None
+            return wrap(STR_CODEC_IDS[codec], body, outer, dtype), None, rule, None, ddl
+        return encode_any_column(arr, codec, outer), None, rule, None, ddl
     if dtype == DT_BOOL:
-        return encode_any_column(arr, forced or "for", outer), None, "bool-bitpack", None, None
+        return encode_any_column(arr, forced or "for", outer), None, "bool-bitpack", None, ddl
     view = int_view_of(valid, dtype) if len(valid) else np.empty(0, np.int32)
     wide = is_wide(dtype)
     st = compute_chunk_stats(view, n_rows=len(arr))
@@ -341,7 +346,7 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         # hard guarantee: never worse than plain (R3 escape hatch)
         payload = encode_any_column(arr, "plain", outer)
         d = select_codec(view, st, forced="plain", wide=wide)
-    return payload, st, d.rule, None, None
+    return payload, st, d.rule, None, ddl
 
 
 def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:

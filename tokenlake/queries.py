@@ -1349,10 +1349,11 @@ FROM stats
 
 
 def q_generic_roundtrip(spark, sf_dir):
-    """Generic column registry, oracle-checked end-to-end: derive a 9-column
+    """Generic column registry, oracle-checked end-to-end: derive a 10-column
     table from events (doc_id, tokens, n_tok, source + double with planted
-    nulls, timestamp, bigint, bool, and a ragged array<float> embedding
-    column with planted null rows), push it through encode→decode, and
+    nulls, timestamp, bigint, bool, a ragged array<float> embedding column
+    with planted null rows, and a decimal(14,2) price through the unscaled
+    int64 carrier), push it through encode→decode, and
     aggregate per source. The oracle computes the same aggregates straight
     from events — so a single flipped bit in ANY column's codec path breaks
     the hash match. This is the reference's any-flat-schema surface
@@ -1379,6 +1380,12 @@ def q_generic_roundtrip(spark, sf_dir):
         F.col("user_id").alias("user_id"),
         (F.col("value") > 0.5).alias("flag"),
         F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(emb).alias("emb"),
+        # decimal(14,2) through the unscaled-int64 carrier (round 5); x/4
+        # has exactly 2 decimal digits, so the cast and the later double
+        # sums are exact in both engines
+        F.when(F.col("event_id") % 17 == 0, F.lit(None))
+        .otherwise(((F.col("event_id") % 100000) / 4.0).cast("decimal(14,2)"))
+        .alias("price"),
     )
     enc = encode_job.encode_dataframe(df, max_rows=4096, max_values=1_000_000)
     dec = decode_job.decode_dataframe(
@@ -1386,6 +1393,7 @@ def q_generic_roundtrip(spark, sf_dir):
         extra_types={
             "value": "double", "ts": "timestamp_ntz",
             "user_id": "bigint", "flag": "boolean", "emb": "array<float>",
+            "price": "decimal(14,2)",
         },
     )
     tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
@@ -1403,6 +1411,8 @@ def q_generic_roundtrip(spark, sf_dir):
         # explicit null guard: size(NULL) is -1 under legacy sizeOfNull
         F.sum(F.when(F.col("emb").isNotNull(), F.size("emb"))).cast("bigint").alias("emb_vals"),
         F.sum(F.col("emb").isNull().cast("int")).cast("bigint").alias("null_embs"),
+        F.sum("price").cast("double").alias("sum_price"),
+        F.sum(F.col("price").isNull().cast("int")).cast("bigint").alias("null_prices"),
     )
 
 
@@ -1423,7 +1433,11 @@ SELECT event_type AS source,
          AS sum_emb,
        sum(CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id % 3 + 2 END)::BIGINT
          AS emb_vals,
-       sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_embs
+       sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_embs,
+       sum(CASE WHEN event_id % 17 = 0 THEN NULL
+                ELSE CAST((event_id % 100000) / 4.0 AS DECIMAL(14,2)) END)::DOUBLE
+         AS sum_price,
+       sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_prices
 FROM events GROUP BY 1
 """
 

@@ -57,13 +57,14 @@ def verify_bit_identical(source: DataFrame, decoded: DataFrame) -> dict:
 
     Null doc_ids can't equi-join, so the join key is
     coalesce(doc_id, '<null>#' || xxhash64(content)): a null-doc row pairs
-    with its decoded twin by content. Identical-content duplicates would
-    make that key non-unique and the full-outer join many-to-many (2 source
-    copies vs 1 decoded copy must NOT certify as 2 matches — round-4
-    advice), so a per-key row_number disambiguates: the k-th copy on each
-    side pairs only with the k-th copy on the other, and a lost copy counts
-    as missing. doc_id is otherwise assumed unique (the input contract).
-    """
+    with its decoded twin by content. Duplicate keys would make the
+    full-outer join many-to-many (2 source copies vs 1 decoded copy must
+    NOT certify as 2 matches — round-4 advice), so a per-key row_number
+    disambiguates: copies are ranked by their content hash on BOTH sides
+    (deterministic, so the k-th copy of one side pairs with the k-th
+    identical-content copy of the other even when a doc_id is duplicated
+    with differing content against the input contract), and a lost copy
+    counts as missing."""
     from pyspark.sql import Window
 
     cols = sorted(set(source.columns) & set(decoded.columns))
@@ -74,20 +75,21 @@ def verify_bit_identical(source: DataFrame, decoded: DataFrame) -> dict:
             F.col("doc_id"),
             F.concat(F.lit("<null>#"), F.xxhash64(*cols).cast("string")),
         )
-        sel = [key.alias("_k0"), F.lit(1).alias(f"{prefix}_present")]
+        sel = [
+            key.alias("_k0"),
+            F.xxhash64(*cols).alias("_h"),
+            F.lit(1).alias(f"{prefix}_present"),
+        ]
         # existence marker: a NULL column value must not read as "row
         # absent" after the full-outer join
         sel += [F.col(c).alias(f"{prefix}_{c}") for c in value_cols]
-        # copies under one key are content-identical by construction of the
-        # key (it embeds the row hash), so the arbitrary intra-key order is
-        # harmless — row_number only has to make the keys distinct
-        w = Window.partitionBy("_k0").orderBy(F.lit(1))
+        w = Window.partitionBy("_k0").orderBy("_h")
         return (
             df.select(*sel)
             .withColumn(
                 "_k", F.concat_ws("#", "_k0", F.row_number().over(w).cast("string"))
             )
-            .drop("_k0")
+            .drop("_k0", "_h")
         )
 
     s = keyed(source, "s")
