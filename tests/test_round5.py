@@ -153,11 +153,11 @@ def test_extra_types_of_raises_on_conflicting_dtypes(spark):
     silently pick one (the decode schema would disagree with half the
     payloads)."""
     a = spark.createDataFrame(
-        [("c1", [("v", "plain", "none", "double", 1, 0, 1, 1, "", 0, 1, 1, 0.0)], b"")],
+        [("c1", [("v", "plain", "none", "double", 1, 0, 1, 1, "", 0, 1, 1, 0.0, None)], b"")],
         f"chunk_id string, columns array<struct<{encode_job.COLMETA_FIELDS}>>, payload_v binary",
     )
     b = spark.createDataFrame(
-        [("c2", [("v", "plain", "none", "float", 1, 0, 1, 1, "", 0, 1, 1, 0.0)], b"")],
+        [("c2", [("v", "plain", "none", "float", 1, 0, 1, 1, "", 0, 1, 1, 0.0, None)], b"")],
         f"chunk_id string, columns array<struct<{encode_job.COLMETA_FIELDS}>>, payload_v binary",
     )
     with pytest.raises(ValueError, match="conflicting dtypes"):
@@ -447,3 +447,105 @@ def test_property_decimal_fsb_roundtrip():
 
     check_decimal()
     check_fsb()
+
+
+# ------------------------------------------ per-column bloom filters
+
+def test_per_column_bloom_lookup_pruning(spark, tmp_path):
+    """`set column doc_id bloom_filter true` builds a per-chunk doc_id
+    membership filter that lookup() uses as a second pruning stage after
+    the candidate semi-join (round-4 verdict #2): on a salted multi-batch
+    table, the filter must reject most candidate chunks while returning
+    exactly the requested rows."""
+    from tokenlake.codecs.bloom import hash_string, might_contain_any
+    from tokenlake.plan import Prescription
+
+    out = str(tmp_path / "out")
+    cfg = Prescription.parse("set column doc_id bloom_filter true").apply()
+    df = _df(spark, scale=0.01).cache()
+    # three salted batches over disjoint doc_id ranges → multiple prefixes,
+    # small chunks
+    ids = [r["doc_id"] for r in df.select("doc_id").distinct().collect()]
+    ids.sort()
+    third = len(ids) // 3
+    for i, salt in enumerate(("b1", "b2", "b3")):
+        part = ids[i * third : (i + 1) * third] if i < 2 else ids[2 * third :]
+        encode_job.run(
+            spark, df.filter(F.col("doc_id").isin(part)), out,
+            cfg=cfg, salt=salt, max_rows=64,
+        )
+    want = [ids[1], ids[len(ids) // 2], ids[-2]]
+    got = decode_job.lookup(spark, out, want)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(want)
+
+    # pruning evidence: of the candidate chunks (3 prefixes × |want|
+    # buckets), only the ones whose filter admits a requested id survive
+    enc = decode_job.read_encoded(spark, out)
+    import numpy as np
+
+    id_hashes = np.array([hash_string(d) for d in want], dtype=np.int64)
+    rows = (
+        enc.select(
+            "chunk_id",
+            decode_job._column_bloom_expr(enc, "doc_id").alias("b"),
+        )
+        .collect()
+    )
+    assert all(r["b"] is not None for r in rows)  # every chunk has a filter
+    admitted = sum(1 for r in rows if might_contain_any(bytes(r["b"]), id_hashes))
+    assert admitted <= len(rows) / 2, (admitted, len(rows))
+    df.unpersist()
+
+
+def test_per_column_bloom_extras_and_inference(spark, tmp_path):
+    """Extras (bigint) and n_tok honor bloom_filter directives;
+    chunks_containing_value prunes on them; X1 inference round-trips the
+    per-column bloom setting."""
+    from tokenlake.plan import Prescription
+
+    out = str(tmp_path / "out")
+    cfg = Prescription.parse(
+        "set column user_id bloom_filter true\nset column doc_id bloom_filter true"
+    ).apply()
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").limit(2000)
+    toks = F.expr(
+        "transform(sequence(1, cast(event_id % 7 as int) + 1), "
+        "i -> cast((event_id * 31 + i) % 997 as int))"
+    )
+    df = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.col("user_id").alias("user_id"),
+    ).cache()
+    encode_job.run(spark, df, out, cfg=cfg, resume=False, max_rows=256)
+    m = encode_job.column_metrics(decode_job.read_encoded(spark, out))
+    hb = {
+        r["column"]: r["h"]
+        for r in m.groupBy("column").agg(F.max("has_bloom").alias("h")).collect()
+    }
+    assert hb["user_id"] and hb["doc_id"]
+    assert not hb["tokens"] and not hb["source"]
+
+    # value probe on the bigint extra prunes to a subset
+    one_user = df.select("user_id").first()["user_id"]
+    cands = decode_job.chunks_containing_value(spark, out, "user_id", int(one_user))
+    total = decode_job.read_encoded(spark, out).count()
+    n_cands = cands.count()
+    assert 0 < n_cands < total, (n_cands, total)
+    # and the admitted set really contains the user's rows
+    dec = decode_job.decode(spark, out)
+    rows_direct = df.filter(F.col("user_id") == one_user).count()
+    pruned = decode_job.read_encoded(spark, out).join(cands, "chunk_id", "left_semi")
+    rows_pruned = (
+        decode_job.decode_dataframe(pruned, extra_types={"user_id": "bigint"})
+        .filter(F.col("user_id") == one_user)
+        .count()
+    )
+    assert rows_pruned == rows_direct
+
+    inferred = encode_job.plan_from_encoded(spark, out)
+    assert "user_id" in inferred.bloom and "doc_id" in inferred.bloom
+    assert "tokens" not in inferred.bloom
+    df.unpersist()

@@ -269,6 +269,17 @@ def decode(
     return decode_dataframe(enc, columns, extra_types=extra_types_of(enc))
 
 
+def _column_bloom_expr(encoded: DataFrame, column: str):
+    """The stored per-column bloom blob for `column`, or a NULL literal on
+    tables written before the metrics struct carried one."""
+    meta_fields = set(encoded.schema["columns"].dataType.elementType.fieldNames())
+    if "bloom" not in meta_fields:
+        return F.lit(None).cast("binary")
+    return F.element_at(
+        F.filter("columns", lambda c: c["column"] == F.lit(column)), 1
+    )["bloom"]
+
+
 def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
     """Chunk ids whose token bloom filter admits `token` (parity with the
     reference's bloom directives, prescription.rs:113-130 / fix.rs:168-182).
@@ -276,16 +287,32 @@ def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> Da
     Chunks encoded without a filter can't be pruned and are kept. The probe
     is an Arrow-batched pandas UDF over (chunk_id, bloom) only — parquet
     column pruning keeps payload bytes unread."""
+    return chunks_containing_value(spark, out_dir, "tokens", token)
+
+
+def chunks_containing_value(
+    spark: SparkSession, out_dir: str, column: str, value
+) -> DataFrame:
+    """Chunk ids whose `column` membership filter admits `value` — the
+    per-column generalization (any column given `set column C bloom_filter
+    true`; string values probe via the same FNV-1a hash the build used).
+    The tokens filter lives in the top-level bloom column, every other
+    column's in its metrics row. Chunks without a filter are kept."""
     from pyspark.sql.functions import pandas_udf
 
-    from .codecs.bloom import might_contain
+    from .codecs.bloom import hash_string, might_contain
+
+    probe_val = hash_string(value) if isinstance(value, (str, bytes)) else int(value)
 
     @pandas_udf("boolean")
     def probe(blooms: pd.Series) -> pd.Series:
-        return blooms.map(lambda b: True if b is None else might_contain(b, token))
+        return blooms.map(
+            lambda b: True if b is None else might_contain(b, probe_val)
+        )
 
     enc = read_encoded(spark, out_dir)
-    return enc.filter(probe(F.col("bloom"))).select("chunk_id")
+    blob = F.col("bloom") if column == "tokens" else _column_bloom_expr(enc, column)
+    return enc.filter(probe(blob)).select("chunk_id")
 
 
 def scan_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
@@ -330,7 +357,27 @@ def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
             "#", "prefix", F.pmod(F.xxhash64("doc_id"), F.col("nbuckets"))
         ).alias("chunk_id")
     )
-    pruned = dedup_attempts(enc.join(F.broadcast(cands), "chunk_id", "left_semi"))
+    pruned = enc.join(F.broadcast(cands), "chunk_id", "left_semi")
+    # second pruning stage: chunks that carry a doc_id membership filter
+    # (set column doc_id bloom_filter true) drop out when it rejects EVERY
+    # requested id — a candidate bucket holds ~n_rows/nbuckets unrelated
+    # docs, and without the filter each one pays a full decode
+    meta_fields = set(enc.schema["columns"].dataType.elementType.fieldNames())
+    if "bloom" in meta_fields:
+        from pyspark.sql.functions import pandas_udf
+
+        from .codecs.bloom import hash_string, might_contain_any
+
+        id_hashes = np.array([hash_string(d) for d in doc_ids], dtype=np.int64)
+
+        @pandas_udf("boolean")
+        def admits(blooms: pd.Series) -> pd.Series:
+            return blooms.map(
+                lambda b: True if b is None else might_contain_any(b, id_hashes)
+            )
+
+        pruned = pruned.filter(admits(_column_bloom_expr(enc, "doc_id")))
+    pruned = dedup_attempts(pruned)
     return decode_dataframe(pruned, extra_types=extra_types_of(enc)).filter(
         F.col("doc_id").isin(list(doc_ids))
     )

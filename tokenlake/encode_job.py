@@ -44,7 +44,8 @@ from .stats import compute_chunk_stats
 COLMETA_FIELDS = (
     "column string, codec string, outer string, dtype string, n_values long, "
     "null_count long, encoded_bytes long, raw_bytes long, rule string, "
-    "min_val long, max_val long, distinct_est long, elapsed_ms double"
+    "min_val long, max_val long, distinct_est long, elapsed_ms double, "
+    "bloom binary"
 )
 
 _COLMETA_ARROW = pa.struct(
@@ -62,6 +63,10 @@ _COLMETA_ARROW = pa.struct(
         ("max_val", pa.int64()),
         ("distinct_est", pa.int64()),
         ("elapsed_ms", pa.float64()),
+        # per-column membership filter (reference bloom directives are
+        # per-column, prescription.rs:113-130 / fix.rs:168-182); the tokens
+        # filter stays in the top-level `bloom` column (its historical slot)
+        ("bloom", pa.binary()),
     ]
 )
 
@@ -349,6 +354,34 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     return payload, st, d.rule, None, ddl
 
 
+def _bloom_of(arr: pa.Array, bp: dict) -> bytes | None:
+    """Membership filter over one column's values (list extras: element
+    membership — the tokens semantics generalized). Strings enter via the
+    FNV-1a 64 hash domain, fixed-width types via their int carrier view."""
+    from .codecs.bloom import build_bloom, hash_strings
+    from .codecs.container import DT_BOOL, dtype_of_arrow, int_view_of, is_string_kind
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        arr = arr.cast(pa.list_(t.value_type))
+        t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        arr = arr.flatten()
+    valid = arr.drop_null() if arr.null_count else arr
+    if len(valid) == 0:
+        return None
+    dtype = dtype_of_arrow(valid.type)
+    if dtype == DT_BOOL:
+        return None  # two possible values — a filter prunes nothing
+    if is_string_kind(dtype):
+        vals = hash_strings(valid)
+    else:
+        vals = int_view_of(valid, dtype)
+    return build_bloom(vals, fpp=bp["fpp"], ndv=bp["ndv"])
+
+
 def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     """Encode one chunk → one row: per-column payloads + metrics.
 
@@ -423,7 +456,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     payloads: dict[str, bytes] = {}
     chunk_bloom: list = [None]
 
-    def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None, bloom=None, null_count=0, dtype_ddl=None):
+    def emit(column, payload, n_values, raw_bytes, stats=None, rule="", t_start=None, bloom=None, null_count=0, dtype_ddl=None, col_bloom=None):
         from .codecs.container import DTYPE_SPARK, dtype_of
 
         codec, outer_name = codec_of(payload)
@@ -446,6 +479,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "max_val": stats.max_val if stats and keep_stats else 0,
                 "distinct_est": stats.distinct_est if stats and keep_stats else 0,
                 "elapsed_ms": (time.perf_counter() - (t_start or t0)) * 1000,
+                "bloom": col_bloom,
             }
         )
 
@@ -497,8 +531,10 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         nbuf = encode_any_column(ntok_arr, ldec.codec, cfg.outer_for("n_tok"))
     else:
         nbuf = encode_int_column(lens_valid, ldec.codec, outer=cfg.outer_for("n_tok"))
+    nbp = cfg.bloom_for("n_tok")
     emit("n_tok", nbuf, n_rows, lens_valid.nbytes, lst, ldec.rule, tcol,
-         null_count=ntok_arr.null_count)
+         null_count=ntok_arr.null_count,
+         col_bloom=_bloom_of(ntok_arr, nbp) if nbp else None)
 
     # doc_id: sorted unique ids → front coding vs plain vs dict (R1/R5 on strings)
     tcol = time.perf_counter()
@@ -525,7 +561,9 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     else:
         dbuf = encode_str_column(doc, doc_codec, outer=cfg.outer_for("doc_id"))
     doc_bytes = int(pc.sum(pc.binary_length(doc_valid)).as_py() or 0)
-    emit("doc_id", dbuf, n_rows, doc_bytes, None, doc_rule, tcol, null_count=doc.null_count)
+    dbp = cfg.bloom_for("doc_id")
+    emit("doc_id", dbuf, n_rows, doc_bytes, None, doc_rule, tcol, null_count=doc.null_count,
+         col_bloom=_bloom_of(doc, dbp) if dbp else None)
 
     # source: constant within a chunk by construction → dictionary
     tcol = time.perf_counter()
@@ -536,8 +574,9 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     else:
         sbuf = encode_str_column(src, overrides.get("source", "str_dict"), outer=cfg.outer_for("source"))
     src_bytes = int(pc.sum(pc.binary_length(src.drop_null() if src.null_count else src)).as_py() or 0)
+    sbp = cfg.bloom_for("source")
     emit("source", sbuf, n_rows, src_bytes, None, "dictionary-encoding-cardinality", tcol,
-         null_count=src.null_count)
+         null_count=src.null_count, col_bloom=_bloom_of(src, sbp) if sbp else None)
 
     # extra columns: generic registry dispatch
     from .codecs.container import DTYPE_SPARK
@@ -551,8 +590,10 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         # ELEMENTS in n_values (the tokens convention) but null ROWS in
         # null_count
         raw = sum(len(b) for b in (arr.buffers() or []) if b is not None)
+        ebp = cfg.bloom_for(name)
         emit(name, ebuf, n_rows if n_vals is None else n_vals, raw, est, erule,
-             tcol, null_count=arr.null_count, dtype_ddl=ddl)
+             tcol, null_count=arr.null_count, dtype_ddl=ddl,
+             col_bloom=_bloom_of(arr, ebp) if ebp else None)
 
     row = {
         "chunk_id": chunk_id,
@@ -645,7 +686,14 @@ def column_metrics(encoded: DataFrame) -> DataFrame:
         F.col("c.max_val").alias("max_val"),
         F.col("c.distinct_est").alias("distinct_est"),
         F.col("c.elapsed_ms").alias("elapsed_ms"),
-        (F.col("chunk_has_bloom") & (F.col("c.column") == "tokens")).alias("has_bloom"),
+        (
+            (F.col("chunk_has_bloom") & (F.col("c.column") == "tokens"))
+            | (
+                F.col("c.bloom").isNotNull()
+                if "bloom" in meta_fields
+                else F.lit(False)
+            )
+        ).alias("has_bloom"),
     )
 
 
@@ -813,6 +861,14 @@ def run(
                     "metadata; appending would mix metrics-struct schemas in "
                     "one table — re-encode it (decode + run into a fresh "
                     "out_dir) before appending"
+                )
+            current_fields = {f.name for f in _COLMETA_ARROW}
+            if meta_fields != current_fields:
+                raise ValueError(
+                    f"existing table at {out_dir!r} stores a different "
+                    f"metrics-struct shape ({sorted(meta_fields ^ current_fields)} "
+                    "differ); appending would mix struct schemas — re-encode "
+                    "it into a fresh out_dir first"
                 )
             if extras:
                 from .decode_job import extra_types_of
