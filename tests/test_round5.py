@@ -549,3 +549,136 @@ def test_per_column_bloom_extras_and_inference(spark, tmp_path):
     assert "user_id" in inferred.bloom and "doc_id" in inferred.bloom
     assert "tokens" not in inferred.bloom
     df.unpersist()
+
+
+# ------------------------------------------ evidence → rewrite loop
+
+def test_rewrite_from_evidence_selective(spark, tmp_path):
+    """The lint→rewrite lifecycle on the engine's own format (cli/main.rs:
+    186-199 analog): a two-source table — one force-plain (evidence:
+    enable-dictionary), one already-dict — selectively re-encodes ONLY the
+    flagged chunks; untouched chunks stay byte-identical, the evidence
+    lint on the result is all-ok, and decode stays bit-identical."""
+    from tokenlake.plan import Prescription
+    from tokenlake.verify import verify_bit_identical
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = _df(spark, scale=0.02, profiles=("lowcard", "smallrange")).cache()
+    cfg = Prescription.parse("set column tokens encoding plain").apply()
+    encode_job.run(spark, df, src, cfg=cfg, resume=False)
+    ev = lint_job.lint_encoded(spark, src)
+    flagged = {r["rule"] for r in ev.filter(F.col("column") == "tokens").collect()}
+    assert "enable-dictionary" in flagged
+
+    r = encode_job.rewrite_from_evidence(spark, src, dst)
+    assert r["rewritten_chunks"] > 0
+    assert "tokens" in r["flagged_columns"]
+
+    # evidence on the result: no more enable/disable warnings
+    ev2 = lint_job.lint_encoded(spark, dst)
+    assert (
+        ev2.filter(F.col("rule").isin("enable-dictionary", "disable-dictionary")).count()
+        == 0
+    )
+    # decode bit-identical to the original rows
+    dec = decode_job.decode(spark, dst)
+    assert verify_bit_identical(df, dec)["pass"]
+    df.unpersist()
+
+
+def test_rewrite_from_evidence_keeps_untouched_bytes(spark, tmp_path):
+    """Chunks without flagged evidence copy payload-byte-identically."""
+    from tokenlake.plan import Prescription
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = _df(spark, scale=0.02, profiles=("lowcard",))
+    # only SOME chunks force-plain: encode two batches, one clean, one forced
+    ids = sorted(r["doc_id"] for r in df.select("doc_id").distinct().collect())
+    half = len(ids) // 2
+    encode_job.run(spark, df.filter(F.col("doc_id").isin(ids[:half])), src, salt="a")
+    cfg = Prescription.parse("set column tokens encoding plain").apply()
+    encode_job.run(
+        spark, df.filter(F.col("doc_id").isin(ids[half:])), src, cfg=cfg, salt="b"
+    )
+    before = {
+        r["chunk_id"]: bytes(r["payload_tokens"])
+        for r in decode_job.read_encoded(spark, src)
+        .select("chunk_id", "payload_tokens")
+        .collect()
+    }
+    r = encode_job.rewrite_from_evidence(spark, src, dst)
+    assert 0 < r["rewritten_chunks"] < r["chunks_total"]
+    after = {
+        r["chunk_id"]: bytes(r["payload_tokens"])
+        for r in decode_job.read_encoded(spark, dst)
+        .select("chunk_id", "payload_tokens")
+        .collect()
+    }
+    kept = set(before) & set(after)
+    assert len(kept) == r["kept_chunks"]
+    assert all(before[c] == after[c] for c in kept)  # byte-identical copies
+
+
+def test_rewrite_from_evidence_noop_table(spark, tmp_path):
+    """A table with no flagged evidence copies everything and encodes
+    nothing."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = _df(spark, scale=0.005)
+    encode_job.run(spark, df, src, resume=False)
+    r = encode_job.rewrite_from_evidence(spark, src, dst)
+    assert r["rewritten_chunks"] == 0 and r["kept_chunks"] == r["chunks_total"]
+    assert decode_job.decode(spark, dst).count() == df.count()
+
+
+def test_cli_rewrite_from_evidence(spark, tmp_path, capsys):
+    from tokenlake.plan import Prescription
+    from tokenlake import cli
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = _df(spark, scale=0.01)
+    cfg = Prescription.parse("set column tokens encoding plain").apply()
+    encode_job.run(spark, df, src, cfg=cfg, resume=False)
+    rc = cli.main(["rewrite", src, "-o", dst, "--from-evidence"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"rewritten_chunks"' in out
+    assert decode_job.decode(spark, dst).count() == df.count()
+
+
+# ------------------------------------------ de-forced broadcasts (AQE)
+
+def test_dedup_and_resume_joins_broadcast_via_aqe(spark, tmp_path):
+    """The dedup/resume joins carry no forced broadcast hint (a ~1.5e7-chunk
+    table would pin hundreds of MB per executor), but AQE still picks a
+    broadcast join at test scale."""
+    import tokenlake.decode_job as dj
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.005)
+    encode_job.run(spark, df, out, resume=False, max_rows=64)
+    encode_job.run(spark, df, out, salt="b2", max_rows=64)  # second attempt set
+    enc = decode_job.read_encoded(spark, out)
+    deduped = dj.dedup_attempts(enc)
+    deduped.count()  # finalize AQE
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert "ResolvedHint" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+# ------------------------------------------ sampled string-codec screen
+
+def test_pick_str_codec_head_sample():
+    """Past 16 Ki values the trial race runs on the head sample and returns
+    body=None (caller encodes the winner once); the sampled pick matches
+    the full-race pick on sorted-id and low-cardinality shapes."""
+    from tokenlake.encode_job import _STR_TRIAL_ROWS, _pick_str_codec
+
+    big_sorted = pa.array([f"web-{i:012d}" for i in range(_STR_TRIAL_ROWS * 2)])
+    codec, body, _ = _pick_str_codec(big_sorted)
+    assert codec == "str_prefix" and body is None
+    small_sorted = pa.array([f"web-{i:012d}" for i in range(1000)])
+    codec_s, body_s, _ = _pick_str_codec(small_sorted)
+    assert codec_s == "str_prefix" and body_s is not None  # full race keeps body
+    lowcard = pa.array([f"s{i % 5}" for i in range(_STR_TRIAL_ROWS * 2)])
+    codec_l, body_l, _ = _pick_str_codec(lowcard)
+    assert codec_l == "str_dict" and body_l is None

@@ -61,6 +61,13 @@ def _build_parser() -> argparse.ArgumentParser:
     rw.add_argument("input")
     rw.add_argument("-o", "--out", required=True)
     rw.add_argument("--from-prescription", default=None)
+    rw.add_argument(
+        "--from-evidence", action="store_true",
+        help="INPUT is an ENCODED table dir: re-encode only the chunks whose "
+        "stored-evidence lint flags enable/disable-dictionary, copying every "
+        "other chunk byte-identically (the lint→rewrite lifecycle on the "
+        "engine's own format)",
+    )
     rw.add_argument("--dry-run", action="store_true")
     rw.add_argument("--fraction", type=float, default=0.05)
     rw.add_argument("--cpus", type=int, default=8)
@@ -156,6 +163,23 @@ def cmd_rewrite(args, spark=None) -> int:
 
     spark, own = _get_spark(spark, args.cpus)
     try:
+        if args.from_evidence:
+            if args.from_prescription:
+                print("--from-evidence and --from-prescription are exclusive", file=sys.stderr)
+                return 2
+            if args.dry_run:
+                from . import lint_job
+                from pyspark.sql import functions as F
+
+                ev = lint_job.lint_encoded(spark, args.input).filter(
+                    F.col("rule").isin("enable-dictionary", "disable-dictionary")
+                )
+                for r in ev.collect():
+                    print(f"{r['severity']:<10} {r['rule']:<20} {r['chunk_id']}:{r['column']}")
+                return 0
+            summary = encode_job.rewrite_from_evidence(spark, args.input, args.out)
+            print(json.dumps(summary))
+            return 0
         df = spark.read.parquet(args.input)
         if args.from_prescription:
             with open(args.from_prescription) as f:

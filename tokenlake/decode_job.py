@@ -240,10 +240,15 @@ def dedup_attempts(encoded: DataFrame) -> DataFrame:
     lineage writes followed by a resume (the duplicate lands in a later
     `attempt=N` partition; content is deterministic). Keep each chunk's
     earliest attempt. The dedup reads only (chunk_id, attempt) — parquet
-    column pruning keeps it metrics-weight — and rejoins as a BROADCAST
-    left-semi, so payload bytes are never shuffled. No-op (and plan-free)
-    when the input has no attempt partition column (e.g. the lazy output of
-    encode_dataframe, which is duplicate-free by construction)."""
+    column pruning keeps it metrics-weight — and rejoins as a left-semi
+    with NO forced broadcast hint: AQE picks broadcast at any realistic
+    scale (the keep side is two thin columns), while at the 10^12-row
+    design point (~1.5e7 chunks) a FORCED broadcast would pin hundreds of
+    MB on every executor; AQE can fall back to a shuffled semi-join of the
+    key columns only — payload bytes are never shuffled either way. No-op
+    (and plan-free) when the input has no attempt partition column (e.g.
+    the lazy output of encode_dataframe, which is duplicate-free by
+    construction)."""
     if "attempt" not in encoded.columns:
         return encoded
     keep = (
@@ -251,7 +256,7 @@ def dedup_attempts(encoded: DataFrame) -> DataFrame:
         .groupBy("chunk_id")
         .agg(F.min("attempt").alias("attempt"))
     )
-    return encoded.join(F.broadcast(keep), ["chunk_id", "attempt"], "left_semi")
+    return encoded.join(keep, ["chunk_id", "attempt"], "left_semi")
 
 
 def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:

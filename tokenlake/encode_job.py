@@ -195,20 +195,34 @@ def _chunk0(col: pa.ChunkedArray, empty_type: pa.DataType) -> pa.Array:
     return col.chunk(0) if col.num_chunks else pa.array([], empty_type)
 
 
+# head-sample size for the string trial race — the house sampling
+# discipline (reference samples ≤16,384 rows, column_context.rs:543)
+_STR_TRIAL_ROWS = 16384
+
+
 def _pick_str_codec(valid: pa.Array, allow_dict: bool = True) -> tuple[str, bytes | None, str]:
     """(codec, pre-built body or None, rule) for a string/binary column:
     trial-encode str_plain vs str_prefix (both one vectorized pass over a
     byte stream that is tiny next to the token payload), add str_dict when
     cardinality says the table pays (R1 on strings,
-    dictionary_encoding.rs:312-477), keep the winner under the R3 ≥5% rule."""
+    dictionary_encoding.rs:312-477), keep the winner under the R3 ≥5% rule.
+
+    Past _STR_TRIAL_ROWS values the race runs on a HEAD SAMPLE and only
+    the winner is encoded in full (body=None tells the caller to do that
+    one encode) — the sampled discipline every other column follows.
+    Chunks arrive doc_id-sorted, so a head sample sees the same
+    shared-prefix / cardinality structure as the whole chunk."""
     from .codecs.strcodecs import enc_str_dict, enc_str_plain, enc_str_prefix
 
     n = len(valid)
     if n == 0:
         return "str_plain", None, "string-byte-array-encoding"
-    bodies = {"str_plain": enc_str_plain(valid), "str_prefix": enc_str_prefix(valid)}
-    if allow_dict and pc.count_distinct(valid).as_py() < 0.5 * n:
-        bodies["str_dict"] = enc_str_dict(valid)
+    sampled = n > _STR_TRIAL_ROWS
+    trial = valid.slice(0, _STR_TRIAL_ROWS) if sampled else valid
+    n_trial = len(trial)
+    bodies = {"str_plain": enc_str_plain(trial), "str_prefix": enc_str_prefix(trial)}
+    if allow_dict and pc.count_distinct(trial).as_py() < 0.5 * n_trial:
+        bodies["str_dict"] = enc_str_dict(trial)
     best = min(bodies, key=lambda c: (len(bodies[c]), c))
     # R3: a winner that saves <5% vs plain isn't worth the decode detour
     if best != "str_plain" and len(bodies[best]) > 0.95 * len(bodies["str_plain"]):
@@ -218,7 +232,7 @@ def _pick_str_codec(valid: pa.Array, allow_dict: bool = True) -> tuple[str, byte
         "str_prefix": "delta-byte-array-front-coding",
         "str_dict": "dictionary-encoding-cardinality",
     }[best]
-    return best, bodies[best], rule
+    return best, None if sampled else bodies[best], rule
 
 
 def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
@@ -897,7 +911,11 @@ def run(
     skipped = 0
     if resume and done is not None:
         skipped = done.count()
-        chunked = chunked.join(F.broadcast(done), "chunk_id", "left_anti")
+        # no forced broadcast: AQE broadcasts the done-set while it is small
+        # and falls back to a shuffled anti-join at the 10^12-row design
+        # point (~1.5e7 finished chunk ids would be a several-hundred-MB
+        # forced broadcast per executor)
+        chunked = chunked.join(done, "chunk_id", "left_anti")
 
     def fn(t: pa.Table) -> pa.Table:
         return encode_chunk(t, cfg)
@@ -942,6 +960,133 @@ def run(
         "raw_bytes": summary["raw_bytes"],
         "skipped_chunks": skipped,
         "attempt": attempt,
+    }
+
+
+def rewrite_from_evidence(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    max_values: int = MAX_CHUNK_VALUES,
+) -> dict:
+    """Close the evidence→rewrite loop (the reference's lint→rewrite
+    lifecycle, cli/main.rs:186-199, applied to the engine's own format at
+    CHUNK granularity): re-encode ONLY the chunks whose stored-evidence
+    lint (lint_encoded) says enable-dictionary / disable-dictionary, and
+    copy every other chunk — payloads byte-identical — plus its lineage.
+
+    The re-encode FORCES the evidence's verdict per flagged column —
+    enable-dictionary → `dict`, disable-dictionary → the !dict marker
+    (majority when chunks disagree) — rather than merely releasing the
+    inferred override: R1's cardinality rule and the byte-cost selector
+    can legitimately disagree (a small-range low-cardinality stream packs
+    tighter under FOR than dict), and a released override would loop on
+    the same evidence forever. Untouched columns keep their inferred
+    settings (X1 preserve-untouched, fix.rs:25-70).
+
+    Re-encoded chunks carry a content-derived salt exactly like
+    compaction: an unsalted re-encode could re-derive a chunk id that
+    collides with a KEPT chunk of the same source (bucket numbering
+    restarts at 0 over the flagged subset), and dedup_attempts would then
+    silently drop one of two different chunks. Lookups stay exact — the
+    candidate derivation already walks every (prefix, nbuckets) group.
+
+    Returns {chunks_total, kept_chunks, rewritten_chunks, flagged_columns}.
+    """
+    import os
+
+    from .decode_job import (
+        decode_dataframe,
+        dedup_attempts,
+        extra_types_of,
+        read_encoded,
+    )
+    from .lint_job import lint_encoded
+
+    s = os.path.abspath(src_dir).rstrip("/")
+    d = os.path.abspath(dest_dir).rstrip("/")
+    if s == d or d.startswith(s + "/") or s.startswith(d + "/"):
+        raise ValueError(
+            f"rewrite dest_dir {dest_dir!r} overlaps src_dir {src_dir!r}; "
+            "the rewrite replaces dest and must never touch src"
+        )
+
+    ev = lint_encoded(spark, src_dir).filter(
+        F.col("rule").isin("enable-dictionary", "disable-dictionary")
+    )
+    flagged = ev.select("chunk_id").distinct()
+    verdicts: dict[str, dict[str, int]] = {}
+    for r in ev.groupBy("column", "rule").count().collect():
+        verdicts.setdefault(r["column"], {})[r["rule"]] = r["count"]
+    flagged_cols = sorted(verdicts)
+
+    enc = dedup_attempts(read_encoded(spark, src_dir))
+    body_cols = [c for c in enc.columns if c != "attempt"]
+
+    dest_path = spark._jvm.org.apache.hadoop.fs.Path(dest_dir)
+    fs = dest_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dest_path):
+        fs.delete(dest_path, True)
+
+    kept = enc.join(flagged, "chunk_id", "left_anti")
+    kept.select(*body_cols).write.mode("overwrite").option(
+        "maxRecordsPerFile", 8
+    ).parquet(f"{dest_dir}/encoded/attempt=1")
+    kept_ids = kept.select("chunk_id").distinct()
+    kept_lineage = (
+        spark.read.parquet(f"{src_dir}/lineage")
+        .filter(F.col("status") == "complete")
+        .dropDuplicates(["chunk_id"])
+        .join(kept_ids, "chunk_id", "left_semi")
+        .withColumn("attempt", F.lit(1))
+    )
+    kept_lineage.write.mode("overwrite").parquet(f"{dest_dir}/lineage")
+
+    cfg = plan_from_encoded(spark, src_dir)
+    for col in flagged_cols:
+        cfg.overrides.pop(col, None)
+        cfg.overrides.pop(f"!dict:{col}", None)
+        v = verdicts[col]
+        if v.get("enable-dictionary", 0) >= v.get("disable-dictionary", 0):
+            cfg.overrides[col] = "dict"
+        else:
+            cfg.overrides[f"!dict:{col}"] = "1"
+
+    digest = (
+        enc.join(flagged, "chunk_id", "left_semi")
+        .agg(F.sum(F.xxhash64("chunk_id").cast("decimal(38,0)")).alias("d"))
+        .first()["d"]
+    )
+    salt = f"e{int(digest or 0) % 0xFFFFFFFF:08x}"
+
+    from pyspark import StorageLevel
+
+    n_flagged = flagged.count()
+    if n_flagged:
+        rows = decode_dataframe(
+            enc.join(flagged, "chunk_id", "left_semi"),
+            extra_types=extra_types_of(enc),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            run(
+                spark,
+                rows,
+                dest_dir,
+                cfg=cfg,
+                resume=True,
+                max_rows=cfg.max_chunk_rows or MAX_CHUNK_ROWS,
+                max_values=max_values,
+                salt=salt,
+            )
+        finally:
+            rows.unpersist()
+
+    total = enc.count()
+    return {
+        "chunks_total": int(total),
+        "kept_chunks": int(total - n_flagged),
+        "rewritten_chunks": int(n_flagged),
+        "flagged_columns": flagged_cols,
     }
 
 
