@@ -301,11 +301,23 @@ def _dedup_by_hash(chosen: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     return kept, lut, m - 1
 
 
-def _pair_membership(ph: np.ndarray, chosen: np.ndarray, lut: np.ndarray, mask: int):
-    """(cand_mask, chosen_index) per position: one AND + one small-table gather
-    + one verify gather — all cache-resident, no per-value Python."""
-    ci = lut[ph & mask]
-    cand = (ci >= 0) & (chosen[np.maximum(ci, 0)] == ph)
+def _pair_membership(stream: np.ndarray, K: int, chosen: np.ndarray, lut: np.ndarray, mask: int):
+    """(cand_mask, chosen_index) per position without materializing the full
+    int64 pair-hash stream: the LUT index needs only `(s1*K + s2) mod 2^k`,
+    which uint32 wraparound arithmetic computes exactly (mod 2^32 preserves
+    all low bits), so the full-width stream stays 4 B/position; the exact
+    64-bit pair key is then computed ONLY at probable-hit positions for the
+    collision verify — identical cand/ci to the former full-int64 path."""
+    s1 = stream[:-1].view(np.uint32)
+    s2 = stream[1:].view(np.uint32)
+    phm = ((s1 * np.uint32(K & 0xFFFFFFFF) + s2) & np.uint32(mask)).astype(np.int64)
+    ci = lut[phm]
+    cand = ci >= 0
+    pos = np.flatnonzero(cand)
+    if len(pos):
+        ph_exact = stream[pos].astype(np.int64) * np.int64(K) + stream[pos + 1]
+        ok = chosen[ci[pos]] == ph_exact
+        cand[pos[~ok]] = False
     return cand, ci
 
 
@@ -331,7 +343,7 @@ def _greedy_nonoverlap(cand: np.ndarray) -> np.ndarray:
     return idx[((idx - run_start) & 1) == 0]
 
 
-def enc_fsst(arr: np.ndarray) -> bytes:
+def enc_fsst(arr: np.ndarray, fact=None) -> bytes:
     """Symbol-table compression: dictionary-map tokens, then RePair digram rounds.
 
     Each round picks the most frequent adjacent symbol pairs *from a bounded
@@ -351,10 +363,14 @@ def enc_fsst(arr: np.ndarray) -> bytes:
             + struct.pack("<H", 0) + b"\x00"  # npairs, pair width
             + _U32.pack(0) + b"\x00"          # stream len, stream width
         )
-    base_vals, stream = sorted_factorize(arr)
+    # `fact`: optional precomputed (sorted_unique_values, codes) from the
+    # stats pass — one full-stream hash pass saved when the exact-NDV
+    # resolve already ran. The astype below always copies (factorize codes
+    # come back unsigned), so the cached codes are never mutated in place.
+    base_vals, stream = fact if fact is not None else sorted_factorize(arr)
     # symbols stay int32 (nsym < 2**30 guard below); only the pair hash needs
     # 64 bits — the round loop is bandwidth-bound, so stream bytes = cost
-    stream = stream.astype(np.int32, copy=False)
+    stream = stream.astype(np.int32)
     base = len(base_vals)
     nsym = base
     pair_left: list[np.ndarray] = []
@@ -364,15 +380,19 @@ def enc_fsst(arr: np.ndarray) -> bytes:
         if budget <= 0 or len(stream) < 2 or nsym > (1 << 30):
             break
         K = np.int64(nsym)
-        ph = stream[:-1] * K + stream[1:]
-        uniq, counts = np.unique(ph[: _FSST_SAMPLE - 1], return_counts=True)
+        # exact 64-bit pair keys only for the bounded head sample (pair
+        # selection); the full stream is probed via the uint32 low-bit path
+        # inside _pair_membership
+        samp = stream[: _FSST_SAMPLE]
+        ph_s = samp[:-1] * K + samp[1:]
+        uniq, counts = np.unique(ph_s, return_counts=True)
         order = np.argsort(-counts, kind="stable")
         take = order[: min(budget, _FSST_PER_ROUND)]
         take = take[counts[take] >= _FSST_MIN_COUNT]
         if len(take) == 0:
             break
         chosen, lut, mask = _dedup_by_hash(uniq[take])
-        cand, ci = _pair_membership(ph, chosen, lut, mask)
+        cand, ci = _pair_membership(stream, int(K), chosen, lut, mask)
         if not cand.any():
             break
         keep = _greedy_nonoverlap(cand)
@@ -469,6 +489,8 @@ def encode_int_body(codec_id: int, arr: np.ndarray, wide: bool = False, fact=Non
         raise ValueError("fsst is int32-only; wide integer streams use plain/for/delta/rle/dict/bss")
     if codec_id == DICT:
         return enc_dict(arr, wide=wide, fact=fact)
+    if codec_id == FSST:
+        return enc_fsst(arr, fact=fact)
     if wide and _WIDE_AWARE_ENC[codec_id]:
         return _ENCODERS[codec_id](arr, wide=True)
     return _ENCODERS[codec_id](arr)

@@ -368,6 +368,33 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     return payload, st, d.rule, None, ddl
 
 
+def _gather_flat(toks: pa.Array, idx: np.ndarray) -> np.ndarray:
+    """Sorted flat token stream from an UNSORTED null-free list array in one
+    vectorized positional gather — replaces the arrow list-take that was the
+    single hottest op of the encode kernel (the index stream runs int32;
+    chunk caps keep total token counts far below 2**31, and decode guards
+    the same bound)."""
+    values = toks.flatten()
+    if values.null_count:
+        raise ValueError(
+            "null token elements not supported (contract: array<int32 NOT NULL>)"
+        )
+    offsets = np.frombuffer(
+        toks.buffers()[1], np.int32, count=len(toks) + 1, offset=toks.offset * 4
+    ).astype(np.int64)
+    flat0 = values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    starts = offsets[:-1] - offsets[0]
+    lens = np.diff(offsets)
+    nl = lens[idx]
+    out_starts = np.zeros(len(nl), np.int64)
+    np.cumsum(nl[:-1], out=out_starts[1:])
+    # source index of each output position = its own position + a per-row
+    # shift (all int32 streams: the memory traffic IS the cost here)
+    sidx = np.repeat((starts[idx] - out_starts).astype(np.int32), nl)
+    sidx += np.arange(len(flat0), dtype=np.int32)
+    return flat0[sidx]
+
+
 def _bloom_of(arr: pa.Array, bp: dict) -> bytes | None:
     """Membership filter over one column's values (list extras: element
     membership — the tokens semantics generalized). Strings enter via the
@@ -419,20 +446,6 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     cfg = cfg or EncodeConfig()
     overrides = cfg.overrides
     t = t.combine_chunks()
-    # skip the whole-chunk gather when rows already arrive in encode order —
-    # decode emits sorted rows, so compaction/re-encode inputs hit this path
-    # (one cheap comparison pass over the id column vs a multi-MB take)
-    doc_probe = t.column("doc_id").chunk(0) if t.num_rows else None
-    already_sorted = t.num_rows <= 1 or (
-        doc_probe.null_count == 0
-        and bool(
-            pc.all(
-                pc.greater_equal(doc_probe.slice(1), doc_probe.slice(0, len(doc_probe) - 1))
-            ).as_py()
-        )
-    )
-    if not already_sorted:
-        t = t.sort_by("doc_id").combine_chunks()
     chunk_id = t.column("chunk_id")[0].as_py()
     nbuckets = t.column("nbuckets")[0].as_py()
     n_rows = t.num_rows
@@ -441,6 +454,35 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     src = _chunk0(t.column("source"), pa.string())
     toks = _chunk0(t.column("tokens"), pa.list_(pa.int32()))
     ntok_arr = _chunk0(t.column("n_tok"), pa.int32())
+    extra_arrs = {
+        name: _chunk0(t.column(name), t.schema.field(name).type) for name in extras
+    }
+    # skip the whole-chunk gather when rows already arrive in encode order —
+    # decode emits sorted rows, so compaction/re-encode inputs hit this path
+    # (one cheap comparison pass over the id column vs a multi-MB gather)
+    already_sorted = n_rows <= 1 or (
+        doc.null_count == 0
+        and bool(
+            pc.all(pc.greater_equal(doc.slice(1), doc.slice(0, len(doc) - 1))).as_py()
+        )
+    )
+    flat_sorted = None
+    if not already_sorted:
+        # per-column gather instead of a whole-table sort_by: the scalar
+        # takes are cheap, and the token list — the hottest single op of
+        # the encode kernel — goes through a vectorized flat-stream gather
+        # that never materializes a sorted list array (the encoder only
+        # ever consumes the flattened stream). Null token rows fall back
+        # to the arrow list-take (validity must be permuted with the rows).
+        sidx = pc.sort_indices(doc)  # ascending, nulls at end — sort_by parity
+        if toks.null_count == 0 and ntok_arr.null_count == 0:
+            flat_sorted = _gather_flat(toks, np.asarray(sidx, dtype=np.int64))
+        else:
+            toks = toks.take(sidx)
+        doc = doc.take(sidx)
+        src = src.take(sidx)
+        ntok_arr = ntok_arr.take(sidx)
+        extra_arrs = {k: v.take(sidx) for k, v in extra_arrs.items()}
     if toks.null_count or ntok_arr.null_count:
         tv, nv = np.asarray(toks.is_valid()), np.asarray(ntok_arr.is_valid())
         if not np.array_equal(tv, nv):
@@ -448,9 +490,14 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         toks_valid = toks.drop_null()
     else:
         toks_valid = toks
-    if len(toks_valid) and toks_valid.flatten().null_count:
-        raise ValueError("null token elements not supported (contract: array<int32 NOT NULL>)")
-    flat = toks_valid.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    if flat_sorted is not None:
+        flat = flat_sorted
+    else:
+        if len(toks_valid) and toks_valid.flatten().null_count:
+            raise ValueError(
+                "null token elements not supported (contract: array<int32 NOT NULL>)"
+            )
+        flat = toks_valid.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     fp = _fingerprint(doc, flat)
     stat_limit = cfg.statistics_truncate_length or MAX_STAT_LENGTH
     # `statistics none` blanks the stored stats (reference EnabledStatistics,
@@ -597,7 +644,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
 
     for name in extras:
         tcol = time.perf_counter()
-        arr = _chunk0(t.column(name), t.schema.field(name).type)
+        arr = extra_arrs[name]
         ebuf, est, erule, n_vals, ddl = _encode_extra(arr, name, cfg)
         # buffers() is recursive (child value buffers included), so raw
         # covers list extras' element storage too; list extras count
