@@ -2,14 +2,26 @@
 
 Images/audio/video ride through the engine as `binary` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
-`mapInPandas` kernels. The actual media decode is STUBBED (no image/audio
-libraries in this container — see `decode_image_stub`), but the Spark-side
-plumbing — schema, batch shape, partitioning, UDF signature — is real and
-tested.
+`mapInPandas` kernels.
+
+Round 5: TWO REAL decoders now ship behind the round-4 contract registry —
+no external libraries involved:
+
+- `audio/wav` (`decode_wav`): RIFF/WAVE PCM via the stdlib `wave` module
+  (8-bit PCM passes through; 16-bit downconverts to the uint8 contract).
+- `image/png` (`decode_png`): a from-scratch PNG decoder — chunk walk with
+  CRC validation, zlib inflate, and all five scanline filters (None/Sub/Up
+  vectorized; Average/Paeth run their inherent per-pixel recurrence only on
+  rows that actually use them). 8-bit grayscale / RGB / RGBA, no interlace.
+
+Formats without a shipped decoder still raise NotImplementedError through
+`decode_media` — the registry contract is unchanged.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -78,28 +90,217 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
 
 
 def decode_image_stub(payload: bytes) -> np.ndarray:
-    """Where a real pixel decode would go (PIL/libvips not in this container)."""
+    """Historical stub slot for formats with no shipped decoder (JPEG etc.)."""
     raise NotImplementedError(
-        "media decode requires an image library not present in this environment; "
-        "extract_features uses a deterministic fake instead"
+        "no decoder for this image format in this environment; "
+        "register one via register_decoder"
     )
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads.
+# --------------------------------------------------------------------------
+# real decoders (round 5): WAV via stdlib wave; PNG from scratch
+# --------------------------------------------------------------------------
 
-    The per-batch kernel is fully vectorized: a real implementation would
-    decode pixels/samples here; the deterministic fake hashes fixed-stride
-    byte slices so outputs are reproducible and schema-correct.
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM → rank-1 uint8 sample array (the registry contract).
+    8-bit PCM is already unsigned bytes; 16-bit PCM downconverts by taking
+    the high byte re-biased to unsigned. Channels are interleaved as stored."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        return np.frombuffer(raw, np.uint8).copy()
+    if sw == 2:
+        s = np.frombuffer(raw, "<i2").astype(np.int32)
+        return ((s + 32768) >> 8).astype(np.uint8)
+    raise ValueError(f"unsupported WAV sample width {sw} (need 8- or 16-bit PCM)")
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    """Deterministic WAV writer (8-bit PCM) — the test-fixture twin of
+    decode_wav; any standard audio tool can open its output."""
+    import io
+    import wave
+
+    samples = np.ascontiguousarray(samples, dtype=np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """From-scratch PNG decode: chunk walk (CRC-validated), zlib inflate,
+    scanline unfilter. Returns H×W uint8 (grayscale) or H×W×C (RGB/RGBA).
+
+    Filters None/Sub/Up are fully vectorized (Sub is a per-lane cumulative
+    sum mod 256); Average and Paeth carry an inherent per-pixel recurrence,
+    paid only on scanlines that use them."""
+    payload = bytes(payload)
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, hdr = 8, [], None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(payload[pos + 4 : pos + 8 + ln]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth} color={color} "
+            f"interlace={interlace}); need 8-bit gray/RGB/RGBA, no interlace"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has the wrong length")
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        r = rows[y, 1:]
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:  # None
+            out[y] = r
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            out[y] = (
+                r.reshape(w, ch).astype(np.int64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up (uint8 wraparound add)
+            out[y] = r + prev
+        elif f == 3:  # Average — per-pixel recurrence
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(r[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — per-pixel recurrence
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc2 = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc2) else b if pb <= pc2 else c
+                cur[i] = (int(r[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal standards-conforming PNG writer (8-bit gray/RGB/RGBA, one
+    IDAT, one filter type for every scanline) — the test-fixture twin of
+    decode_png; its output opens in any standard viewer."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w, ch, color = *arr.shape, 1, 0
+        flat = arr.reshape(h, w)
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        h, w, ch = arr.shape
+        color = 2 if ch == 3 else 6
+        flat = arr.reshape(h, w * ch)
+    else:
+        raise ValueError("need H×W (gray) or H×W×{3,4} (RGB/RGBA) uint8")
+    stride = w * ch
+    lines = []
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = flat[y].astype(np.int32)
+        left = np.zeros(stride, np.int32)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(stride, np.int32)
+        upleft[ch:] = prev[:-ch]
+        if filter_type == 0:
+            filtered = cur
+        elif filter_type == 1:
+            filtered = cur - left
+        elif filter_type == 2:
+            filtered = cur - prev
+        elif filter_type == 3:
+            filtered = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filtered = cur - pred
+        else:
+            raise ValueError("filter_type must be 0-4")
+        lines.append(bytes([filter_type]) + (filtered & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+register_decoder("audio/wav", decode_wav)
+register_decoder("image/png", decode_png)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over media payloads.
+
+    Payloads whose media_type has a REGISTERED decoder (WAV/PNG ship by
+    default) are actually decoded — features are segment means over the
+    decoded uint8 samples/pixels; undecodable types fall back to raw-byte
+    segment means (schema-identical, deterministic). The decode itself is
+    inherently per-payload; everything after it — segment boundaries,
+    prefix sums, means — is one vectorized pass over the concatenated
+    sample buffer of the whole Arrow batch.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lens = pdf["payload"].str.len().to_numpy(np.int64)
-            # one C-level concat of the batch, then pure array math: segment
-            # boundaries floor(start + i*len/dim), means via prefix-sum
-            # differences — no per-row Python loop (batch-vectorized).
-            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            payload_lens = pdf["payload"].str.len().to_numpy(np.int64)
+            decoded = [
+                decode_media(p, mt).ravel() if mt in DECODERS
+                else np.frombuffer(p, dtype=np.uint8)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            lens = np.array([len(d) for d in decoded], dtype=np.int64)
+            buf = (
+                np.concatenate(decoded) if decoded else np.empty(0, np.uint8)
+            )
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             bounds = starts[:, None] + (np.arange(dim + 1, dtype=np.int64)[None, :] * lens[:, None]) // dim
@@ -111,12 +312,42 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": lens,
+                    "byte_len": payload_lens,
                     "feature": list(means),
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+    return media.select("doc_id", "payload", "media_type").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def attach_wav_media(docs: DataFrame) -> DataFrame:
+    """REAL media fixtures: a deterministic 8-bit PCM WAV per document
+    (sawtooth whose length/step derive from the doc), playable by any
+    standard audio tool — the registered audio/wav decoder then actually
+    parses RIFF frames on the feature path."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(nch) % 400 + 40
+                step = int(did) % 17 + 1
+                samples = ((np.arange(n, dtype=np.int64) * step) % 256).astype(np.uint8)
+                rows.append(encode_wav(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": rows,
+                    "media_type": "audio/wav",
+                    "byte_len": [len(r) for r in rows],
+                    "width": np.zeros(len(rows), np.int32),
+                    "height": np.zeros(len(rows), np.int32),
+                }
+            )
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("n_chars")
+    ).mapInPandas(kernel, MEDIA_SCHEMA)
 
 
 def media_meta(media: DataFrame) -> DataFrame:
