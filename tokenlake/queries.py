@@ -1145,22 +1145,31 @@ def tl_encoded_table_ops(spark, sf_dir):
        level + has_warnings_or_errors gate (reference lib.rs:48-52); a clean
        encode must produce zero errors — surfaced as the constant
        `lineage_errors` column;
-    2. point lookup + bloom token scan (decode_job.lookup): three known doc
-       ids resolved via exact chunk-candidate pruning (tokens summarized as
-       n_tok + checksum).
+    2. point lookup with PER-COLUMN doc_id bloom pruning (round 5): three
+       known doc ids resolved via exact chunk-candidate pruning, and the
+       `bloom_admitted`/`chunks_total` columns pin how many chunks the
+       doc_id membership filters admit for those ids (the filter hashes are
+       deterministic, so the counts hash-stably regress);
+    3. the evidence→rewrite lifecycle (round 5): a force-plain encode of
+       the same rows is selectively re-encoded by rewrite_from_evidence
+       and must come out evidence-clean (`post_rewrite_warnings` = 0) with
+       every flagged chunk rewritten.
 
-    The encode covers a 400-doc slice at small chunk caps so the query stays
-    cheap enough for the per-round driver budget. Rows-only (the engine's
-    lineage format and codec stack have no SQL oracle)."""
+    The encodes cover a 400-doc slice at small chunk caps so the query
+    stays cheap enough for the per-round driver budget. Rows-only (the
+    engine's lineage format and codec stack have no SQL oracle)."""
     import tempfile
 
     from . import decode_job, encode_job, lint_job
+    from .codecs.bloom import hash_string, might_contain_any
     from .plan import Prescription
     from .schema import sequences_from_documents
 
     wd = tempfile.mkdtemp(prefix="tl_encops_")
     seq = sequences_from_documents(spark, sf_dir).filter(F.col("doc_id").cast("long") < 400)
-    cfg = Prescription.parse("set column tokens bloom_filter true").apply()
+    cfg = Prescription.parse(
+        "set column tokens bloom_filter true\nset column doc_id bloom_filter true"
+    ).apply()
     encode_job.run(spark, seq, f"{wd}/out", cfg=cfg, max_rows=128, max_values=100_000)
     lint = lint_job.lint_lineage(spark, f"{wd}/out")
     # surfaced, not asserted: a bare assert vanishes under `python -O` and a
@@ -1169,12 +1178,36 @@ def tl_encoded_table_ops(spark, sf_dir):
     n_err = lint.filter(F.col("severity") == "error").count()
     want = [r["doc_id"] for r in seq.select("doc_id").orderBy("doc_id").limit(3).collect()]
     hit = decode_job.lookup(spark, f"{wd}/out", want)
+    # bloom-pruning evidence: chunks whose doc_id filter admits any wanted id
+    import numpy as np
+
+    enc = decode_job.read_encoded(spark, f"{wd}/out")
+    hashes = np.array([hash_string(d) for d in want], dtype=np.int64)
+    blobs = enc.select(
+        decode_job._column_bloom_expr(enc, "doc_id").alias("b")
+    ).collect()
+    admitted = sum(
+        1 for r in blobs if r["b"] is not None and might_contain_any(bytes(r["b"]), hashes)
+    )
+    # evidence→rewrite lifecycle on a force-plain twin of the same rows
+    plain_cfg = Prescription.parse("set column tokens encoding plain").apply()
+    encode_job.run(spark, seq, f"{wd}/plain", cfg=plain_cfg, max_rows=128, max_values=100_000)
+    rw = encode_job.rewrite_from_evidence(spark, f"{wd}/plain", f"{wd}/fixed")
+    post = (
+        lint_job.lint_encoded(spark, f"{wd}/fixed")
+        .filter(F.col("severity") == "warning")
+        .count()
+    )
     result = hit.select(
         "doc_id",
         "source",
         F.col("n_tok").cast("long").alias("n_tok"),
         F.xxhash64("tokens").alias("token_hash"),
         F.lit(int(n_err)).cast("long").alias("lineage_errors"),
+        F.lit(int(admitted)).cast("long").alias("bloom_admitted"),
+        F.lit(int(len(blobs))).cast("long").alias("chunks_total"),
+        F.lit(int(rw["rewritten_chunks"])).cast("long").alias("rewritten_chunks"),
+        F.lit(int(post)).cast("long").alias("post_rewrite_warnings"),
     ).orderBy("doc_id")
     return _materialize_and_clean(spark, result, wd)
 
