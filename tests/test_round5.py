@@ -766,3 +766,59 @@ def test_attach_wav_media_end_to_end(spark):
     feats = mm.extract_features(media, dim=8)
     got = feats.collect()
     assert len(got) == 50 and all(len(r["feature"]) == 8 for r in got)
+
+
+# ------------------------------------------ round-5 types through lifecycle
+
+def test_decimal_and_list_through_compact(spark, tmp_path):
+    """Decimal and list extras survive compaction: kept chunks copy their
+    payloads byte-identically, merged chunks re-encode through the generic
+    registry, and the compacted table decodes bit-identically."""
+    from tokenlake.verify import verify_bit_identical
+
+    out, dst = str(tmp_path / "out"), str(tmp_path / "dst")
+    df = (
+        _df(spark, scale=0.008)
+        .withColumn(
+            "price",
+            ((F.abs(F.xxhash64("doc_id")) % 100000) / 4.0).cast("decimal(12,2)"),
+        )
+        .withColumn(
+            "emb",
+            F.expr(
+                "transform(sequence(1, 4), i -> cast((xxhash64(doc_id) % 1000003)"
+                " / 64.0 + i as float))"
+            ),
+        )
+        .cache()
+    )
+    encode_job.run(spark, df, out, resume=False, max_rows=64)
+    r = encode_job.compact(spark, out, dst, max_rows=4096)
+    assert r["chunks_after"] < r["chunks_before"]
+    dec = decode_job.decode(spark, dst)
+    v = verify_bit_identical(df, dec)
+    assert v["pass"], v
+    assert decode_job.extra_types_of(decode_job.read_encoded(spark, dst)) == {
+        "price": "decimal(12,2)", "emb": "array<float>",
+    }
+    df.unpersist()
+
+
+def test_list_extra_through_streaming_ingest(spark, tmp_path):
+    """A list extra streams through encode_stream's footer sniff + batch
+    ingest and decodes bit-identically."""
+    from tokenlake import streaming
+
+    wd = str(tmp_path)
+    df = _df(spark, scale=0.005).withColumn(
+        "emb",
+        F.expr("transform(sequence(1, cast(xxhash64(doc_id) % 3 as int) + 1),"
+               " i -> cast(i * 1.5 as float))"),
+    )
+    df.write.parquet(f"{wd}/incoming")
+    q = streaming.encode_stream(spark, f"{wd}/incoming", f"{wd}/out")
+    q.awaitTermination(300)
+    dec = decode_job.decode(spark, f"{wd}/out")
+    j = df.alias("a").join(dec.alias("b"), "doc_id")
+    assert j.count() == df.count()
+    assert j.filter(~F.col("a.emb").eqNullSafe(F.col("b.emb"))).count() == 0
