@@ -822,3 +822,85 @@ def test_list_extra_through_streaming_ingest(spark, tmp_path):
     j = df.alias("a").join(dec.alias("b"), "doc_id")
     assert j.count() == df.count()
     assert j.filter(~F.col("a.emb").eqNullSafe(F.col("b.emb"))).count() == 0
+
+
+# ------------------------------------------ TIME family (registry tail)
+
+def test_time_column_roundtrip(spark, tmp_path):
+    """A Spark TIME(6) extra (behind spark.sql.timeType.enabled, arrow
+    time64[ns]) rides the wide int carrier and decodes bit-identically;
+    container-level time32/time64 units all round-trip."""
+    from datetime import time as dtime
+
+    from tokenlake.codecs.container import decode_column_arrow, encode_any_column
+
+    # container level: all four units, nulls included
+    for t, mk in (
+        (pa.time64("ns"), lambda v: v * 1_000_000_000),
+        (pa.time64("us"), lambda v: v * 1_000_000),
+        (pa.time32("ms"), lambda v: v * 1_000),
+        (pa.time32("s"), lambda v: v),
+    ):
+        arr = pa.array([None if v is None else mk(v) for v in (0, 1, 3600, None, 86399)], t)
+        out = decode_column_arrow(encode_any_column(arr, "for"))
+        assert out.type == t and out.to_pylist() == arr.to_pylist(), t
+
+    # Spark surface
+    out_dir = str(tmp_path / "out")
+    df = _df(spark, scale=0.003).withColumn(
+        "t_of_day",
+        F.when(
+            F.abs(F.xxhash64("doc_id")) % 5 == 0, F.lit(None).cast("time(6)")
+        ).otherwise(
+            F.expr("cast(concat(lpad(cast(abs(xxhash64(doc_id)) % 24 as string), 2, '0'),"
+                   " ':', lpad(cast(abs(xxhash64(doc_id, 1)) % 60 as string), 2, '0'),"
+                   " ':', lpad(cast(abs(xxhash64(doc_id, 2)) % 60 as string), 2, '0')) as time(6))")
+        ),
+    ).cache()
+    encode_job.run(spark, df, out_dir, resume=False)
+    et = decode_job.extra_types_of(decode_job.read_encoded(spark, out_dir))
+    assert et == {"t_of_day": "time(6)"}
+    dec = decode_job.decode(spark, out_dir)
+    j = df.alias("a").join(dec.alias("b"), "doc_id")
+    assert j.count() == df.count()
+    assert j.filter(~F.col("a.t_of_day").eqNullSafe(F.col("b.t_of_day"))).count() == 0
+    df.unpersist()
+
+
+def test_lint_covers_list_and_decimal_extras(spark):
+    """The sampled plan-only lint handles list/decimal extras (the encoder's
+    generic dispatch applied stats-only over flattened elements) instead of
+    crashing on list types."""
+    df = (
+        _df(spark, scale=0.004)
+        .withColumn(
+            "emb",
+            F.expr("transform(sequence(1, 4),"
+                   " i -> cast(((xxhash64(doc_id) % 1000003) / 64.0) + i as float))"),
+        )
+        .withColumn(
+            "price",
+            ((F.abs(F.xxhash64("doc_id")) % 100000) / 4.0).cast("decimal(12,2)"),
+        )
+    )
+    d = lint_job.lint(spark, df, fraction=0.5)
+    cols = {r["column"] for r in d.select("column").distinct().collect()}
+    assert {"tokens", "n_tok", "emb", "price"} <= cols
+    emb_rows = d.filter(F.col("column") == "emb").collect()
+    # float elements at embedding cardinality → the R4 bss gate
+    assert all(r["codec"] == "bss" for r in emb_rows)
+
+
+def test_lint_double_extra_full_range_no_overflow(spark):
+    """A double extra whose bit patterns span the full int64 range produces
+    zigzag deltas past int64 — the lint row must clamp, not overflow (the
+    stat only feeds bit-width comparisons)."""
+    df = _df(spark, scale=0.003).withColumn(
+        "v",
+        F.when(F.abs(F.xxhash64("doc_id")) % 2 == 0, F.col("n_tok") * 1e300).otherwise(
+            -F.col("n_tok") * 1e-300
+        ),
+    )
+    d = lint_job.lint(spark, df, fraction=1.0)
+    rows = d.filter(F.col("column") == "v").collect()
+    assert rows and all(r["max_zz_delta"] <= (1 << 63) - 1 for r in rows)

@@ -51,6 +51,11 @@ DT_BOOL, DT_STRING, DT_BINARY, DT_TIMESTAMP_US, DT_DATE32 = range(6, 11)
 # int64 carrier, precision ≤ 18), u32 width for fixed-size binary (str
 # family; the constant lengths FOR-pack to ~nothing).
 DT_DECIMAL64, DT_FIXED_BINARY = 11, 12
+# TIME family (reference analyzes Time ms/us/ns, column_context.rs:215-291):
+# one code per unit so the dtype byte alone reconstructs the arrow type —
+# time64 units ride the wide int path, time32 units the narrow one. Spark's
+# TIME(p) (behind spark.sql.timeType.enabled) interchanges as time64[ns].
+DT_TIME_NS, DT_TIME_US, DT_TIME_MS, DT_TIME_S = 13, 14, 15, 16
 
 DTYPE_SPARK = {
     DT_INT32: "int", DT_INT64: "bigint", DT_INT16: "smallint", DT_INT8: "tinyint",
@@ -60,11 +65,13 @@ DTYPE_SPARK = {
     # Spark views a stored fixed-size binary as plain binary; decimal DDL
     # needs (p, s) — use spark_ddl_of_arrow for the exact string
     DT_FIXED_BINARY: "binary",
+    DT_TIME_NS: "time(6)", DT_TIME_US: "time(6)",
+    DT_TIME_MS: "time(6)", DT_TIME_S: "time(6)",
 }
 SPARK_DTYPE = {v: k for k, v in DTYPE_SPARK.items() if k <= DT_DATE32}
 
 # dtypes whose value stream runs through the 64-bit ("wide") int codec path
-_WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US, DT_DECIMAL64})
+_WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US, DT_DECIMAL64, DT_TIME_NS, DT_TIME_US})
 _STR_DTYPES = frozenset({DT_STRING, DT_BINARY, DT_FIXED_BINARY})
 
 FLAG_NULLS = 1  # body carries a validity-bitmap section
@@ -249,6 +256,10 @@ def dtype_of_arrow(t: pa.DataType) -> int:
         return DT_TIMESTAMP_US
     if pa.types.is_date32(t):
         return DT_DATE32
+    if pa.types.is_time64(t):
+        return DT_TIME_NS if t.unit == "ns" else DT_TIME_US
+    if pa.types.is_time32(t):
+        return DT_TIME_MS if t.unit == "ms" else DT_TIME_S
     if pa.types.is_decimal(t):
         if t.precision > 18:
             raise ValueError(
@@ -297,11 +308,11 @@ def int_view_of(arr: pa.Array, dtype: int) -> np.ndarray:
         return np.ascontiguousarray(np_arr, dtype=np.float64).view(np.int64)
     if dtype == DT_BOOL:
         return np_arr.astype(np.int32)
-    if dtype in (DT_INT64, DT_TIMESTAMP_US):
-        if dtype == DT_TIMESTAMP_US:
+    if dtype in (DT_INT64, DT_TIMESTAMP_US, DT_TIME_NS, DT_TIME_US):
+        if dtype != DT_INT64:
             np_arr = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return np.ascontiguousarray(np_arr, dtype=np.int64)
-    if dtype == DT_DATE32:
+    if dtype in (DT_DATE32, DT_TIME_MS, DT_TIME_S):
         return arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
     return np.ascontiguousarray(np_arr, dtype=np.int32)
 
@@ -335,6 +346,12 @@ def _ints_to_arrow(vals: np.ndarray, dtype: int, deci: tuple[int, int] | None = 
         return pa.array(vals.astype(bool), pa.bool_())
     if dtype == DT_TIMESTAMP_US:
         return pa.array(vals, pa.int64()).cast(pa.timestamp("us"))
+    if dtype in (DT_TIME_NS, DT_TIME_US):
+        unit = "ns" if dtype == DT_TIME_NS else "us"
+        return pa.array(vals, pa.int64()).cast(pa.time64(unit))
+    if dtype in (DT_TIME_MS, DT_TIME_S):
+        unit = "ms" if dtype == DT_TIME_MS else "s"
+        return pa.array(vals.astype(np.int32), pa.int32()).cast(pa.time32(unit))
     if dtype == DT_DATE32:
         return pa.array(vals.astype(np.int32), pa.int32()).cast(pa.date32())
     return pa.array(vals.astype(_arrow_type_of(dtype).to_pandas_dtype(), copy=False), _arrow_type_of(dtype))

@@ -110,7 +110,11 @@ def lint_chunk(
                 "sample_rows": n_rows,
                 "sample_values": nv,
                 "distinct_est": int(st.distinct_est) if st else 0,
-                "max_zz_delta": int(st.max_zz_delta) if st else 0,
+                # zigzag deltas are uint64: a full-range double bit-pattern
+                # column can exceed int64 and overflow the row schema; the
+                # stat only feeds bit-width comparisons, and the clamp keeps
+                # width_for at 63 vs 64 — both read "delta does not pay"
+                "max_zz_delta": min(int(st.max_zz_delta), (1 << 63) - 1) if st else 0,
                 "min_val": int(st.min_val) if st else 0,
                 "max_val": int(st.max_val) if st else 0,
                 "cardinality_ratio": float(st.cardinality_ratio) if st else 1.0,
@@ -154,6 +158,15 @@ def lint_chunk(
 
         arr = t.column(name)
         arr = arr.chunk(0) if arr.num_chunks else pa.array([], t.schema.field(name).type)
+        # list extras lint over their FLATTENED element stream (the tokens
+        # treatment generalized — stats/codec choice are element-level, the
+        # lengths frame is plan-invisible)
+        nv = n_rows
+        if pa.types.is_fixed_size_list(arr.type):
+            arr = arr.cast(pa.list_(arr.type.value_type))
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            arr = arr.flatten()
+            nv = len(arr)
         dtype = dtype_of_arrow(arr.type)
         valid = arr.drop_null() if arr.null_count else arr
         if is_string_kind(dtype):
@@ -162,7 +175,7 @@ def lint_chunk(
             )
             if body is None:
                 body = encode_str_body(STR_CODEC_IDS[codec], valid)
-            emit(name, None, Decision(codec, len(body), rule), body, n_rows)
+            emit(name, None, Decision(codec, len(body), rule), body, nv)
             continue
         view = int_view_of(valid, dtype) if len(valid) else np.empty(0, np.int32)
         wide = is_wide(dtype)
@@ -181,7 +194,7 @@ def lint_chunk(
         from .codecs.intcodecs import INT_CODEC_IDS, encode_int_body
 
         body = encode_int_body(INT_CODEC_IDS[d.codec], view, wide=wide)
-        emit(name, st, d, body, n_rows)
+        emit(name, st, d, body, nv)
     return pa.Table.from_pylist(rows)
 
 
@@ -491,7 +504,7 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
 
     m = column_metrics(dedup_attempts(read_encoded(spark, out_dir)))
     int_kind = F.col("dtype").isin(
-        "int", "bigint", "smallint", "tinyint", "timestamp_ntz", "date"
+        "int", "bigint", "smallint", "tinyint", "timestamp_ntz", "date", "time(6)"
     ) | F.col("dtype").startswith("array<")
     is_dict = F.col("codec") == "dict"
     # list-granularity columns (tokens / array extras) count VALUES in
@@ -514,7 +527,8 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     # fires the overflow arm 2× late for bigint/timestamp extras)
     entry_bytes = F.when(
         F.col("dtype").isin(
-            "bigint", "timestamp_ntz", "array<bigint>", "array<timestamp_ntz>"
+            "bigint", "timestamp_ntz", "time(6)",
+            "array<bigint>", "array<timestamp_ntz>", "array<time(6)>",
         ),
         F.lit(8),
     ).otherwise(F.lit(4))

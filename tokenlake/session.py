@@ -31,6 +31,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIME columns (experimental in this Spark line, off by default);
+        # the generic registry stores them through the int carrier paths
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # rows carry ~1.6 KB token arrays: 8192-row Arrow batches ≈ 13 MB keep
         # per-task JVM buffering bounded with many concurrent grouped-UDF tasks
