@@ -904,3 +904,90 @@ def test_lint_double_extra_full_range_no_overflow(spark):
     d = lint_job.lint(spark, df, fraction=1.0)
     rows = d.filter(F.col("column") == "v").collect()
     assert rows and all(r["max_zz_delta"] <= (1 << 63) - 1 for r in rows)
+
+
+# ------------------------------------------ corrupt-payload robustness
+
+def test_corrupt_composite_payloads_fail_loudly():
+    """Truncated/corrupted list, decimal, and fsb frames must raise, never
+    silently decode short (the container's raw_len invariant extended to
+    the round-5 composite layouts)."""
+    from decimal import Decimal
+
+    from tokenlake.codecs.container import (
+        decode_column_arrow,
+        encode_any_column,
+        encode_list_column,
+    )
+
+    lbuf = encode_list_column(
+        pa.array([[1.5, 2.5], None, [0.25]], pa.list_(pa.float32())), "bss", outer="none"
+    )
+    dbuf = encode_any_column(
+        pa.array([Decimal("1.23"), None], pa.decimal128(9, 2)), "plain", outer="none"
+    )
+    fbuf = encode_any_column(pa.array([b"abcd", b"zzzz"], pa.binary(4)), "str_plain", outer="none")
+    for buf in (lbuf, dbuf, fbuf):
+        assert decode_column_arrow(buf) is not None  # sanity: intact decodes
+        for cut in (len(buf) - 1, len(buf) // 2, 12):
+            with pytest.raises((ValueError, Exception)):
+                decode_column_arrow(buf[:cut])
+        with pytest.raises(ValueError):
+            decode_column_arrow(b"XX" + bytes(buf[2:]))
+
+
+# ------------------------------------------ zone-map range scan
+
+def test_scan_value_range_prunes_and_matches(spark, tmp_path):
+    """The stored min/max metrics prune a range scan (zone maps): disjoint
+    sources with disjoint user_id ranges mean a narrow range touches a
+    strict subset of chunks, and results equal a full decode + filter."""
+    out = str(tmp_path / "out")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").limit(3000)
+    toks = F.expr(
+        "transform(sequence(1, cast(event_id % 5 as int) + 1), "
+        "i -> cast((event_id * 31 + i) % 997 as int))"
+    )
+    df = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        # source buckets keyed off user_id ranges -> per-chunk disjoint bounds
+        # (user_id spans [0, 149] in the sf0.01 events table)
+        F.concat(F.lit("u"), (F.col("user_id") / 30).cast("int").cast("string")).alias("source"),
+        F.col("user_id").alias("user_id"),
+    ).cache()
+    encode_job.run(spark, df, out, resume=False, max_rows=256)
+
+    lo, hi = 30, 59
+    got = decode_job.scan_value_range(spark, out, "user_id", lo, hi)
+    want = df.filter(F.col("user_id").between(lo, hi))
+    assert got.count() == want.count() > 0
+    assert (
+        got.join(want.select("doc_id"), "doc_id", "left_anti").count() == 0
+    )
+    # pruning evidence: candidate chunks are a strict subset
+    m = encode_job.column_metrics(decode_job.read_encoded(spark, out)).filter(
+        F.col("column") == "user_id"
+    )
+    total = m.count()
+    cands = m.filter((F.col("min_val") <= hi) & (F.col("max_val") >= lo)).count()
+    assert 0 < cands < total, (cands, total)
+
+    # tokens range scan works too (element semantics)
+    tok_rows = decode_job.scan_value_range(spark, out, "tokens", 0, 3)
+    direct = df.filter(F.exists("tokens", lambda v: (v >= 0) & (v <= 3))).count()
+    assert tok_rows.count() == direct
+
+    # blanked stats are kept, not silently pruned
+    from tokenlake.plan import Prescription
+
+    out2 = str(tmp_path / "out2")
+    cfg = Prescription.parse("set column user_id statistics none").apply()
+    encode_job.run(spark, df, out2, cfg=cfg, resume=False, max_rows=256)
+    got2 = decode_job.scan_value_range(spark, out2, "user_id", lo, hi)
+    assert got2.count() == want.count()
+
+    with pytest.raises(ValueError, match="int-family"):
+        decode_job.scan_value_range(spark, out, "doc_id", 0, 1)
+    df.unpersist()

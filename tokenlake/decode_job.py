@@ -332,6 +332,49 @@ def scan_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
     )
 
 
+_ZONE_SCALARS = {"int", "bigint", "smallint", "tinyint"}
+
+
+def scan_value_range(
+    spark: SparkSession, out_dir: str, column: str, lo: int, hi: int
+) -> DataFrame:
+    """Zone-map scan: rows whose int-family `column` has a value in
+    [lo, hi], decoding ONLY chunks whose stored per-column min/max overlap
+    the range — the chunk metrics ARE zone maps (the reference reads
+    min/max statistics per column chunk for its rules,
+    column_context.rs:402-438; here they prune a value scan, the classic
+    row-group-elimination role Parquet gives them).
+
+    Chunks whose stats were blanked (`statistics none`: distinct_est = 0
+    with values present — the X1 presence invariant) cannot be pruned and
+    are kept. Covers int-family scalars, `tokens`, and int-family list
+    extras; float/string/time carriers store bit-pattern or hashed bounds
+    and are rejected (use a full decode + filter for those)."""
+    from .encode_job import column_metrics
+
+    enc = read_encoded(spark, out_dir)
+    m = column_metrics(enc).filter(F.col("column") == column)
+    first = m.select("dtype").first()
+    if first is None:
+        raise ValueError(f"no column {column!r} in the stored metrics")
+    dtype = first["dtype"]
+    elem = dtype[len("array<") : -1] if dtype.startswith("array<") else dtype
+    if elem not in _ZONE_SCALARS:
+        raise ValueError(
+            f"zone-map scan needs an int-family column; {column!r} stores {dtype!r}"
+        )
+    blanked = (F.col("distinct_est") == 0) & (F.col("n_values") > F.col("null_count"))
+    overlap = (F.col("min_val") <= hi) & (F.col("max_val") >= lo)
+    cands = m.filter(blanked | overlap).select("chunk_id").distinct()
+    pruned = dedup_attempts(enc.join(cands, "chunk_id", "left_semi"))
+    dec = decode_dataframe(pruned, extra_types=extra_types_of(enc))
+    if dtype.startswith("array<"):
+        pred = F.exists(column, lambda v: (v >= F.lit(lo)) & (v <= F.lit(hi)))
+    else:
+        pred = F.col(column).between(lo, hi)
+    return dec.filter(pred)
+
+
 def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
     """Point lookup: decode ONLY the chunks that can contain a requested id.
 
