@@ -310,7 +310,10 @@ def _pair_membership(stream: np.ndarray, K: int, chosen: np.ndarray, lut: np.nda
     collision verify — identical cand/ci to the former full-int64 path."""
     s1 = stream[:-1].view(np.uint32)
     s2 = stream[1:].view(np.uint32)
-    phm = ((s1 * np.uint32(K & 0xFFFFFFFF) + s2) & np.uint32(mask)).astype(np.int64)
+    # stays uint32 end-to-end: numpy indexes with unsigned ints directly,
+    # and widening the probe stream to int64 would re-add the 8 B/position
+    # pass this path exists to avoid
+    phm = (s1 * np.uint32(K & 0xFFFFFFFF) + s2) & np.uint32(mask)
     ci = lut[phm]
     cand = ci >= 0
     pos = np.flatnonzero(cand)
