@@ -389,9 +389,12 @@ def _gather_flat(toks: pa.Array, idx: np.ndarray) -> np.ndarray:
     out_starts = np.zeros(len(nl), np.int64)
     np.cumsum(nl[:-1], out=out_starts[1:])
     # source index of each output position = its own position + a per-row
-    # shift (all int32 streams: the memory traffic IS the cost here)
-    sidx = np.repeat((starts[idx] - out_starts).astype(np.int32), nl)
-    sidx += np.arange(len(flat0), dtype=np.int32)
+    # shift (int32 streams: the memory traffic IS the cost here). Chunk
+    # caps keep totals far below 2**31; a direct encode_chunk call past
+    # that would silently wrap int32, so widen instead.
+    it = np.int32 if len(flat0) <= np.iinfo(np.int32).max else np.int64
+    sidx = np.repeat((starts[idx] - out_starts).astype(it), nl)
+    sidx += np.arange(len(flat0), dtype=it)
     return flat0[sidx]
 
 
