@@ -952,12 +952,18 @@ def tl_roundtrip_check(spark, sf_dir):
     (~1/5, together — the row-validity contract), so this one query gates
     both the canonical fast paths and the container validity-bitmap paths.
     Comparison is a null-safe row-fingerprint multiset per source (nulls
-    can't equi-join). One lazy plan, no scratch dir."""
+    can't equi-join). One lazy plan, no scratch dir.
+
+    ORACLE-CHECKED since round 5: the null-planting predicate is a portable
+    md5 bucket (the text_split_assign trick), so DuckDB independently
+    derives the expected per-source row/null counts from documents AND
+    asserts bit_identical_rows == rows — a full-value gate on the engine's
+    own roundtrip verdict, not just a row count."""
     from . import decode_job, encode_job
     from .schema import sequences_from_documents
 
     seq = sequences_from_documents(spark, sf_dir)
-    h = F.abs(F.xxhash64("doc_id"))
+    h = F.conv(F.substring(F.md5("doc_id"), 1, 8), 16, 10).cast("bigint")
     null_tok = (h % 5) == 0
     nseq = seq.select(
         F.when((h % 7) == 0, F.lit(None)).otherwise(F.col("doc_id")).alias("doc_id"),
@@ -1480,6 +1486,28 @@ FROM events GROUP BY 1
 """
 
 
+SQL_TL_ROUNDTRIP_CHECK = """
+WITH b AS (
+  SELECT source,
+         (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 7 = 0) AS nd,
+         (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0) AS nt
+  FROM documents)
+SELECT source,
+       count(*)::BIGINT AS rows,
+       count(*)::BIGINT AS bit_identical_rows,
+       sum(nd::INT)::BIGINT AS null_doc_rows,
+       sum(nt::INT)::BIGINT AS null_token_rows
+FROM b GROUP BY 1
+"""
+
+SQL_TL_STREAMING_INGEST = """
+SELECT source,
+       count(*)::BIGINT AS rows,
+       count(*)::BIGINT AS bit_identical_rows
+FROM documents WHERE doc_id < 600 GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1580,4 +1608,6 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "generic_roundtrip": SQL_GENERIC_ROUNDTRIP,
     "lint_decisions_full": SQL_LINT_FULL,
+    "tl_roundtrip_check": SQL_TL_ROUNDTRIP_CHECK,
+    "tl_streaming_ingest": SQL_TL_STREAMING_INGEST,
 }
