@@ -1056,7 +1056,11 @@ def tl_windowed_stats(spark, sf_dir):
     (streaming.windowed_stats): the events table arrives as two drops split
     on day 25; the second drop advances the watermark so the first 24 days
     of 1-day windows emit as FINAL results. Deterministic given the data;
-    rows-only (streaming watermark state has no SQL oracle)."""
+    ORACLE-CHECKED since round 5: availableNow runs a final no-data batch
+    after the last file, so the finalized set is exactly the 1-day windows
+    whose end is at or below max(ts) - 1 hour over ALL events — DuckDB
+    replays that predicate straight from events and recomputes each
+    window's event count."""
     import glob
     import os
     import shutil
@@ -1500,6 +1504,20 @@ SELECT source,
 FROM b GROUP BY 1
 """
 
+SQL_TL_WINDOWED_STATS = """
+WITH g AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events
+),
+w AS (
+  SELECT event_type, date_trunc('day', ts) AS win, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_windows,
+       sum(n)::BIGINT AS events_in_final_windows
+FROM w, g WHERE win + INTERVAL 1 DAY <= wm GROUP BY 1
+"""
+
 SQL_TL_STREAMING_INGEST = """
 SELECT source,
        count(*)::BIGINT AS rows,
@@ -1610,4 +1628,5 @@ ORACLES: dict[str, str] = {
     "lint_decisions_full": SQL_LINT_FULL,
     "tl_roundtrip_check": SQL_TL_ROUNDTRIP_CHECK,
     "tl_streaming_ingest": SQL_TL_STREAMING_INGEST,
+    "tl_windowed_stats": SQL_TL_WINDOWED_STATS,
 }
