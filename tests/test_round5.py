@@ -991,3 +991,34 @@ def test_scan_value_range_prunes_and_matches(spark, tmp_path):
     with pytest.raises(ValueError, match="int-family"):
         decode_job.scan_value_range(spark, out, "doc_id", 0, 1)
     df.unpersist()
+
+
+# ------------------------------------------ CLI lookup/scan
+
+def test_cli_lookup_and_scan(spark, tmp_path, capsys):
+    from tokenlake import cli
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.005)
+    encode_job.run(spark, df, out, resume=False, max_rows=128)
+    ids = [r["doc_id"] for r in df.limit(2).collect()]
+    rc = cli.main(["lookup", out, ",".join(ids)], spark=spark)
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    import json as _json
+
+    summary = _json.loads(lines[-1])
+    assert summary == {"requested": 2, "rows": 2}
+
+    tok = df.selectExpr("explode(tokens) t").first()["t"]
+    rc = cli.main(["scan", out, "--token", str(int(tok))], spark=spark)
+    assert rc == 0
+    n_tok_scan = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert n_tok_scan == df.filter(F.array_contains("tokens", F.lit(int(tok)))).count()
+
+    rc = cli.main(["scan", out, "--range", "n_tok", "1", "5"], spark=spark)
+    assert rc == 0
+    n_rng = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert n_rng == df.filter(F.col("n_tok").between(1, 5)).count()
+
+    assert cli.main(["scan", out], spark=spark) == 2  # neither flag

@@ -108,6 +108,31 @@ def _build_parser() -> argparse.ArgumentParser:
         help="print only diagnostics at or above this level",
     )
     le.add_argument("--cpus", type=int, default=8)
+
+    lk = sub.add_parser(
+        "lookup",
+        help="point lookup: decode only the chunks that can contain the "
+        "requested doc ids (candidate derivation + doc_id bloom pruning)",
+    )
+    lk.add_argument("input", help="encoded table dir")
+    lk.add_argument("doc_ids", help="comma-separated doc ids")
+    lk.add_argument("-o", "--out", default=None, help="write results as parquet (default: print)")
+    lk.add_argument("--cpus", type=int, default=8)
+
+    sc = sub.add_parser(
+        "scan",
+        help="value scan over a stored table: --token probes the token "
+        "membership filters; --range COL LO HI prunes on the per-chunk "
+        "min/max zone maps",
+    )
+    sc.add_argument("input", help="encoded table dir")
+    sc.add_argument("--token", type=int, default=None, help="token value to scan for")
+    sc.add_argument(
+        "--range", nargs=3, metavar=("COL", "LO", "HI"), default=None,
+        help="int-family column + inclusive bounds",
+    )
+    sc.add_argument("-o", "--out", default=None, help="write results as parquet (default: count)")
+    sc.add_argument("--cpus", type=int, default=8)
     return p
 
 
@@ -270,6 +295,53 @@ def cmd_compact(args, spark=None) -> int:
             spark.stop()
 
 
+def cmd_lookup(args, spark=None) -> int:
+    from . import decode_job
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        ids = [d for d in args.doc_ids.split(",") if d]
+        hit = decode_job.lookup(spark, args.input, ids)
+        if args.out:
+            hit.write.mode("error").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"requested": len(ids), "rows": n, "out": args.out}))
+        else:
+            rows = hit.collect()
+            for r in rows:
+                print(json.dumps({c: r[c] for c in ("doc_id", "n_tok", "source")}))
+            print(json.dumps({"requested": len(ids), "rows": len(rows)}))
+        return 0
+    finally:
+        if own:
+            spark.stop()
+
+
+def cmd_scan(args, spark=None) -> int:
+    from . import decode_job
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        if (args.token is None) == (args.range is None):
+            print("exactly one of --token / --range is required", file=sys.stderr)
+            return 2
+        if args.token is not None:
+            df = decode_job.scan_token(spark, args.input, args.token)
+        else:
+            col, lo, hi = args.range
+            df = decode_job.scan_value_range(spark, args.input, col, int(lo), int(hi))
+        if args.out:
+            df.write.mode("error").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"rows": n, "out": args.out}))
+        else:
+            print(json.dumps({"rows": df.count()}))
+        return 0
+    finally:
+        if own:
+            spark.stop()
+
+
 def main(argv=None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "lint":
@@ -282,6 +354,10 @@ def main(argv=None, spark=None) -> int:
         return cmd_compact(args, spark)
     if args.command == "lint-encoded":
         return cmd_lint_encoded(args, spark)
+    if args.command == "lookup":
+        return cmd_lookup(args, spark)
+    if args.command == "scan":
+        return cmd_scan(args, spark)
     return cmd_rewrite(args, spark)
 
 
