@@ -302,11 +302,19 @@ def chunks_containing_value(
     per-column generalization (any column given `set column C bloom_filter
     true`; string values probe via the same FNV-1a hash the build used).
     The tokens filter lives in the top-level bloom column, every other
-    column's in its metrics row. Chunks without a filter are kept."""
+    column's in its metrics row. Chunks without a filter are kept. Decimal
+    columns build their filters over the UNSCALED int carrier — probe them
+    with the unscaled integer, not the Decimal value."""
     from pyspark.sql.functions import pandas_udf
 
     from .codecs.bloom import hash_string, might_contain
 
+    enc = read_encoded(spark, out_dir)
+    known = {c[len("payload_") :] for c in enc.columns if c.startswith("payload_")}
+    if column not in known:
+        # a typo'd column would otherwise silently admit EVERY chunk (no
+        # metrics row → NULL blob → unprunable) — fail loudly instead
+        raise ValueError(f"no column {column!r} in the stored table; have {sorted(known)}")
     probe_val = hash_string(value) if isinstance(value, (str, bytes)) else int(value)
 
     @pandas_udf("boolean")
@@ -315,7 +323,6 @@ def chunks_containing_value(
             lambda b: True if b is None else might_contain(b, probe_val)
         )
 
-    enc = read_encoded(spark, out_dir)
     blob = F.col("bloom") if column == "tokens" else _column_bloom_expr(enc, column)
     return enc.filter(probe(blob)).select("chunk_id")
 
