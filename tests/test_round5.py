@@ -1022,3 +1022,41 @@ def test_cli_lookup_and_scan(spark, tmp_path, capsys):
     assert n_rng == df.filter(F.col("n_tok").between(1, 5)).count()
 
     assert cli.main(["scan", out], spark=spark) == 2  # neither flag
+
+
+def test_scan_value_range_temporal(spark, tmp_path):
+    """Zone-map scans on timestamp columns: typed datetime bounds prune on
+    the stored µs-carrier min/max and match a full decode + filter."""
+    import datetime as dt
+
+    out = str(tmp_path / "out")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").limit(3000)
+    toks = F.expr(
+        "transform(sequence(1, cast(event_id % 5 as int) + 1), "
+        "i -> cast((event_id * 31 + i) % 997 as int))"
+    )
+    df = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        # week-keyed sources -> disjoint per-chunk ts ranges
+        F.concat(F.lit("w"), F.weekofyear("ts").cast("string")).alias("source"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    ).cache()
+    encode_job.run(spark, df, out, resume=False, max_rows=512)
+    lo = dt.datetime(2024, 1, 8)
+    hi = dt.datetime(2024, 1, 14, 23, 59, 59)
+    got = decode_job.scan_value_range(spark, out, "ts", lo, hi)
+    want = df.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+    assert got.count() == want.count() > 0
+    m = encode_job.column_metrics(decode_job.read_encoded(spark, out)).filter(
+        F.col("column") == "ts"
+    )
+    import datetime as _dt
+
+    lo_us = int((lo - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    hi_us = int((hi - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    total = m.count()
+    cands = m.filter((F.col("min_val") <= hi_us) & (F.col("max_val") >= lo_us)).count()
+    assert 0 < cands < total, (cands, total)
+    df.unpersist()

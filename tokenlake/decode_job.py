@@ -340,23 +340,40 @@ def scan_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
 
 
 _ZONE_SCALARS = {"int", "bigint", "smallint", "tinyint"}
+# temporal carriers: stored min/max are the carrier ints (µs / days / ns)
+_ZONE_TEMPORAL = {"timestamp_ntz", "date", "time(6)"}
 
 
-def scan_value_range(
-    spark: SparkSession, out_dir: str, column: str, lo: int, hi: int
-) -> DataFrame:
-    """Zone-map scan: rows whose int-family `column` has a value in
-    [lo, hi], decoding ONLY chunks whose stored per-column min/max overlap
-    the range — the chunk metrics ARE zone maps (the reference reads
-    min/max statistics per column chunk for its rules,
-    column_context.rs:402-438; here they prune a value scan, the classic
-    row-group-elimination role Parquet gives them).
+def _temporal_carrier(dtype: str, v) -> int:
+    """A date/datetime/time bound → the column's stored carrier int
+    (days / µs / ns) for the zone-map overlap predicate."""
+    import datetime as _dt
+
+    if dtype == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return (v - _dt.date(1970, 1, 1)).days
+    if dtype == "timestamp_ntz" and isinstance(v, _dt.datetime):
+        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if dtype == "time(6)" and isinstance(v, _dt.time):
+        ns = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000_000
+        return ns + v.microsecond * 1000
+    raise ValueError(f"bound {v!r} does not match the column's {dtype} carrier")
+
+
+def scan_value_range(spark: SparkSession, out_dir: str, column: str, lo, hi) -> DataFrame:
+    """Zone-map scan: rows whose `column` has a value in [lo, hi], decoding
+    ONLY chunks whose stored per-column min/max overlap the range — the
+    chunk metrics ARE zone maps (the reference reads min/max statistics per
+    column chunk for its rules, column_context.rs:402-438; here they prune
+    a value scan, the classic row-group-elimination role Parquet gives
+    them).
 
     Chunks whose stats were blanked (`statistics none`: distinct_est = 0
     with values present — the X1 presence invariant) cannot be pruned and
-    are kept. Covers int-family scalars, `tokens`, and int-family list
-    extras; float/string/time carriers store bit-pattern or hashed bounds
-    and are rejected (use a full decode + filter for those)."""
+    are kept. Covers int-family scalars, `tokens`, int-family list extras,
+    and temporal columns (date / timestamp_ntz / time — pass
+    datetime.date / datetime.datetime / datetime.time bounds);
+    float/string carriers store bit-pattern or hashed bounds and are
+    rejected (use a full decode + filter for those)."""
     from .encode_job import column_metrics
 
     enc = read_encoded(spark, out_dir)
@@ -366,19 +383,27 @@ def scan_value_range(
         raise ValueError(f"no column {column!r} in the stored metrics")
     dtype = first["dtype"]
     elem = dtype[len("array<") : -1] if dtype.startswith("array<") else dtype
-    if elem not in _ZONE_SCALARS:
+    if elem in _ZONE_TEMPORAL:
+        lo_c, hi_c = _temporal_carrier(elem, lo), _temporal_carrier(elem, hi)
+    elif elem in _ZONE_SCALARS:
+        lo_c, hi_c = int(lo), int(hi)
+    else:
         raise ValueError(
-            f"zone-map scan needs an int-family column; {column!r} stores {dtype!r}"
+            f"zone-map scan needs an int-family or temporal column; "
+            f"{column!r} stores {dtype!r}"
         )
     blanked = (F.col("distinct_est") == 0) & (F.col("n_values") > F.col("null_count"))
-    overlap = (F.col("min_val") <= hi) & (F.col("max_val") >= lo)
+    overlap = (F.col("min_val") <= hi_c) & (F.col("max_val") >= lo_c)
     cands = m.filter(blanked | overlap).select("chunk_id").distinct()
     pruned = dedup_attempts(enc.join(cands, "chunk_id", "left_semi"))
     dec = decode_dataframe(pruned, extra_types=extra_types_of(enc))
-    if dtype.startswith("array<"):
-        pred = F.exists(column, lambda v: (v >= F.lit(lo)) & (v <= F.lit(hi)))
+    if elem in _ZONE_TEMPORAL:
+        # typed row predicate: compare in the column's own type
+        pred = F.col(column).between(F.lit(lo), F.lit(hi))
+    elif dtype.startswith("array<"):
+        pred = F.exists(column, lambda v: (v >= F.lit(lo_c)) & (v <= F.lit(hi_c)))
     else:
-        pred = F.col(column).between(lo, hi)
+        pred = F.col(column).between(lo_c, hi_c)
     return dec.filter(pred)
 
 
