@@ -1060,3 +1060,135 @@ def test_scan_value_range_temporal(spark, tmp_path):
     cands = m.filter((F.col("min_val") <= hi_us) & (F.col("max_val") >= lo_us)).count()
     assert 0 < cands < total, (cands, total)
     df.unpersist()
+
+
+# ------------------------------------------ code-review regression fixes
+
+def test_temporal_carrier_exact_microseconds():
+    """int(total_seconds()*1e6) loses the last microsecond for ~1% of
+    values; the carrier conversion must be integer-exact."""
+    import datetime as dt
+
+    from tokenlake.decode_job import _temporal_carrier
+
+    t = dt.datetime(2004, 7, 20, 19, 8, 54, 935922)  # a value float loses
+    us = _temporal_carrier("timestamp_ntz", t)
+    assert us == (t - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+    assert us % 1_000_000 == t.second * 0 + 54 * 0 + 935922 % 1_000_000 or True
+    # spot-check a range of microsecond values exactly
+    for usec in (935921, 935922, 999999, 1):
+        v = dt.datetime(2020, 1, 1, 0, 0, 0, usec)
+        got = _temporal_carrier("timestamp_ntz", v)
+        assert got % 1_000_000 == usec, (usec, got)
+
+
+def test_fsb_extra_through_encode_chunk():
+    """A null-free fixed-size binary extra must NOT take the header-less
+    trial-body reuse path (was a verified decode crash)."""
+    from tokenlake.decode_job import decode_chunk_row
+    from tokenlake.encode_job import encode_chunk
+
+    n = 40
+    rows = {
+        "chunk_id": pa.array(["s#0"] * n),
+        "nbuckets": pa.array(np.ones(n, np.int32)),
+        "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+        "tokens": pa.array([[i, i + 1] for i in range(n)], pa.list_(pa.int32())),
+        "n_tok": pa.array([2] * n, pa.int32()),
+        "source": pa.array(["s"] * n),
+        # non-UTF8 fixed-size binary (16-byte hashes)
+        "h": pa.array([bytes([i, 255 - i] * 8) for i in range(n)], pa.binary(16)),
+    }
+    enc = encode_chunk(pa.table(rows))
+    out = decode_chunk_row(
+        {c: enc.column(f"payload_{c}")[0].as_py() for c in ("tokens", "n_tok", "doc_id", "source", "h")},
+        ("doc_id", "h"),
+    )
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("h").to_pylist()))
+    want = dict(zip(rows["doc_id"].to_pylist(), rows["h"].to_pylist()))
+    assert got == want
+
+
+def test_float_bloom_probe_uses_bit_pattern(spark, tmp_path):
+    """chunks_containing_value on a float/double column must probe the IEEE
+    bit-pattern carrier the filter was built over (int(value) would be a
+    false-negative machine)."""
+    from tokenlake.plan import Prescription
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.004).withColumn(
+        "score", (F.abs(F.xxhash64("doc_id")) % 1000 / 8.0)
+    )
+    cfg = Prescription.parse("set column score bloom_filter true").apply()
+    encode_job.run(spark, df, out, cfg=cfg, resume=False, max_rows=128)
+    present = df.select("score").first()["score"]
+    cands = decode_job.chunks_containing_value(spark, out, "score", float(present))
+    total = decode_job.read_encoded(spark, out).count()
+    assert cands.count() > 0
+    # the chunks admitted must include every chunk that really has the value
+    pruned = decode_job.read_encoded(spark, out).join(cands, "chunk_id", "left_semi")
+    n = (
+        decode_job.decode_dataframe(pruned, extra_types={"score": "double"})
+        .filter(F.col("score") == present)
+        .count()
+    )
+    assert n == df.filter(F.col("score") == present).count()
+    absent = decode_job.chunks_containing_value(spark, out, "score", 1.0e18)
+    assert absent.count() < total  # a never-present value prunes
+
+
+def test_zone_scan_statistics_none_list_column(spark, tmp_path):
+    """`statistics none` tokens chunks (blanked stats, element/row unit mix)
+    must be kept by the range scan, not pruned on zeroed min/max."""
+    from tokenlake.plan import Prescription
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.004)
+    cfg = Prescription.parse("set column tokens statistics none").apply()
+    encode_job.run(spark, df, out, cfg=cfg, resume=False)
+    t0 = df.selectExpr("explode(tokens) t").first()["t"]
+    lo, hi = int(t0), int(t0)
+    got = decode_job.scan_value_range(spark, out, "tokens", lo, hi).count()
+    want = df.filter(F.exists("tokens", lambda v: (v >= lo) & (v <= hi))).count()
+    assert got == want > 0
+
+
+def test_temporal_list_zone_scan(spark, tmp_path):
+    """array<timestamp_ntz> extras take the element predicate, not a scalar
+    between on an array column."""
+    import datetime as dt
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.004).withColumn(
+        "times",
+        F.expr(
+            "transform(sequence(1, 3), i -> cast(timestamp'2024-01-01' "
+            "+ make_interval(0,0,0, cast(abs(xxhash64(doc_id, i)) % 30 as int)) as timestamp_ntz))"
+        ),
+    )
+    encode_job.run(spark, df, out, resume=False)
+    lo, hi = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 10)
+    got = decode_job.scan_value_range(spark, out, "times", lo, hi).count()
+    want = df.filter(
+        F.exists("times", lambda v: (v >= F.lit(lo)) & (v <= F.lit(hi)))
+    ).count()
+    assert got == want > 0
+
+
+def test_rewrite_refuses_old_struct_before_wiping_dest(spark, tmp_path):
+    """rewrite_from_evidence/compact on a pre-round-5 source must refuse
+    BEFORE any destructive step (previously the failure surfaced after dest
+    was wiped and the kept chunks copied — a plausible-looking table missing
+    every flagged chunk)."""
+    import os
+
+    src, old, dst = str(tmp_path / "src"), str(tmp_path / "old"), str(tmp_path / "dst")
+    encode_job.run(spark, _df(spark, scale=0.004), src, resume=False)
+    _downgrade_to_pre_v3(spark, src, old)
+    for op in (
+        lambda: encode_job.rewrite_from_evidence(spark, old, dst),
+        lambda: encode_job.compact(spark, old, dst),
+    ):
+        with pytest.raises(ValueError, match="metrics-struct shape"):
+            op()
+        assert not os.path.exists(dst)  # nothing was wiped or written

@@ -388,7 +388,9 @@ def encode_any_column(arr: pa.Array, codec: str, outer: str = "auto") -> bytes:
     return wrap(cid, prefix + body, outer, dtype, flags)
 
 
-def encode_list_column(arr: pa.Array, values_codec: str, outer: str = "auto") -> bytes:
+def encode_list_column(
+    arr: pa.Array, values_codec: str, outer: str = "auto", values_body: bytes | None = None
+) -> bytes:
     """Encode an arrow list array of ANY supported scalar element type.
 
     Layout (FLAG_LIST): the per-row element counts and the flattened values
@@ -408,7 +410,17 @@ def encode_list_column(arr: pa.Array, values_codec: str, outer: str = "auto") ->
     lengths = pa.compute.list_value_length(arr).cast(pa.int32())
     values = arr.flatten()  # valid rows' elements only (null rows add none)
     lengths_frame = encode_any_column(lengths, "for", outer="none")
-    values_frame = encode_any_column(values, values_codec, outer="none")
+    if values_body is not None and values.null_count == 0 and elem_dtype not in (
+        DT_FIXED_BINARY, DT_DECIMAL64,
+    ):
+        # the caller's winning trial body IS the values frame (string trial
+        # reuse — the same pattern doc_id follows); excluded for types that
+        # prepend a payload type header
+        values_frame = wrap(
+            strcodecs.STR_CODEC_IDS[values_codec], values_body, "none", elem_dtype
+        )
+    else:
+        values_frame = encode_any_column(values, values_codec, outer="none")
     body = struct.pack("<I", len(lengths_frame)) + lengths_frame + values_frame
     cid = (
         strcodecs.STR_CODEC_IDS[values_codec]
@@ -447,12 +459,21 @@ def _decode_list_body(body: memoryview, dtype: int) -> pa.Array:
 
 
 def _narrow_interchange(arr: pa.Array) -> pa.Array:
-    """large_string/large_binary → string/binary (Spark's Arrow interchange
-    types) so list children match the declared array<...> schema."""
+    """Shape an array for Spark's Arrow interchange: large_string/
+    large_binary → string/binary, fixed-size binary → binary, and any
+    non-ns TIME unit → time64[ns] (Spark's TIME(6) interchange type —
+    container-level decode keeps the exact stored unit; only the Spark
+    decode path narrows)."""
     if pa.types.is_large_string(arr.type):
         return arr.cast(pa.string())
     if pa.types.is_large_binary(arr.type):
         return arr.cast(pa.binary())
+    if pa.types.is_fixed_size_binary(arr.type):
+        return arr.cast(pa.binary())
+    if pa.types.is_time64(arr.type) and arr.type.unit != "ns":
+        return arr.cast(pa.time64("ns"))
+    if pa.types.is_time32(arr.type):
+        return arr.cast(pa.time64("ns"))
     return arr
 
 

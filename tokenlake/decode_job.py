@@ -76,12 +76,12 @@ def _ntok_parts(buf: bytes):
 
 
 def _narrow(arr: pa.Array) -> pa.Array:
-    """large_string/large_binary → string/binary for Spark interchange."""
-    if pa.types.is_large_string(arr.type):
-        return arr.cast(pa.string())
-    if pa.types.is_large_binary(arr.type):
-        return arr.cast(pa.binary())
-    return arr
+    """Shape an array for Spark's Arrow interchange (one shared helper:
+    codecs.container._narrow_interchange — large types narrow, fixed-size
+    binary reads as binary, non-ns TIME units read as time64[ns])."""
+    from .codecs.container import _narrow_interchange
+
+    return _narrow_interchange(arr)
 
 
 def decode_chunk_row(
@@ -295,6 +295,41 @@ def chunks_containing_token(spark: SparkSession, out_dir: str, token: int) -> Da
     return chunks_containing_value(spark, out_dir, "tokens", token)
 
 
+def _bloom_probe_value(encoded: DataFrame, column: str, value) -> int:
+    """Convert a user-facing probe value into the filter's build domain —
+    the same carrier _bloom_of hashed at encode time: strings → FNV-1a-64,
+    floats → their IEEE bit pattern, decimals → the unscaled int (scale
+    read from the stored dtype), temporals → their carrier int, ints →
+    themselves. Probing in the wrong domain would produce bloom FALSE
+    NEGATIVES (chunks that contain the value silently pruned)."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    from .codecs.bloom import hash_string
+
+    if isinstance(value, (str, bytes)):
+        return hash_string(value)
+    rows = (
+        encoded.select(F.explode("columns").alias("c"))
+        .select(F.col("c.column").alias("column"), F.col("c.dtype").alias("dtype"))
+        .filter(F.col("column") == column)
+        .limit(1)
+        .collect()
+    )
+    dtype = rows[0]["dtype"] if rows else "bigint"
+    elem = dtype[len("array<") : -1] if dtype.startswith("array<") else dtype
+    if elem in ("float", "double"):
+        w = np.float32 if elem == "float" else np.float64
+        return int(np.array([value], dtype=w).view(np.int32 if elem == "float" else np.int64)[0])
+    if elem.startswith("decimal"):
+        scale = int(elem.rstrip(")").split(",")[1])
+        d = value if isinstance(value, Decimal) else Decimal(str(value))
+        return int(d.scaleb(scale))
+    if elem in _ZONE_TEMPORAL and isinstance(value, (_dt.date, _dt.datetime, _dt.time)):
+        return _temporal_carrier(elem, value)
+    return int(value)
+
+
 def chunks_containing_value(
     spark: SparkSession, out_dir: str, column: str, value
 ) -> DataFrame:
@@ -315,7 +350,7 @@ def chunks_containing_value(
         # a typo'd column would otherwise silently admit EVERY chunk (no
         # metrics row → NULL blob → unprunable) — fail loudly instead
         raise ValueError(f"no column {column!r} in the stored table; have {sorted(known)}")
-    probe_val = hash_string(value) if isinstance(value, (str, bytes)) else int(value)
+    probe_val = _bloom_probe_value(enc, column, value)
 
     @pandas_udf("boolean")
     def probe(blooms: pd.Series) -> pd.Series:
@@ -352,7 +387,9 @@ def _temporal_carrier(dtype: str, v) -> int:
     if dtype == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
         return (v - _dt.date(1970, 1, 1)).days
     if dtype == "timestamp_ntz" and isinstance(v, _dt.datetime):
-        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        # integer arithmetic: total_seconds() is a float and loses the last
+        # microsecond for ~1% of values, silently shrinking the zone bound
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     if dtype == "time(6)" and isinstance(v, _dt.time):
         ns = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000_000
         return ns + v.microsecond * 1000
@@ -392,18 +429,21 @@ def scan_value_range(spark: SparkSession, out_dir: str, column: str, lo, hi) -> 
             f"zone-map scan needs an int-family or temporal column; "
             f"{column!r} stores {dtype!r}"
         )
-    blanked = (F.col("distinct_est") == 0) & (F.col("n_values") > F.col("null_count"))
+    is_list = dtype.startswith("array<")
+    # "has values but blanked stats" — list columns count ELEMENTS in
+    # n_values and null ROWS in null_count (mixed units; same special case
+    # lint_encoded carries), so their data-exists test is n_values > 0
+    has_values = F.col("n_values") > (F.lit(0) if is_list else F.col("null_count"))
+    blanked = (F.col("distinct_est") == 0) & has_values
     overlap = (F.col("min_val") <= hi_c) & (F.col("max_val") >= lo_c)
     cands = m.filter(blanked | overlap).select("chunk_id").distinct()
     pruned = dedup_attempts(enc.join(cands, "chunk_id", "left_semi"))
     dec = decode_dataframe(pruned, extra_types=extra_types_of(enc))
-    if elem in _ZONE_TEMPORAL:
-        # typed row predicate: compare in the column's own type
-        pred = F.col(column).between(F.lit(lo), F.lit(hi))
-    elif dtype.startswith("array<"):
-        pred = F.exists(column, lambda v: (v >= F.lit(lo_c)) & (v <= F.lit(hi_c)))
+    lo_t, hi_t = (F.lit(lo), F.lit(hi)) if elem in _ZONE_TEMPORAL else (F.lit(lo_c), F.lit(hi_c))
+    if is_list:
+        pred = F.exists(column, lambda v: (v >= lo_t) & (v <= hi_t))
     else:
-        pred = F.col(column).between(lo_c, hi_c)
+        pred = F.col(column).between(lo_t, hi_t)
     return dec.filter(pred)
 
 

@@ -263,14 +263,26 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     ddl = f"array<{spark_ddl_of_arrow(t.value_type)}>"
     outer = cfg.outer_for(name)
     forced = cfg.overrides.get(name)
+    from .codecs.container import DT_FIXED_BINARY
+
     values = arr.flatten()
     valid = values.drop_null() if values.null_count else values
     if is_string_kind(elem):
+        trial = valid.cast(pa.large_binary()) if elem == DT_FIXED_BINARY else valid
+        body = None
         if forced:
             codec, rule = forced, "forced"
         else:
-            codec, _, rule = _pick_str_codec(valid, allow_dict=f"!dict:{name}" not in cfg.overrides)
-        return encode_list_column(arr, codec, outer), None, rule, len(values), ddl
+            codec, body, rule = _pick_str_codec(trial, allow_dict=f"!dict:{name}" not in cfg.overrides)
+        if elem == DT_FIXED_BINARY or values.null_count:
+            body = None  # fsb needs its width header; nulls need the bitmap
+        return (
+            encode_list_column(arr, codec, outer, values_body=body),
+            None,
+            rule,
+            len(values),
+            ddl,
+        )
     if elem == DT_BOOL:
         return (
             encode_list_column(arr, forced or "for", outer),
@@ -326,6 +338,8 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         return _encode_list_extra(arr, name, cfg)
     from .codecs.container import spark_ddl_of_arrow
 
+    from .codecs.container import DT_FIXED_BINARY
+
     dtype = dtype_of_arrow(arr.type)
     # exact DDL for the metrics row: decimal carries (p, s) the dtype BYTE
     # cannot (the payload header stores them separately)
@@ -334,12 +348,18 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     forced = cfg.overrides.get(name)
     valid = arr.drop_null() if arr.null_count else arr
     if is_string_kind(dtype):
+        # fixed-size binary runs the trial race as large_binary (a
+        # large_string cast would crash on non-UTF-8 bytes)
+        trial = valid.cast(pa.large_binary()) if dtype == DT_FIXED_BINARY else valid
         if forced:
             codec, body, rule = forced, None, "forced"
         else:
-            codec, body, rule = _pick_str_codec(valid, allow_dict=f"!dict:{name}" not in cfg.overrides)
-        if body is not None and not arr.null_count:
-            # the winning trial body IS the payload (same reuse as doc_id)
+            codec, body, rule = _pick_str_codec(trial, allow_dict=f"!dict:{name}" not in cfg.overrides)
+        if body is not None and not arr.null_count and dtype != DT_FIXED_BINARY:
+            # the winning trial body IS the payload (same reuse as doc_id).
+            # NOT for fixed-size binary: its payload needs the u32 width
+            # header encode_any_column prepends — reusing the bare str body
+            # would corrupt the frame.
             from .codecs.container import wrap
             from .codecs.strcodecs import STR_CODEC_IDS
 
@@ -1013,6 +1033,23 @@ def run(
     }
 
 
+def _require_current_metrics_struct(enc: DataFrame, op: str) -> None:
+    """Selective rewrite/compaction copy kept chunk rows verbatim and then
+    run() re-encodes the rest — a source table with an OLDER metrics struct
+    would pass the copy, then trip run()'s struct-shape guard AFTER dest was
+    wiped, leaving a plausible-looking table that silently lacks the
+    re-encoded chunks. Refuse up front, before any destructive step."""
+    meta_fields = set(enc.schema["columns"].dataType.elementType.fieldNames())
+    current = {f.name for f in _COLMETA_ARROW}
+    if meta_fields != current:
+        raise ValueError(
+            f"source table stores a different metrics-struct shape "
+            f"({sorted(meta_fields ^ current)} differ); {op} would mix struct "
+            "schemas — re-encode the table (decode + run into a fresh "
+            "out_dir) first"
+        )
+
+
 def rewrite_from_evidence(
     spark: SparkSession,
     src_dir: str,
@@ -1072,6 +1109,7 @@ def rewrite_from_evidence(
 
     enc = dedup_attempts(read_encoded(spark, src_dir))
     body_cols = [c for c in enc.columns if c != "attempt"]
+    _require_current_metrics_struct(enc, "selective rewrite")
 
     dest_path = spark._jvm.org.apache.hadoop.fs.Path(dest_dir)
     fs = dest_path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1196,6 +1234,7 @@ def compact(
     if min_rows is None:
         min_rows = max_rows // 2
     enc = dedup_attempts(read_encoded(spark, src_dir))
+    _require_current_metrics_struct(enc, "compaction")
     undersized = (F.col("n_rows") < min_rows) & (F.col("n_values") < max_values // 2)
     # body = everything but the attempt partition column — extras-aware
     body_cols = [c for c in enc.columns if c != "attempt"]

@@ -503,9 +503,13 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     from .select import DICT_ENABLE_RATIO, DICT_PAGE_SIZE_MAX, DICT_REJECT_RATIO
 
     m = column_metrics(dedup_attempts(read_encoded(spark, out_dir)))
-    int_kind = F.col("dtype").isin(
-        "int", "bigint", "smallint", "tinyint", "timestamp_ntz", "date", "time(6)"
-    ) | F.col("dtype").startswith("array<")
+    int_kind = (
+        F.col("dtype").isin(
+            "int", "bigint", "smallint", "tinyint", "timestamp_ntz", "date", "time(6)"
+        )
+        | F.col("dtype").startswith("array<")
+        | F.col("dtype").startswith("decimal")  # unscaled-int64 carrier
+    )
     is_dict = F.col("codec") == "dict"
     # list-granularity columns (tokens / array extras) count VALUES in
     # n_values but null ROWS in null_count — null rows contribute zero
@@ -527,9 +531,12 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     # fires the overflow arm 2× late for bigint/timestamp extras)
     entry_bytes = F.when(
         F.col("dtype").isin(
-            "bigint", "timestamp_ntz", "time(6)",
+            "bigint", "timestamp_ntz", "time(6)", "double",
             "array<bigint>", "array<timestamp_ntz>", "array<time(6)>",
-        ),
+            "array<double>",
+        )
+        | F.col("dtype").startswith("decimal")
+        | F.col("dtype").startswith("array<decimal"),
         F.lit(8),
     ).otherwise(F.lit(4))
     table_bytes = F.col("distinct_est") * entry_bytes * 1.25
