@@ -1192,3 +1192,38 @@ def test_rewrite_refuses_old_struct_before_wiping_dest(spark, tmp_path):
         with pytest.raises(ValueError, match="metrics-struct shape"):
             op()
         assert not os.path.exists(dst)  # nothing was wiped or written
+
+
+def test_rewrite_from_evidence_mixed_verdicts_converge(spark, tmp_path):
+    """Chunks with OPPOSITE evidence (enable-dictionary on force-plain
+    lowcard, disable-dictionary on force-dict highcard) re-encode in their
+    own verdict groups — no majority-vote compromise — and the result is
+    evidence-clean in ONE pass."""
+    from tokenlake.plan import Prescription
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    lo = _df(spark, scale=0.01, profiles=("lowcard",))
+    hi = _df(spark, scale=0.01, profiles=("highcard",))
+    encode_job.run(
+        spark, lo, src, cfg=Prescription.parse("set column tokens encoding plain").apply(),
+        salt="a", resume=False,
+    )
+    encode_job.run(
+        spark, hi, src, cfg=Prescription.parse("set column tokens encoding dict").apply(),
+        salt="b",
+    )
+    ev = lint_job.lint_encoded(spark, src)
+    rules = {r["rule"] for r in ev.filter(F.col("column") == "tokens").collect()}
+    assert {"enable-dictionary", "disable-dictionary"} <= rules
+
+    r = encode_job.rewrite_from_evidence(spark, src, dst)
+    assert r["verdict_groups"] == 2
+    assert r["rewritten_chunks"] > 0
+    ev2 = lint_job.lint_encoded(spark, dst)
+    assert (
+        ev2.filter(F.col("rule").isin("enable-dictionary", "disable-dictionary")).count()
+        == 0
+    )
+    # content intact
+    dec = decode_job.decode(spark, dst)
+    assert dec.count() == lo.count() + hi.count()

@@ -1062,14 +1062,17 @@ def rewrite_from_evidence(
     lint (lint_encoded) says enable-dictionary / disable-dictionary, and
     copy every other chunk — payloads byte-identical — plus its lineage.
 
-    The re-encode FORCES the evidence's verdict per flagged column —
-    enable-dictionary → `dict`, disable-dictionary → the !dict marker
-    (majority when chunks disagree) — rather than merely releasing the
-    inferred override: R1's cardinality rule and the byte-cost selector
-    can legitimately disagree (a small-range low-cardinality stream packs
-    tighter under FOR than dict), and a released override would loop on
-    the same evidence forever. Untouched columns keep their inferred
-    settings (X1 preserve-untouched, fix.rs:25-70).
+    The re-encode FORCES the evidence's verdict — enable-dictionary →
+    `dict`, disable-dictionary → the !dict marker — rather than merely
+    releasing the inferred override: R1's cardinality rule and the
+    byte-cost selector can legitimately disagree (a small-range
+    low-cardinality stream packs tighter under FOR than dict), and a
+    released override would loop on the same evidence forever. Chunks are
+    grouped by their exact per-column verdict SIGNATURE and each group
+    re-encodes with its own forced settings (one pass per distinct
+    signature — no majority-vote compromise across disagreeing chunks).
+    Untouched columns keep their inferred settings (X1 preserve-untouched,
+    fix.rs:25-70).
 
     Re-encoded chunks carry a content-derived salt exactly like
     compaction: an unsalted re-encode could re-derive a chunk id that
@@ -1102,10 +1105,19 @@ def rewrite_from_evidence(
         F.col("rule").isin("enable-dictionary", "disable-dictionary")
     )
     flagged = ev.select("chunk_id").distinct()
-    verdicts: dict[str, dict[str, int]] = {}
-    for r in ev.groupBy("column", "rule").count().collect():
-        verdicts.setdefault(r["column"], {})[r["rule"]] = r["count"]
-    flagged_cols = sorted(verdicts)
+    # per-chunk verdict SIGNATURE (sorted column=rule entries): chunks are
+    # re-encoded in one pass PER DISTINCT SIGNATURE, each with exactly its
+    # own verdicts forced — no majority-vote compromise, so a minority
+    # chunk never re-flags on the next evidence pass. The signature count
+    # is bounded by 3^#flagged-columns, tiny; chunk id sets stay
+    # distributed (semi-joins, never collected).
+    chunk_sigs = ev.groupBy("chunk_id").agg(
+        F.sort_array(F.collect_set(F.concat_ws("=", "column", "rule"))).alias("sig")
+    )
+    sigs = sorted(
+        tuple(r["sig"]) for r in chunk_sigs.select("sig").distinct().collect()
+    )
+    flagged_cols = sorted({e.split("=")[0] for sig in sigs for e in sig})
 
     enc = dedup_attempts(read_encoded(spark, src_dir))
     body_cols = [c for c in enc.columns if c != "attempt"]
@@ -1130,30 +1142,39 @@ def rewrite_from_evidence(
     )
     kept_lineage.write.mode("overwrite").parquet(f"{dest_dir}/lineage")
 
-    cfg = plan_from_encoded(spark, src_dir)
-    for col in flagged_cols:
-        cfg.overrides.pop(col, None)
-        cfg.overrides.pop(f"!dict:{col}", None)
-        v = verdicts[col]
-        if v.get("enable-dictionary", 0) >= v.get("disable-dictionary", 0):
-            cfg.overrides[col] = "dict"
-        else:
-            cfg.overrides[f"!dict:{col}"] = "1"
-
-    digest = (
-        enc.join(flagged, "chunk_id", "left_semi")
-        .agg(F.sum(F.xxhash64("chunk_id").cast("decimal(38,0)")).alias("d"))
-        .first()["d"]
-    )
-    salt = f"e{int(digest or 0) % 0xFFFFFFFF:08x}"
+    base_cfg = plan_from_encoded(spark, src_dir)
 
     from pyspark import StorageLevel
 
+    from .plan import Prescription
+
     n_flagged = flagged.count()
-    if n_flagged:
+    extra_types = extra_types_of(enc)
+    for i, sig in enumerate(sigs):
+        ids = chunk_sigs.filter(
+            F.col("sig") == F.array(*[F.lit(e) for e in sig])
+        ).select("chunk_id")
+        cfg = Prescription([]).apply(base=base_cfg)  # deep copy
+        for entry in sig:
+            col, rule = entry.split("=", 1)
+            cfg.overrides.pop(col, None)
+            cfg.overrides.pop(f"!dict:{col}", None)
+            if rule == "enable-dictionary":
+                cfg.overrides[col] = "dict"
+            else:
+                cfg.overrides[f"!dict:{col}"] = "1"
+        # content-derived salt per group (a fixed salt would collide with
+        # kept chunks of the same source — bucket numbering restarts over
+        # the group subset); the group index keeps distinct groups distinct
+        # even under digest collisions, deterministically (sigs is sorted)
+        digest = (
+            enc.join(ids, "chunk_id", "left_semi")
+            .agg(F.sum(F.xxhash64("chunk_id").cast("decimal(38,0)")).alias("d"))
+            .first()["d"]
+        )
+        salt = f"e{i}x{int(digest or 0) % 0xFFFFFFFF:08x}"
         rows = decode_dataframe(
-            enc.join(flagged, "chunk_id", "left_semi"),
-            extra_types=extra_types_of(enc),
+            enc.join(ids, "chunk_id", "left_semi"), extra_types=extra_types
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             run(
@@ -1175,6 +1196,7 @@ def rewrite_from_evidence(
         "kept_chunks": int(total - n_flagged),
         "rewritten_chunks": int(n_flagged),
         "flagged_columns": flagged_cols,
+        "verdict_groups": len(sigs),
     }
 
 
