@@ -302,12 +302,13 @@ def _dedup_by_hash(chosen: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
 
 
 def _pair_membership(stream: np.ndarray, K: int, chosen: np.ndarray, lut: np.ndarray, mask: int):
-    """(cand_mask, chosen_index) per position without materializing the full
-    int64 pair-hash stream: the LUT index needs only `(s1*K + s2) mod 2^k`,
-    which uint32 wraparound arithmetic computes exactly (mod 2^32 preserves
-    all low bits), so the full-width stream stays 4 B/position; the exact
-    64-bit pair key is then computed ONLY at probable-hit positions for the
-    collision verify — identical cand/ci to the former full-int64 path."""
+    """(verified candidate POSITIONS, chosen_index) without materializing a
+    full int64 pair-hash stream: the LUT index needs only `(s1*K + s2) mod
+    2^k`, which uint32 wraparound arithmetic computes exactly (mod 2^32
+    preserves all low bits), so the full-width stream stays 4 B/position;
+    the exact 64-bit pair key is computed ONLY at probable-hit positions
+    for the collision verify. Returning the index list directly lets the
+    greedy step skip a second full-width mask scan."""
     s1 = stream[:-1].view(np.uint32)
     s2 = stream[1:].view(np.uint32)
     # stays uint32 end-to-end: numpy indexes with unsigned ints directly,
@@ -315,25 +316,20 @@ def _pair_membership(stream: np.ndarray, K: int, chosen: np.ndarray, lut: np.nda
     # pass this path exists to avoid
     phm = (s1 * np.uint32(K & 0xFFFFFFFF) + s2) & np.uint32(mask)
     ci = lut[phm]
-    cand = ci >= 0
-    pos = np.flatnonzero(cand)
+    pos = np.flatnonzero(ci >= 0)
     if len(pos):
         ph_exact = stream[pos].astype(np.int64) * np.int64(K) + stream[pos + 1]
-        ok = chosen[ci[pos]] == ph_exact
-        cand[pos[~ok]] = False
-    return cand, ci
+        pos = pos[chosen[ci[pos]] == ph_exact]
+    return pos, ci
 
 
-def _greedy_nonoverlap(cand: np.ndarray) -> np.ndarray:
-    """Left-to-right greedy over overlapping candidate pair starts: inside each
-    run of consecutive candidates keep even offsets.
+def _greedy_nonoverlap(idx: np.ndarray) -> np.ndarray:
+    """Left-to-right greedy over overlapping candidate pair starts: inside
+    each run of consecutive candidates keep even offsets.
 
-    Works on the candidate INDEX list (m entries), not the full position
-    axis: after the one unavoidable flatnonzero pass over `cand`, every op
-    is O(m) — candidates are typically a small fraction of the stream, and
-    the former full-width arange/where/accumulate passes were the single
-    hottest spot of the whole encode kernel."""
-    idx = np.flatnonzero(cand)
+    Takes the sorted candidate POSITION list directly (the membership pass
+    already produced it — no second full-width mask scan); every op here is
+    O(m), and candidates are typically a small fraction of the stream."""
     m = len(idx)
     if m == 0:
         return idx
@@ -395,10 +391,10 @@ def enc_fsst(arr: np.ndarray, fact=None) -> bytes:
         if len(take) == 0:
             break
         chosen, lut, mask = _dedup_by_hash(uniq[take])
-        cand, ci = _pair_membership(stream, int(K), chosen, lut, mask)
-        if not cand.any():
+        idx, ci = _pair_membership(stream, int(K), chosen, lut, mask)
+        if len(idx) == 0:
             break
-        keep = _greedy_nonoverlap(cand)
+        keep = _greedy_nonoverlap(idx)
         # stop when a round stops paying: <2% of positions replaced
         if len(keep) < max(1, len(stream) // 50):
             break
