@@ -101,13 +101,37 @@ def unpack_uints(buf, n: int, width: int, dtype=np.uint64) -> np.ndarray:
 
 
 def sorted_factorize(arr: np.ndarray):
-    """(sorted_unique_values, codes) — hash-based, ~20× faster than np.unique
-    with return_inverse on large low-cardinality data; output identical.
+    """(sorted_unique_values, codes) — output identical to np.unique with
+    return_inverse on large low-cardinality data, picked by value range:
+
+    - dense path: when max-min fits a cache-resident table (token vocabs are
+      tens of thousands of ids over millions of values), a presence-scatter +
+      rank-LUT gather replaces the hash pass entirely — two linear sweeps of
+      pure vectorized indexing, no per-value hashing, and the codes come out
+      already in sorted-rank order (no second gather).
+    - hash path (pd.factorize) otherwise, ~20× faster than np.unique with
+      return_inverse; a rank permutation re-sorts its first-seen codes.
 
     Codes come back in the smallest unsigned dtype that fits the value count:
-    the big gather (rank[codes], one element per input value) then moves 1-4
-    bytes per value instead of 8 — these kernels are memory-bound, so the
-    code stream's width IS the cost."""
+    the big gather (one element per input value) then moves 1-4 bytes per
+    value instead of 8 — these kernels are memory-bound, so the code
+    stream's width IS the cost."""
+    n = len(arr)
+    if n and arr.dtype.kind in "iu":
+        mn, mx = int(arr.min()), int(arr.max())
+        rng = mx - mn + 1
+        if rng <= min(max(4 * n, 1 << 16), 1 << 22):
+            shifted = arr if mn == 0 else arr - arr.dtype.type(mn)
+            present = np.zeros(rng, dtype=bool)
+            present[shifted] = True
+            vals_off = np.flatnonzero(present)
+            nv = len(vals_off)
+            small = (
+                np.uint8 if nv <= 1 << 8 else np.uint16 if nv <= 1 << 16 else np.uint32
+            )
+            lut = np.empty(rng, dtype=small)
+            lut[vals_off] = np.arange(nv, dtype=small)
+            return (vals_off + mn).astype(arr.dtype, copy=False), lut[shifted]
     import pandas as pd
 
     codes, vals = pd.factorize(arr)

@@ -234,7 +234,10 @@ def dec_dict(body: memoryview, wide: bool = False) -> np.ndarray:
     (vlen,) = _U32.unpack_from(body, 4)
     vals = dec_delta(body[8 : 8 + vlen], wide)
     w = body[8 + vlen]
-    idx = unpack_uints(bytes(body[9 + vlen :]), n, w, dtype=np.uint32)
+    # unpack straight to intp: fancy indexing converts narrower index arrays
+    # to intp internally anyway (an extra n-element copy) — widening once in
+    # the unpack astype skips that hidden pass
+    idx = unpack_uints(bytes(body[9 + vlen :]), n, w, dtype=np.intp)
     return vals[idx] if n else np.empty(0, dtype=np.int64 if wide else np.int32)
 
 
@@ -446,6 +449,9 @@ def dec_fsst(body: memoryview) -> np.ndarray:
     pos += 4
     sw = body[pos]
     pos += 1
+    # stream indexes stay intp-wide (int64): numpy fancy indexing converts any
+    # narrower index array to intp internally (a hidden n-element copy), so
+    # int64 here IS the zero-conversion path for every gather below
     stream = unpack_uints(bytes(body[pos:]), slen, sw).astype(np.int64)
     base = len(base_vals)
     nsym = base + npairs
@@ -458,8 +464,11 @@ def dec_fsst(body: memoryview) -> np.ndarray:
         exp_len[base + i] = exp_len[left[i]] + exp_len[right[i]]
     heap_off = np.zeros(nsym + 1, dtype=np.int64)
     np.cumsum(exp_len, out=heap_off[1:])
-    heap = np.empty(int(heap_off[-1]), dtype=np.int64)
-    heap[:base] = base_vals.astype(np.int64)
+    # heap holds token VALUES (int32 by contract): an int32 heap makes the
+    # final expansion gather emit int32 directly — the old int64 heap +
+    # trailing astype moved 12 extra bytes per output token
+    heap = np.empty(int(heap_off[-1]), dtype=np.int32)
+    heap[:base] = base_vals.astype(np.int32)
     for i in range(npairs):
         s = base + i
         o = int(heap_off[s])
@@ -470,7 +479,7 @@ def dec_fsst(body: memoryview) -> np.ndarray:
     # one gather expands the whole stream: out[i] = heap[start(sym_i) + j]
     lens = exp_len[stream]
     idx = np.repeat(heap_off[stream], lens) + ragged_arange(lens)
-    return heap[idx].astype(np.int32)
+    return heap[idx]
 
 
 # ---------------------------------------------------------------- dispatch
