@@ -18,14 +18,27 @@ def get_spark(
     app_name: str = "tokenlake",
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    """`master=""` (empty string) means: do NOT set a master here — inherit
+    whatever `spark-submit --master ...` / the cluster manager provided.
+    That is the deploy path (jobs/submit_encode.py); `None` keeps the
+    local[] default for in-process library use and tests."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    inherit = master == ""
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        if inherit:
+            # cluster mode: executors × cores isn't knowable here; AQE
+            # coalescing makes 2× core-count a safe static floor, and the
+            # deploy wrapper can override per cluster size
+            shuffle_partitions = int(os.environ.get("TOKENLAKE_SHUFFLE_PARTITIONS", "64"))
+        else:
+            n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+            shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    builder = SparkSession.builder
+    if not inherit:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
