@@ -56,7 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="submit_encode",
         description="tokenlake encode/decode/verify pipeline for spark-submit",
     )
-    p.add_argument("--input", help="parquet dir of sequences (doc_id, tokens, n_tok, source, extras…)")
+    p.add_argument("--input", help="sequences source (doc_id, tokens, n_tok, source, extras…): parquet dir, or an Iceberg table identifier with --format iceberg")
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
+                   help="input source format (iceberg needs the runtime jar + catalog config on the submit line)")
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="pin an Iceberg snapshot so retries/resumes read a stable table")
     p.add_argument("--synth-scale", type=float, default=None,
                    help="generate the deterministic fixture at this scale instead of reading --input")
     p.add_argument("--output", required=True, help="encoded-table directory (encoded/ + lineage/)")
@@ -101,7 +105,10 @@ def run_pipeline(spark, args) -> dict:
     else:
         raise SystemExit("one of --input / --synth-scale is required")
 
-    seq = spark.read.parquet(input_path)
+    from tokenlake.io_sources import read_sequences
+
+    fmt = "parquet" if args.synth_scale is not None else args.format
+    seq = read_sequences(spark, input_path, format=fmt, snapshot_id=args.snapshot_id)
     n_rows, n_tokens = seq.agg(F.count("*"), F.sum("n_tok")).first()
 
     cfg = None

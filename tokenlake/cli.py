@@ -48,6 +48,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     lint = sub.add_parser("lint", help="sampled plan-only analysis of a sequences parquet")
     lint.add_argument("input")
+    lint.add_argument(
+        "--format", default="parquet", choices=["parquet", "iceberg"],
+        help="input source: parquet dir, or an Iceberg catalog table "
+        "(requires the Iceberg Spark runtime on the classpath)",
+    )
     lint.add_argument("--fraction", type=float, default=0.05)
     lint.add_argument("--rules", default=None, help="comma-separated rule-name filter")
     lint.add_argument(
@@ -59,6 +64,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     rw = sub.add_parser("rewrite", help="lint-and-fix: encode with the merged prescription")
     rw.add_argument("input")
+    rw.add_argument(
+        "--format", default="parquet", choices=["parquet", "iceberg"],
+        help="input source: parquet dir, or an Iceberg catalog table "
+        "(requires the Iceberg Spark runtime on the classpath)",
+    )
     rw.add_argument("-o", "--out", required=True)
     rw.add_argument("--from-prescription", default=None)
     rw.add_argument(
@@ -153,7 +163,9 @@ def cmd_lint(args, spark=None) -> int:
 
     spark, own = _get_spark(spark, args.cpus)
     try:
-        df = spark.read.parquet(args.input)
+        from .io_sources import read_sequences
+
+        df = read_sequences(spark, args.input, format=args.format)
         decisions = lint_job.lint(spark, df, fraction=args.fraction)
         if args.rules:
             decisions = decisions.filter(F.col("rule").isin(args.rules.split(",")))
@@ -205,7 +217,9 @@ def cmd_rewrite(args, spark=None) -> int:
             summary = encode_job.rewrite_from_evidence(spark, args.input, args.out)
             print(json.dumps(summary))
             return 0
-        df = spark.read.parquet(args.input)
+        from .io_sources import read_sequences
+
+        df = read_sequences(spark, args.input, format=args.format)
         if args.from_prescription:
             with open(args.from_prescription) as f:
                 rx = Prescription.parse(f.read())
