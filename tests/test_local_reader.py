@@ -76,3 +76,21 @@ def test_attempt_dedup_keeps_earliest(spark, tmp_path):
 def test_empty_dir_raises(tmp_path):
     with pytest.raises(Exception):
         read_encoded_local(str(tmp_path / "missing"))
+
+
+def test_cli_local_decode(spark, tmp_path):
+    # --local must round-trip through the CLI without touching the session
+    # (it runs pyarrow-only; spark fixture is only used to build the table)
+    import pyarrow.parquet as pq
+
+    from tokenlake import cli
+
+    df = _seq_df(spark, tmp_path)
+    out = str(tmp_path / "enc")
+    encode_job.run(spark, df, out)
+    dec_dir = str(tmp_path / "dec")
+    rc = cli.main(["decode", out, "-o", dec_dir, "--local"])
+    assert rc == 0
+    t = pq.read_table(dec_dir)
+    assert t.num_rows == df.count()
+    assert set(t.column_names) == {"doc_id", "tokens", "n_tok", "source"}

@@ -80,6 +80,7 @@ def main() -> None:
     # engine-isolated probe section written by tokenlake.bench.probe
     prior: list[str] = []
     probe_section = ""
+    kept = {"notes": "", "deploy": ""}
     path = os.path.join(repo, "BENCH", "BASELINE.md")
     if os.path.exists(path):
         with open(path) as f:
@@ -90,6 +91,14 @@ def main() -> None:
         for begin, end in ((PROBE_BEGIN, PROBE_END), ("<!-- KERNEL:BEGIN -->", "<!-- KERNEL:END -->")):
             if begin in text and end in text:
                 probe_section += "\n" + begin + text.split(begin)[1].split(end)[0] + end + "\n"
+        # hand-written narrative/deploy blocks survive regeneration the same
+        # way (a round-5 regen once silently dropped them — never again)
+        for begin, end, slot in (
+            ("<!-- NOTES:BEGIN -->", "<!-- NOTES:END -->", "notes"),
+            ("<!-- DEPLOY:BEGIN -->", "<!-- DEPLOY:END -->", "deploy"),
+        ):
+            if begin in text and end in text:
+                kept[slot] = begin + text.split(begin)[1].split(end)[0] + end + "\n"
     history = ""
     if prior:
         history = (
@@ -104,6 +113,7 @@ Sandbox stand-in for N vs 4N executors: identical input ({sf_dir}),
 (all iterations in the raw JSON below — this host has multi-× run-to-run CPU
 variance from outside the VM).
 
+{kept["notes"]}
 ## 1. Production configuration (outer codec = auto)
 
 | metric | local[{lo}] | local[{hi}] | scaling efficiency (target ≥ 0.8) |
@@ -142,6 +152,7 @@ pressure plus host-level interference (identical runs vary multi-×), not in
 the engine's kernels or plan shape. Real executors each own a JVM, a shuffle
 service, and an IPC channel — exactly the resources that are shared here.
 
+{kept["deploy"]}
 ## 3. Compute-bound configuration (`set file compression zlib(9)` via the plan DSL)
 
 The same job with per-core arithmetic dominating memory traffic — whether

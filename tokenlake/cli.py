@@ -90,6 +90,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="comma-separated projection, e.g. tokens,n_tok (default: all)",
     )
     dec.add_argument("--cpus", type=int, default=8)
+    dec.add_argument(
+        "--local", action="store_true",
+        help="decode in-process with pyarrow (no Spark/JVM; one process, one "
+        "machine — for small tables, notebooks, and format cross-checks)",
+    )
 
     ver = sub.add_parser("verify", help="bit-identity gate: decoded vs reference sequences")
     ver.add_argument("reference", help="original sequences parquet")
@@ -243,9 +248,22 @@ def cmd_rewrite(args, spark=None) -> int:
 def cmd_decode(args, spark=None) -> int:
     from . import decode_job
 
+    cols = args.columns.split(",") if args.columns else None
+    if args.local:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from .local_reader import read_encoded_local
+
+        t = read_encoded_local(args.input, columns=cols)
+        os.makedirs(args.out, exist_ok=False)
+        pq.write_table(t, os.path.join(args.out, "part-0.parquet"))
+        print(json.dumps({"rows": t.num_rows, "columns": t.column_names, "out": args.out}))
+        return 0
+
     spark, own = _get_spark(spark, args.cpus)
     try:
-        cols = args.columns.split(",") if args.columns else None
         dec = decode_job.decode(spark, args.input, columns=cols)
         dec.write.mode("error").parquet(args.out)
         n = spark.read.parquet(args.out).count()
