@@ -33,3 +33,72 @@ def test_snapshot_requires_iceberg(spark):
 def test_iceberg_gated_error_names_the_fix(spark):
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_sequences(spark, "db.sequences", format="iceberg")
+
+
+# --- S7: fetch_if_missing (download.rs:8-38 analog, file:// testable) ---
+
+
+def test_fetch_streams_and_creates_parents(tmp_path):
+    from tokenlake.io_sources import fetch_if_missing
+
+    src = tmp_path / "remote" / "part-0.parquet"
+    src.parent.mkdir()
+    src.write_bytes(b"\x00\x01" * 70000)  # > one 1 MiB copy chunk? no — force small chunks
+    dest = tmp_path / "deep" / "nested" / "local.parquet"
+    assert fetch_if_missing(src.as_uri(), str(dest), chunk_bytes=4096) is True
+    assert dest.read_bytes() == src.read_bytes()
+    # atomic rename leaves no .part residue on success
+    assert not dest.with_name(dest.name + ".part").exists()
+
+
+def test_fetch_skips_existing_without_touching(tmp_path):
+    from tokenlake.io_sources import fetch_if_missing
+
+    src = tmp_path / "a.bin"
+    src.write_bytes(b"new content")
+    dest = tmp_path / "dest.bin"
+    dest.write_bytes(b"old content")
+    assert fetch_if_missing(src.as_uri(), str(dest)) is False
+    assert dest.read_bytes() == b"old content"  # skip must not overwrite
+
+
+def test_fetch_rejects_unknown_scheme(tmp_path):
+    from tokenlake.io_sources import fetch_if_missing
+
+    with pytest.raises(ValueError, match="unsupported URL scheme"):
+        fetch_if_missing("s3://bucket/key", str(tmp_path / "x"))
+
+
+def test_fetch_failure_leaves_no_destination(tmp_path):
+    """A fetch that dies mid-stream must not leave a file the skip-if-exists
+    check would treat as complete (the hardening over the reference, which
+    writes the destination directly)."""
+    from tokenlake.io_sources import fetch_if_missing
+
+    dest = tmp_path / "never.bin"
+    with pytest.raises(OSError):
+        fetch_if_missing((tmp_path / "missing.bin").as_uri(), str(dest))
+    assert not dest.exists()
+
+
+def test_fetch_cli_manifest_resumes(tmp_path, capsys):
+    from tokenlake.cli import main
+
+    srcs = []
+    for i in range(3):
+        s = tmp_path / f"src{i}.bin"
+        s.write_bytes(bytes([i]) * 100)
+        srcs.append(s)
+    dests = [tmp_path / "out" / f"f{i}.bin" for i in range(3)]
+    man = tmp_path / "manifest.txt"
+    man.write_text("".join(f"{s.as_uri()} {d}\n" for s, d in zip(srcs, dests)))
+
+    assert main(["fetch", "--manifest", str(man)]) == 0
+    out1 = capsys.readouterr().out
+    assert '"fetched": 3' in out1
+    # second run: everything already present -> all skipped, bytes untouched
+    assert main(["fetch", "--manifest", str(man)]) == 0
+    out2 = capsys.readouterr().out
+    assert '"skipped": 3' in out2
+    for i, d in enumerate(dests):
+        assert d.read_bytes() == bytes([i]) * 100

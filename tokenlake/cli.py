@@ -148,6 +148,18 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     sc.add_argument("-o", "--out", default=None, help="write results as parquet (default: count)")
     sc.add_argument("--cpus", type=int, default=8)
+
+    ft = sub.add_parser(
+        "fetch",
+        help="idempotent streaming fetch: skip-if-exists per file, so a "
+        "killed multi-file fetch resumes where it stopped",
+    )
+    ft.add_argument("url", nargs="?", default=None, help="source URL (file:// or http(s)://)")
+    ft.add_argument("dest", nargs="?", default=None, help="local destination path")
+    ft.add_argument(
+        "--manifest", default=None,
+        help="file of whitespace-separated 'URL DEST' lines, fetched in order",
+    )
     return p
 
 
@@ -374,10 +386,52 @@ def cmd_scan(args, spark=None) -> int:
             spark.stop()
 
 
+def cmd_fetch(args) -> int:
+    """S7 analog of the reference's indexed fetch loop
+    (parquet-linter-leaderboard/src/main.rs calling download_if_missing per
+    file): each line is fetched independently with skip-if-exists, so
+    re-running after a kill resumes at the first missing file. No Spark
+    session — this is driver-local I/O."""
+    from .io_sources import fetch_if_missing
+
+    if (args.manifest is None) == (args.url is None):
+        print("exactly one of URL DEST / --manifest is required", file=sys.stderr)
+        return 2
+    if args.manifest is None and args.dest is None:
+        print("DEST is required with URL", file=sys.stderr)
+        return 2
+    if args.manifest:
+        with open(args.manifest) as fh:
+            pairs = [ln.split() for ln in fh if ln.strip()]
+        bad = [ln for ln in pairs if len(ln) != 2]
+        if bad:
+            print(f"manifest lines must be 'URL DEST': {bad[0]}", file=sys.stderr)
+            return 2
+    else:
+        pairs = [(args.url, args.dest)]
+    fetched = skipped = 0
+    for i, (url, dest) in enumerate(pairs):
+        try:
+            hit = fetch_if_missing(url, dest)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        if hit:
+            print(f"fetched #{i}: {url} -> {dest}")
+            fetched += 1
+        else:
+            print(f"skipped #{i}: {dest} (exists)")
+            skipped += 1
+    print(json.dumps({"fetched": fetched, "skipped": skipped}))
+    return 0
+
+
 def main(argv=None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "lint":
         return cmd_lint(args, spark)
+    if args.command == "fetch":
+        return cmd_fetch(args)
     if args.command == "decode":
         return cmd_decode(args, spark)
     if args.command == "verify":

@@ -18,6 +18,8 @@ deletes/schema evolution and corrupt the resume contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _FORMATS = ("parquet", "iceberg")
@@ -71,3 +73,43 @@ def read_sequences(
         ):
             raise RuntimeError(f"iceberg source unavailable: {_ICEBERG_HINT}") from e
         raise
+
+
+def fetch_if_missing(url: str, destination: str, chunk_bytes: int = 1 << 20) -> bool:
+    """S7 downloader analog (reference download_if_missing,
+    src/parquet-linter-leaderboard/src/download.rs:8-38): stream a remote
+    object to a local path, skipping silently when the destination already
+    exists — the idempotence that lets a multi-file fetch loop resume after
+    a kill, same as the encode job's lineage resume.
+
+    Schemes: ``file://`` (testable in this sandbox) and ``http(s)://`` via
+    the same stdlib streaming call (environment-gated here: the sandbox
+    allows no external data, so the http branch is exercised only by its
+    scheme validation). Two deliberate hardenings over the reference: the
+    body streams into ``<dest>.part`` and lands via atomic rename, so a
+    killed fetch can never leave a truncated file that the skip-if-exists
+    check would later treat as complete; and unknown schemes fail loudly
+    instead of being handed to a loader that may guess.
+
+    Returns True if fetched, False if skipped.
+    """
+    import shutil
+    import urllib.parse
+    import urllib.request
+
+    scheme = urllib.parse.urlparse(url).scheme
+    if scheme not in ("file", "http", "https"):
+        raise ValueError(f"unsupported URL scheme {scheme!r} for {url!r} "
+                         "(file://, http://, https://)")
+    if os.path.exists(destination):
+        return False
+    parent = os.path.dirname(destination)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    part = destination + ".part"
+    with urllib.request.urlopen(url) as src, open(part, "wb") as dst:
+        shutil.copyfileobj(src, dst, chunk_bytes)
+        dst.flush()
+        os.fsync(dst.fileno())
+    os.replace(part, destination)
+    return True
