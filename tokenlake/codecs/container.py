@@ -56,6 +56,13 @@ DT_DECIMAL64, DT_FIXED_BINARY = 11, 12
 # time64 units ride the wide int path, time32 units the narrow one. Spark's
 # TIME(p) (behind spark.sql.timeType.enabled) interchanges as time64[ns].
 DT_TIME_NS, DT_TIME_US, DT_TIME_MS, DT_TIME_S = 13, 14, 15, 16
+# Zoned timestamp (Spark's default TIMESTAMP / TIMESTAMP_LTZ): the stored
+# value is the INSTANT — µs since the Unix epoch, zone-independent — on the
+# same wide-int carrier as timestamp_ntz. Decode restores tz=UTC: Spark
+# treats TIMESTAMP as an instant (display zone is a session property), so
+# the roundtrip is semantically lossless; the producer's wall-zone string
+# is deliberately not stored (it is presentation, not data).
+DT_TIMESTAMP_TZ_US = 17
 
 DTYPE_SPARK = {
     DT_INT32: "int", DT_INT64: "bigint", DT_INT16: "smallint", DT_INT8: "tinyint",
@@ -67,11 +74,13 @@ DTYPE_SPARK = {
     DT_FIXED_BINARY: "binary",
     DT_TIME_NS: "time(6)", DT_TIME_US: "time(6)",
     DT_TIME_MS: "time(6)", DT_TIME_S: "time(6)",
+    DT_TIMESTAMP_TZ_US: "timestamp",
 }
 SPARK_DTYPE = {v: k for k, v in DTYPE_SPARK.items() if k <= DT_DATE32}
 
 # dtypes whose value stream runs through the 64-bit ("wide") int codec path
-_WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US, DT_DECIMAL64, DT_TIME_NS, DT_TIME_US})
+_WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US, DT_TIMESTAMP_TZ_US,
+                          DT_DECIMAL64, DT_TIME_NS, DT_TIME_US})
 _STR_DTYPES = frozenset({DT_STRING, DT_BINARY, DT_FIXED_BINARY})
 
 FLAG_NULLS = 1  # body carries a validity-bitmap section
@@ -247,13 +256,15 @@ def dtype_of_arrow(t: pa.DataType) -> int:
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return DT_BINARY
     if pa.types.is_timestamp(t):
-        if t.unit != "us" or t.tz is not None:
+        if t.unit != "us":
             raise ValueError(
-                f"timestamp type {t} not supported — cast to timestamp_ntz "
-                "(µs, no zone); Spark's zoned TIMESTAMP would silently shift "
-                "on decode"
+                f"timestamp type {t} not supported — cast to µs precision "
+                "(Spark's native unit) first"
             )
-        return DT_TIMESTAMP_US
+        # zoned → the instant (µs since epoch, zone-independent); arrow's
+        # storage for tz-aware timestamps is already UTC-normalized, so any
+        # producer zone string maps to the same carrier ints
+        return DT_TIMESTAMP_TZ_US if t.tz is not None else DT_TIMESTAMP_US
     if pa.types.is_date32(t):
         return DT_DATE32
     if pa.types.is_time64(t):
@@ -308,7 +319,7 @@ def int_view_of(arr: pa.Array, dtype: int) -> np.ndarray:
         return np.ascontiguousarray(np_arr, dtype=np.float64).view(np.int64)
     if dtype == DT_BOOL:
         return np_arr.astype(np.int32)
-    if dtype in (DT_INT64, DT_TIMESTAMP_US, DT_TIME_NS, DT_TIME_US):
+    if dtype in (DT_INT64, DT_TIMESTAMP_US, DT_TIMESTAMP_TZ_US, DT_TIME_NS, DT_TIME_US):
         if dtype != DT_INT64:
             np_arr = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return np.ascontiguousarray(np_arr, dtype=np.int64)
@@ -323,6 +334,7 @@ def _arrow_type_of(dtype: int) -> pa.DataType:
         DT_INT8: pa.int8(), DT_FLOAT32: pa.float32(), DT_FLOAT64: pa.float64(),
         DT_BOOL: pa.bool_(), DT_STRING: pa.large_string(), DT_BINARY: pa.large_binary(),
         DT_TIMESTAMP_US: pa.timestamp("us"), DT_DATE32: pa.date32(),
+        DT_TIMESTAMP_TZ_US: pa.timestamp("us", tz="UTC"),
     }[dtype]
 
 
@@ -346,6 +358,8 @@ def _ints_to_arrow(vals: np.ndarray, dtype: int, deci: tuple[int, int] | None = 
         return pa.array(vals.astype(bool), pa.bool_())
     if dtype == DT_TIMESTAMP_US:
         return pa.array(vals, pa.int64()).cast(pa.timestamp("us"))
+    if dtype == DT_TIMESTAMP_TZ_US:
+        return pa.array(vals, pa.int64()).cast(pa.timestamp("us", tz="UTC"))
     if dtype in (DT_TIME_NS, DT_TIME_US):
         unit = "ns" if dtype == DT_TIME_NS else "us"
         return pa.array(vals, pa.int64()).cast(pa.time64(unit))

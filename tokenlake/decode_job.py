@@ -376,7 +376,7 @@ def scan_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
 
 _ZONE_SCALARS = {"int", "bigint", "smallint", "tinyint"}
 # temporal carriers: stored min/max are the carrier ints (µs / days / ns)
-_ZONE_TEMPORAL = {"timestamp_ntz", "date", "time(6)"}
+_ZONE_TEMPORAL = {"timestamp_ntz", "timestamp", "date", "time(6)"}
 
 
 def _temporal_carrier(dtype: str, v) -> int:
@@ -390,6 +390,14 @@ def _temporal_carrier(dtype: str, v) -> int:
         # integer arithmetic: total_seconds() is a float and loses the last
         # microsecond for ~1% of values, silently shrinking the zone bound
         return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if dtype == "timestamp" and isinstance(v, _dt.datetime):
+        # zoned column: the stored carrier is the INSTANT (µs since the
+        # Unix epoch, UTC). A naive bound is taken as UTC wall time — the
+        # storage convention — never the process-local zone.
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
     if dtype == "time(6)" and isinstance(v, _dt.time):
         ns = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000_000
         return ns + v.microsecond * 1000

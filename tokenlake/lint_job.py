@@ -505,7 +505,8 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     m = column_metrics(dedup_attempts(read_encoded(spark, out_dir)))
     int_kind = (
         F.col("dtype").isin(
-            "int", "bigint", "smallint", "tinyint", "timestamp_ntz", "date", "time(6)"
+            "int", "bigint", "smallint", "tinyint",
+            "timestamp_ntz", "timestamp", "date", "time(6)",
         )
         | F.col("dtype").startswith("array<")
         | F.col("dtype").startswith("decimal")  # unscaled-int64 carrier
@@ -531,9 +532,9 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     # fires the overflow arm 2× late for bigint/timestamp extras)
     entry_bytes = F.when(
         F.col("dtype").isin(
-            "bigint", "timestamp_ntz", "time(6)", "double",
-            "array<bigint>", "array<timestamp_ntz>", "array<time(6)>",
-            "array<double>",
+            "bigint", "timestamp_ntz", "timestamp", "time(6)", "double",
+            "array<bigint>", "array<timestamp_ntz>", "array<timestamp>",
+            "array<time(6)>", "array<double>",
         )
         | F.col("dtype").startswith("decimal")
         | F.col("dtype").startswith("array<decimal"),
