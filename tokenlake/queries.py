@@ -1397,9 +1397,10 @@ FROM stats
 
 
 def q_generic_roundtrip(spark, sf_dir):
-    """Generic column registry, oracle-checked end-to-end: derive a 10-column
-    table from events (doc_id, tokens, n_tok, source + double with planted
-    nulls, timestamp, bigint, bool, a ragged array<float> embedding column
+    """Generic column registry, oracle-checked end-to-end: derive an
+    11-column table from events (doc_id, tokens, n_tok, source + double with
+    planted nulls, timestamp_ntz, zoned timestamp with its own planted
+    nulls, bigint, bool, a ragged array<float> embedding column
     with planted null rows, and a decimal(14,2) price through the unscaled
     int64 carrier), push it through encode→decode, and
     aggregate per source. The oracle computes the same aggregates straight
@@ -1425,6 +1426,11 @@ def q_generic_roundtrip(spark, sf_dir):
         F.col("event_type").alias("source"),
         F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
         F.col("ts").cast("timestamp_ntz").alias("ts"),
+        # zoned TIMESTAMP (ltz, dtype code 17): same instants as ts under
+        # the UTC session zone, nulls planted on their own modulus
+        F.when(F.col("event_id") % 19 == 0, F.lit(None))
+        .otherwise(F.col("ts").cast("timestamp"))
+        .alias("ts_tz"),
         F.col("user_id").alias("user_id"),
         (F.col("value") > 0.5).alias("flag"),
         F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(emb).alias("emb"),
@@ -1439,7 +1445,7 @@ def q_generic_roundtrip(spark, sf_dir):
     dec = decode_job.decode_dataframe(
         enc,
         extra_types={
-            "value": "double", "ts": "timestamp_ntz",
+            "value": "double", "ts": "timestamp_ntz", "ts_tz": "timestamp",
             "user_id": "bigint", "flag": "boolean", "emb": "array<float>",
             "price": "decimal(14,2)",
         },
@@ -1453,6 +1459,8 @@ def q_generic_roundtrip(spark, sf_dir):
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("null_values"),
         F.sum(F.unix_micros(F.col("ts").cast("timestamp"))).cast("bigint").alias("sum_ts_us"),
+        F.sum(F.unix_micros("ts_tz")).cast("bigint").alias("sum_tstz_us"),
+        F.sum(F.col("ts_tz").isNull().cast("int")).cast("bigint").alias("null_tstz"),
         F.sum("user_id").cast("bigint").alias("sum_user"),
         F.sum(F.col("flag").cast("int")).cast("bigint").alias("flags_true"),
         F.round(F.sum(emb_sum), 4).alias("sum_emb"),
@@ -1473,6 +1481,9 @@ SELECT event_type AS source,
        round(sum(CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END), 4) AS sum_value,
        sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_values,
        sum(epoch_us(ts))::BIGINT AS sum_ts_us,
+       sum(CASE WHEN event_id % 19 = 0 THEN NULL ELSE epoch_us(ts) END)::BIGINT
+         AS sum_tstz_us,
+       sum(CASE WHEN event_id % 19 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_tstz,
        sum(user_id)::BIGINT AS sum_user,
        sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)::BIGINT AS flags_true,
        round(sum(CASE WHEN event_id % 13 = 0 THEN NULL ELSE
