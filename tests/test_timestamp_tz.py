@@ -110,3 +110,11 @@ def test_spark_roundtrip_and_zone_scan(spark, tmp_path):
         r["doc_id"] for r in expect.select("doc_id").collect()
     )
     assert expect.count() > 0
+
+    # the one failure mode this dtype introduces: zoned and naive share the
+    # same int64 carrier, so a silent ntz append into a zoned column would
+    # shift semantics with no byte-level symptom — the per-column dtype
+    # guard must refuse it
+    ntz = df.withColumn("seen_at", F.col("seen_at").cast("timestamp_ntz"))
+    with pytest.raises(ValueError, match="stored as 'timestamp'"):
+        encode_job.run(spark, ntz.limit(10), out, salt="b1")
