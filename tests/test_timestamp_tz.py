@@ -38,6 +38,18 @@ def _tz_array(zone: str) -> pa.Array:
     return pa.Array.from_pandas(s, type=pa.timestamp("us", tz=zone))
 
 
+def test_cli_bound_parsing():
+    from tokenlake.cli import _parse_bound
+
+    assert _parse_bound("42") == 42
+    assert _parse_bound("2026-08-17") == dt.date(2026, 8, 17)
+    assert _parse_bound("12:34:56") == dt.time(12, 34, 56)
+    assert _parse_bound("2026-08-17T12:00:00+00:00") == dt.datetime(
+        2026, 8, 17, 12, tzinfo=UTC
+    )
+    assert _parse_bound("2026-08-17 12:00:00") == dt.datetime(2026, 8, 17, 12)
+
+
 def test_dtype_dispatch_tz_vs_ntz():
     assert dtype_of_arrow(pa.timestamp("us", tz="UTC")) == DT_TIMESTAMP_TZ_US
     assert dtype_of_arrow(pa.timestamp("us")) == DT_TIMESTAMP_US

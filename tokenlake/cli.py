@@ -144,7 +144,9 @@ def _build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--token", type=int, default=None, help="token value to scan for")
     sc.add_argument(
         "--range", nargs=3, metavar=("COL", "LO", "HI"), default=None,
-        help="int-family column + inclusive bounds",
+        help="column + inclusive bounds: ints for the int family, ISO "
+        "strings for temporal columns (2026-08-17 → date, "
+        "2026-08-17T12:00:00[+00:00] → timestamp, 12:34:56 → time)",
     )
     sc.add_argument("-o", "--out", default=None, help="write results as parquet (default: count)")
     sc.add_argument("--cpus", type=int, default=8)
@@ -361,6 +363,24 @@ def cmd_lookup(args, spark=None) -> int:
             spark.stop()
 
 
+def _parse_bound(s: str):
+    """A --range bound: int for the int family, else an ISO temporal
+    literal shaped like the column it targets (date / datetime / time).
+    Mis-shaped bounds fail loudly in scan_value_range's carrier
+    conversion, which names the column's actual dtype."""
+    import datetime as _dt
+
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    if ":" in s and "-" not in s.split(":", 1)[0]:
+        return _dt.time.fromisoformat(s)
+    if "T" in s or " " in s or s.count(":") >= 2:
+        return _dt.datetime.fromisoformat(s)
+    return _dt.date.fromisoformat(s)
+
+
 def cmd_scan(args, spark=None) -> int:
     from . import decode_job
 
@@ -373,7 +393,9 @@ def cmd_scan(args, spark=None) -> int:
             df = decode_job.scan_token(spark, args.input, args.token)
         else:
             col, lo, hi = args.range
-            df = decode_job.scan_value_range(spark, args.input, col, int(lo), int(hi))
+            df = decode_job.scan_value_range(
+                spark, args.input, col, _parse_bound(lo), _parse_bound(hi)
+            )
         if args.out:
             df.write.mode("error").parquet(args.out)
             n = spark.read.parquet(args.out).count()
