@@ -48,7 +48,7 @@ def test_fetch_streams_and_creates_parents(tmp_path):
     assert fetch_if_missing(src.as_uri(), str(dest), chunk_bytes=4096) is True
     assert dest.read_bytes() == src.read_bytes()
     # atomic rename leaves no .part residue on success
-    assert not dest.with_name(dest.name + ".part").exists()
+    assert not list(dest.parent.glob(dest.name + ".part*"))
 
 
 def test_fetch_skips_existing_without_touching(tmp_path):
