@@ -81,6 +81,58 @@ def test_fetch_failure_leaves_no_destination(tmp_path):
     assert not dest.exists()
 
 
+def test_fetch_midstream_failure_leaves_no_part_orphan(tmp_path, monkeypatch):
+    """A stream that dies AFTER the temp file is created must unlink it —
+    otherwise every retry leaks another .part.<pid>.<tid> next to the data."""
+    import urllib.request
+
+    from tokenlake.io_sources import fetch_if_missing
+
+    class DyingReader:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self, n=-1):
+            raise OSError("connection reset mid-stream")
+
+    monkeypatch.setattr(urllib.request, "urlopen", lambda url: DyingReader())
+    dest = tmp_path / "obj.bin"
+    with pytest.raises(OSError, match="mid-stream"):
+        fetch_if_missing("file:///irrelevant", str(dest))
+    assert not dest.exists()
+    assert not list(tmp_path.glob("obj.bin.part*"))
+
+
+def test_fetch_cli_fails_fast_but_resumably(tmp_path, capsys):
+    """A dead URL mid-manifest: clean error + summary JSON (exit 1), earlier
+    files kept, and a rerun with the source repaired resumes past them."""
+    from tokenlake.cli import main
+
+    good0 = tmp_path / "g0.bin"
+    good0.write_bytes(b"a" * 10)
+    good2 = tmp_path / "g2.bin"
+    good2.write_bytes(b"c" * 10)
+    missing = tmp_path / "gone.bin"  # not created yet
+    dests = [tmp_path / "out" / f"f{i}.bin" for i in range(3)]
+    man = tmp_path / "man.txt"
+    man.write_text(
+        f"{good0.as_uri()} {dests[0]}\n{missing.as_uri()} {dests[1]}\n"
+        f"{good2.as_uri()} {dests[2]}\n"
+    )
+    assert main(["fetch", "--manifest", str(man)]) == 1
+    out = capsys.readouterr()
+    assert '"failed_at": 1' in out.out and "gone.bin" in out.err
+    assert dests[0].exists() and not dests[1].exists() and not dests[2].exists()
+
+    missing.write_bytes(b"b" * 10)  # repair the source; rerun resumes
+    assert main(["fetch", "--manifest", str(man)]) == 0
+    out2 = capsys.readouterr().out
+    assert '"fetched": 2' in out2 and '"skipped": 1' in out2
+
+
 def test_fetch_cli_manifest_resumes(tmp_path, capsys):
     from tokenlake.cli import main
 

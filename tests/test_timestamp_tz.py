@@ -50,6 +50,22 @@ def test_cli_bound_parsing():
     assert _parse_bound("2026-08-17 12:00:00") == dt.datetime(2026, 8, 17, 12)
 
 
+def test_zone_bound_mismatches_fail_loudly():
+    """An aware bound on a zoneless column (and vice-versa-adjacent cases)
+    must raise, not silently shift the scan window."""
+    from tokenlake.decode_job import _temporal_carrier
+
+    aware = dt.datetime(2026, 8, 17, 12, tzinfo=UTC)
+    with pytest.raises(ValueError, match="zoneless wall time"):
+        _temporal_carrier("timestamp_ntz", aware)
+    with pytest.raises(ValueError, match="zoneless"):
+        _temporal_carrier("time(6)", dt.time(12, 0, tzinfo=UTC))
+    # zoned column: aware and the naive-as-UTC convention agree exactly
+    assert _temporal_carrier("timestamp", aware) == _temporal_carrier(
+        "timestamp", aware.replace(tzinfo=None)
+    )
+
+
 def test_dtype_dispatch_tz_vs_ntz():
     assert dtype_of_arrow(pa.timestamp("us", tz="UTC")) == DT_TIMESTAMP_TZ_US
     assert dtype_of_arrow(pa.timestamp("us")) == DT_TIMESTAMP_US
@@ -117,6 +133,9 @@ def test_spark_roundtrip_and_zone_scan(spark, tmp_path):
     lo = dt.datetime.fromtimestamp(1_700_000_000 + 3600, tz=UTC)
     hi = dt.datetime.fromtimestamp(1_700_000_000 + 7200, tz=UTC)
     scanned = decode_job.scan_value_range(spark, out, "seen_at", lo, hi)
+    # the filter side must compare instants (unix_micros), not session-zone
+    # literals — otherwise a non-UTC caller session diverges from pruning
+    assert "unix_micros" in scanned._jdf.queryExecution().analyzed().toString()
     expect = df.filter((F.col("seen_at") >= F.lit(lo)) & (F.col("seen_at") <= F.lit(hi)))
     assert sorted(r["doc_id"] for r in scanned.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in expect.select("doc_id").collect()

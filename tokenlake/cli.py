@@ -438,6 +438,13 @@ def cmd_fetch(args) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
+        except OSError as e:
+            # URLError/HTTPError are OSError subclasses. Fail fast like the
+            # reference's loop, but cleanly: completed files stay on disk,
+            # so re-running the same manifest resumes at this entry.
+            print(f"fetch #{i} failed: {url}: {e}", file=sys.stderr)
+            print(json.dumps({"fetched": fetched, "skipped": skipped, "failed_at": i}))
+            return 1
         if hit:
             print(f"fetched #{i}: {url} -> {dest}")
             fetched += 1

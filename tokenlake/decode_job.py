@@ -387,6 +387,11 @@ def _temporal_carrier(dtype: str, v) -> int:
     if dtype == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
         return (v - _dt.date(1970, 1, 1)).days
     if dtype == "timestamp_ntz" and isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            raise ValueError(
+                f"bound {v!r} carries a zone but column dtype is "
+                "timestamp_ntz (zoneless wall time) — pass a naive datetime"
+            )
         # integer arithmetic: total_seconds() is a float and loses the last
         # microsecond for ~1% of values, silently shrinking the zone bound
         return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
@@ -399,6 +404,11 @@ def _temporal_carrier(dtype: str, v) -> int:
         epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
         return (v - epoch) // _dt.timedelta(microseconds=1)
     if dtype == "time(6)" and isinstance(v, _dt.time):
+        if v.tzinfo is not None:
+            raise ValueError(
+                f"bound {v!r} carries a UTC offset but column dtype is "
+                "time(6) (zoneless) — pass a naive time"
+            )
         ns = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000_000
         return ns + v.microsecond * 1000
     raise ValueError(f"bound {v!r} does not match the column's {dtype} carrier")
@@ -447,11 +457,24 @@ def scan_value_range(spark: SparkSession, out_dir: str, column: str, lo, hi) -> 
     cands = m.filter(blanked | overlap).select("chunk_id").distinct()
     pruned = dedup_attempts(enc.join(cands, "chunk_id", "left_semi"))
     dec = decode_dataframe(pruned, extra_types=extra_types_of(enc))
-    lo_t, hi_t = (F.lit(lo), F.lit(hi)) if elem in _ZONE_TEMPORAL else (F.lit(lo_c), F.lit(hi_c))
-    if is_list:
-        pred = F.exists(column, lambda v: (v >= lo_t) & (v <= hi_t))
+    if elem == "timestamp":
+        # zoned column: compare INSTANTS on both sides. F.lit(datetime) is
+        # interpreted in the caller's session zone, so on a non-UTC session
+        # the post-decode filter window would diverge from the carrier-int
+        # pruning window (silently dropping rows whose chunks were pruned)
+        # — unix_micros() is session-zone-independent, matching the pruning
+        # arithmetic exactly.
+        lo_t, hi_t = F.lit(lo_c), F.lit(hi_c)
+        conv = F.unix_micros
     else:
-        pred = F.col(column).between(lo_t, hi_t)
+        lo_t, hi_t = (
+            (F.lit(lo), F.lit(hi)) if elem in _ZONE_TEMPORAL else (F.lit(lo_c), F.lit(hi_c))
+        )
+        conv = lambda c: c  # noqa: E731
+    if is_list:
+        pred = F.exists(column, lambda v: (conv(v) >= lo_t) & (conv(v) <= hi_t))
+    else:
+        pred = conv(F.col(column)).between(lo_t, hi_t)
     return dec.filter(pred)
 
 

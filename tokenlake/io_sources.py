@@ -106,13 +106,24 @@ def fetch_if_missing(url: str, destination: str, chunk_bytes: int = 1 << 20) -> 
     parent = os.path.dirname(destination)
     if parent:
         os.makedirs(parent, exist_ok=True)
-    # per-process temp name: two concurrent fetchers of the same object
-    # must not interleave writes into one shared .part file — each streams
-    # its own and the last atomic rename wins with complete content
-    part = f"{destination}.part.{os.getpid()}"
-    with urllib.request.urlopen(url) as src, open(part, "wb") as dst:
-        shutil.copyfileobj(src, dst, chunk_bytes)
-        dst.flush()
-        os.fsync(dst.fileno())
-    os.replace(part, destination)
+    import threading
+
+    # unique temp name per (process, thread): two concurrent fetchers of
+    # the same object must not interleave writes into one shared .part
+    # file — each streams its own and the last atomic rename wins with
+    # complete content
+    part = f"{destination}.part.{os.getpid()}.{threading.get_ident()}"
+    try:
+        with urllib.request.urlopen(url) as src, open(part, "wb") as dst:
+            shutil.copyfileobj(src, dst, chunk_bytes)
+            dst.flush()
+            os.fsync(dst.fileno())
+        os.replace(part, destination)
+    except BaseException:
+        # a failed stream must not leak its partial file next to the data
+        try:
+            os.unlink(part)
+        except OSError:
+            pass
+        raise
     return True
