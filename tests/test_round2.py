@@ -531,3 +531,34 @@ def test_cli_rewrite_dry_run_and_from_prescription(spark, tmp_path, capsys):
     enc = encode_job.column_metrics(spark.read.parquet(f"{out}/encoded"))
     # conflicting directives warn and the LAST wins (cli/main.rs:75-82)
     assert {r["codec"] for r in enc.filter(F.col("column") == "tokens").collect()} == {"for"}
+
+
+def test_cli_rewrite_rules_filter_and_export(spark, tmp_path, capsys):
+    """`rewrite --rules` applies only the named rules' fixes and
+    `--export-prescription` writes the merged DSL (cli/main.rs:44-54)."""
+    import os
+
+    from tokenlake import cli
+
+    tbl = generate_sequences(scale=0.01, profiles=["lowcard"], skew=False)
+    in_p = str(tmp_path / "in3.parquet")
+    spark.createDataFrame(tbl.to_pandas(), schema=SEQUENCES_SPARK_SCHEMA).write.parquet(in_p)
+    out = str(tmp_path / "rulesout")
+    rx_p = str(tmp_path / "exported.txt")
+    assert cli.main(
+        ["rewrite", in_p, "-o", out, "--fraction", "0.5",
+         "--rules", "dictionary-encoding-cardinality",
+         "--export-prescription", rx_p],
+        spark=spark,
+    ) == 0
+    text = open(rx_p).read()
+    assert "encoding dict" in text and text.endswith("\n")
+    # the filter dropped every other rule's directives (outer codec, bloom…)
+    assert "compression" not in text and "bloom" not in text
+    assert os.path.exists(f"{out}/encoded")
+    # --rules with --from-prescription is contradictory: loud exit 2
+    assert cli.main(
+        ["rewrite", in_p, "-o", str(tmp_path / "x"), "--from-prescription", rx_p,
+         "--rules", "a"],
+        spark=spark,
+    ) == 2

@@ -80,6 +80,16 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     rw.add_argument("--dry-run", action="store_true")
     rw.add_argument("--fraction", type=float, default=0.05)
+    rw.add_argument(
+        "--rules", default=None,
+        help="comma-separated rule names: apply only these rules' fixes "
+        "(reference `rewrite --rules`, cli/main.rs:44-46)",
+    )
+    rw.add_argument(
+        "--export-prescription", default=None, metavar="FILE",
+        help="also write the merged prescription DSL to FILE "
+        "(reference `--export-prescription`, cli/main.rs:53-54)",
+    )
     rw.add_argument("--cpus", type=int, default=8)
 
     dec = sub.add_parser("decode", help="decode an encoded table back to sequences parquet")
@@ -240,14 +250,26 @@ def cmd_rewrite(args, spark=None) -> int:
 
         df = read_sequences(spark, args.input, format=args.format)
         if args.from_prescription:
+            if args.rules:
+                print("--rules filters lint decisions; it has no effect with "
+                      "--from-prescription", file=sys.stderr)
+                return 2
             with open(args.from_prescription) as f:
                 rx = Prescription.parse(f.read())
         else:
             decisions = lint_job.lint(spark, df, fraction=args.fraction)
+            if args.rules:
+                from pyspark.sql import functions as F
+
+                decisions = decisions.filter(F.col("rule").isin(args.rules.split(",")))
             # decisions carry per-chunk sample_fraction; no extra rescale
             rx = lint_job.prescription_from_decisions(decisions)
         for err in rx.validate():
             print(f"warning: {err}; applying anyway (last directive wins)", file=sys.stderr)
+        if args.export_prescription:
+            text = rx.format()
+            with open(args.export_prescription, "w") as f:
+                f.write(text if text.endswith("\n") else text + "\n")
         if args.dry_run:
             print(rx.format())
             return 0
