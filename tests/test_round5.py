@@ -1227,3 +1227,158 @@ def test_rewrite_from_evidence_mixed_verdicts_converge(spark, tmp_path):
     # content intact
     dec = decode_job.decode(spark, dst)
     assert dec.count() == lo.count() + hi.count()
+
+
+# ------------------------------------------ decimal128 (precision 19..38)
+
+def test_decimal128_container_roundtrip_property():
+    """Full-width decimal128: the 16 B unscaled int splits into lo/hi int64
+    word frames (container.py DT_DECIMAL128). Any codec, any sign, values
+    far beyond int64, nulls — bit-identical roundtrip with (p, s) intact."""
+    from decimal import Context, Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from tokenlake.codecs.container import decode_column_arrow, encode_any_column
+
+    ctx = Context(prec=60)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        unscaled=st.lists(
+            st.one_of(
+                st.none(),
+                st.integers(-(10**38) + 1, 10**38 - 1),
+                st.integers(-(2**70), 2**70),  # cluster near the word split
+                st.integers(-100, 100),
+            ),
+            max_size=40,
+        ),
+        scale=st.integers(0, 10),
+        codec=st.sampled_from(["plain", "for", "dict", "delta", "rle"]),
+    )
+    def check(unscaled, scale, codec):
+        vals = [None if u is None else Decimal(u).scaleb(-scale, ctx) for u in unscaled]
+        arr = pa.array(vals, pa.decimal128(38, scale))
+        out = decode_column_arrow(encode_any_column(arr, codec))
+        assert out.to_pylist() == vals and out.type == arr.type
+
+    check()
+
+
+def test_decimal128_minmax_and_hi_plane_cost():
+    """decimal128_minmax orders by the true 128-bit value (lexicographic on
+    (hi, unsigned lo) — an lo-word min would be wrong), and the hi word of
+    small-magnitude decimal(38,s) values packs to a near-free sign plane."""
+    from decimal import Context, Decimal
+
+    from tokenlake.codecs.container import decimal128_minmax, encode_any_column
+
+    ctx = Context(prec=60)
+    t = pa.decimal128(38, 2)
+    # lo words deliberately misleading: the most negative value carries the
+    # LARGEST unsigned lo word
+    us = [-(2**64) - 1, 2**64 + 5, 3, -(2**63)]
+    arr = pa.array([Decimal(u).scaleb(-2, ctx) for u in us], t)
+    mn, mx = decimal128_minmax(arr)
+    assert (mn, mx) == (min(us), max(us))
+
+    small = pa.array([Decimal(i).scaleb(-2, ctx) for i in range(20000)], t)
+    enc = encode_any_column(small, "for", outer="none")
+    # plain 128-bit storage would be 320,000 B; lo FOR-packs (range 2e4)
+    # and hi is constant 0 — the whole frame must stay under an eighth
+    assert len(enc) < 40000
+
+
+def test_decimal128_extra_end_to_end(spark, tmp_path):
+    """A decimal(38,4) extra whose values exceed int64 encodes through the
+    two-word registry path, decodes bit-identically under Spark, stores the
+    exact DDL, and its bloom filter admits a probed huge Decimal (sound
+    lo-word domain — no false negatives)."""
+    from decimal import Decimal
+
+    out = str(tmp_path / "out")
+    # event_id-digits || 15 zeros || ".25": unscaled ≈ 10^19..10^21 > 2^63,
+    # deterministic, and identically constructible by eye
+    df = (
+        _df(spark, scale=0.004)
+        .withColumn(
+            "big_price",
+            F.when(F.abs(F.xxhash64("doc_id")) % 6 == 0, F.lit(None)).otherwise(
+                F.concat(
+                    (F.abs(F.xxhash64("doc_id")) % 100000 + 10000).cast("string"),
+                    F.lit("000000000000000.25"),
+                ).cast("decimal(38,4)")
+            ),
+        )
+        .cache()
+    )
+    encode_job.run(spark, df, out, resume=False)
+    enc = decode_job.read_encoded(spark, out)
+    assert decode_job.extra_types_of(enc) == {"big_price": "decimal(38,4)"}
+    dec = decode_job.decode(spark, out)
+    j = df.alias("a").join(dec.alias("b"), "doc_id")
+    assert j.count() == df.count()
+    assert j.filter(~F.col("a.big_price").eqNullSafe(F.col("b.big_price"))).count() == 0
+    # metrics: exact DDL; min/max saturate to the int64 metrics columns
+    m = encode_job.column_metrics(enc).filter(F.col("column") == "big_price")
+    rows = m.collect()
+    assert rows and all(r["dtype"] == "decimal(38,4)" for r in rows)
+    assert all(r["max_val"] == 2**63 - 1 for r in rows if r["n_values"] > r["null_count"])
+    assert all(r["min_val"] > 0 for r in rows if r["n_values"] > r["null_count"])
+
+    probe = df.filter(F.col("big_price").isNotNull()).select("big_price").first()[0]
+    assert isinstance(probe, Decimal)
+    hits = {
+        r["chunk_id"]
+        for r in decode_job.chunks_containing_value(
+            spark, out, "big_price", probe
+        ).collect()
+    }
+    assert hits  # at least the owning chunk is admitted
+    doc = df.filter(F.col("big_price") == F.lit(probe)).select("doc_id").first()[0]
+    lk = decode_job.lookup(spark, out, [doc])
+    assert lk.count() >= 1
+    # soundness: decoding ONLY admitted chunks still yields the probed row
+    pruned = decode_job.dedup_attempts(
+        enc.join(
+            decode_job.chunks_containing_value(spark, out, "big_price", probe),
+            "chunk_id",
+            "left_semi",
+        )
+    )
+    got = decode_job.decode_dataframe(
+        pruned, extra_types=decode_job.extra_types_of(enc)
+    ).filter(F.col("big_price") == F.lit(probe))
+    assert got.count() >= 1
+    df.unpersist()
+
+
+def test_decimal128_list_extra_roundtrip(spark, tmp_path):
+    """array<decimal(38,6)> rides the FLAG_LIST composite with two-word
+    element frames; ragged + null rows + huge magnitudes round-trip."""
+    out = str(tmp_path / "out")
+    df = (
+        _df(spark, scale=0.003)
+        .withColumn(
+            "ledger",
+            F.when(F.abs(F.xxhash64("doc_id")) % 5 == 0, F.lit(None)).otherwise(
+                F.array(
+                    F.concat(
+                        (F.abs(F.xxhash64("doc_id")) % 9000 + 1000).cast("string"),
+                        F.lit("0000000000000000.000001"),
+                    ).cast("decimal(38,6)"),
+                    F.lit("-0.5").cast("decimal(38,6)"),
+                )
+            ),
+        )
+        .cache()
+    )
+    encode_job.run(spark, df, out, resume=False)
+    enc = decode_job.read_encoded(spark, out)
+    assert decode_job.extra_types_of(enc) == {"ledger": "array<decimal(38,6)>"}
+    dec = decode_job.decode(spark, out)
+    j = df.alias("a").join(dec.alias("b"), "doc_id")
+    assert j.count() == df.count()
+    assert j.filter(~F.col("a.ledger").eqNullSafe(F.col("b.ledger"))).count() == 0
+    df.unpersist()

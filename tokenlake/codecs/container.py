@@ -63,6 +63,15 @@ DT_TIME_NS, DT_TIME_US, DT_TIME_MS, DT_TIME_S = 13, 14, 15, 16
 # the roundtrip is semantically lossless; the producer's wall-zone string
 # is deliberately not stored (it is presentation, not data).
 DT_TIMESTAMP_TZ_US = 17
+# Full-width decimal128 (precision 19..38): the 16 B two's-complement
+# unscaled int splits into two int64 word streams — lo (the low 64 bits,
+# signed view of the raw word) and hi (the arithmetic high word). Each word
+# stream is its own full inner TL frame (the FLAG_LIST composite pattern):
+# values that fit 64 bits make hi a constant 0/-1 sign plane that FOR/RLE
+# packs to ~nothing, so a decimal(38,s) column holding ordinary magnitudes
+# costs the same as the decimal64 carrier. Body layout (after the nulls
+# section): u8 precision | u8 scale | u32 lo_frame_len | lo_frame | hi_frame.
+DT_DECIMAL128 = 18
 
 DTYPE_SPARK = {
     DT_INT32: "int", DT_INT64: "bigint", DT_INT16: "smallint", DT_INT8: "tinyint",
@@ -80,7 +89,7 @@ SPARK_DTYPE = {v: k for k, v in DTYPE_SPARK.items() if k <= DT_DATE32}
 
 # dtypes whose value stream runs through the 64-bit ("wide") int codec path
 _WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US, DT_TIMESTAMP_TZ_US,
-                          DT_DECIMAL64, DT_TIME_NS, DT_TIME_US})
+                          DT_DECIMAL64, DT_DECIMAL128, DT_TIME_NS, DT_TIME_US})
 _STR_DTYPES = frozenset({DT_STRING, DT_BINARY, DT_FIXED_BINARY})
 
 FLAG_NULLS = 1  # body carries a validity-bitmap section
@@ -272,12 +281,14 @@ def dtype_of_arrow(t: pa.DataType) -> int:
     if pa.types.is_time32(t):
         return DT_TIME_MS if t.unit == "ms" else DT_TIME_S
     if pa.types.is_decimal(t):
-        if t.precision > 18:
+        if t.bit_width > 128:
             raise ValueError(
-                f"decimal type {t} not supported — precision ≤ 18 fits the "
-                "int64 unscaled carrier; cast down (or to double) first"
+                f"decimal type {t} not supported — precision ≤ 38 "
+                "(decimal128) is the registry ceiling"
             )
-        return DT_DECIMAL64
+        # p ≤ 18 keeps |unscaled| < 2^63 → single int64 carrier; wider
+        # precisions split into lo/hi word streams (DT_DECIMAL128)
+        return DT_DECIMAL64 if t.precision <= 18 else DT_DECIMAL128
     if pa.types.is_fixed_size_binary(t):
         return DT_FIXED_BINARY
     raise ValueError(f"unsupported column type for encoding: {t}")
@@ -287,7 +298,7 @@ def spark_ddl_of_arrow(t: pa.DataType) -> str:
     """Exact Spark DDL for a supported scalar type (decimal keeps its
     precision/scale; fixed-size binary reads back as Spark binary)."""
     code = dtype_of_arrow(t)
-    if code == DT_DECIMAL64:
+    if code in (DT_DECIMAL64, DT_DECIMAL128):
         return f"decimal({t.precision},{t.scale})"
     return DTYPE_SPARK[code]
 
@@ -300,18 +311,41 @@ def is_string_kind(dtype: int) -> bool:
     return dtype in _STR_DTYPES
 
 
+def _decimal128_words(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Null-free arrow decimal128 array → (lo, hi) int64 word streams of the
+    little-endian two's-complement 16 B unscaled storage. value =
+    hi * 2^64 + uint64(lo)."""
+    if len(arr) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    buf = arr.buffers()[1]
+    pairs = np.frombuffer(buf, np.int64, count=2 * len(arr), offset=arr.offset * 16)
+    return np.ascontiguousarray(pairs[0::2]), np.ascontiguousarray(pairs[1::2])
+
+
+def decimal128_minmax(arr: pa.Array) -> tuple[int, int]:
+    """Exact (min, max) UNSCALED ints of a non-empty null-free decimal128
+    array, as Python ints (they may exceed int64 for precision > 18):
+    lexicographic on (hi, unsigned lo)."""
+    lo, hi = _decimal128_words(arr)
+    ulo = lo.view(np.uint64)
+
+    def _at(h: int, reduce) -> int:
+        return int(h) * (1 << 64) + int(reduce(ulo[hi == h]))
+
+    return _at(hi.min(), np.min), _at(hi.max(), np.max)
+
+
 def int_view_of(arr: pa.Array, dtype: int) -> np.ndarray:
     """Bit-pattern numpy view of a null-free fixed-width arrow array:
     int32/int64 carrier for the int codec family."""
-    if dtype == DT_DECIMAL64:
-        # decimal128 stores 16 B little-endian two's-complement unscaled
-        # ints; precision ≤ 18 keeps |unscaled| < 2^63, so the low word IS
-        # the int64 value (sign extension lives entirely in the high word)
-        if len(arr) == 0:
-            return np.empty(0, np.int64)
-        buf = arr.buffers()[1]
-        pairs = np.frombuffer(buf, np.int64, count=2 * len(arr), offset=arr.offset * 16)
-        return np.ascontiguousarray(pairs[0::2])
+    if dtype in (DT_DECIMAL64, DT_DECIMAL128):
+        # arrow decimal128 stores 16 B little-endian two's-complement
+        # unscaled ints. For p ≤ 18 the low word IS the int64 value (sign
+        # extension lives entirely in the high word). For wider precisions
+        # this view is the LO WORD ONLY — good for codec selection and as a
+        # sound bloom domain (v in chunk ⇒ lo(v) in filter; collisions on
+        # the low word only ever ADD false positives) but NOT for ordering.
+        return _decimal128_words(arr)[0]
     np_arr = arr.to_numpy(zero_copy_only=False)
     if dtype == DT_FLOAT32:
         return np.ascontiguousarray(np_arr, dtype=np.float32).view(np.int32)
@@ -388,6 +422,26 @@ def encode_any_column(arr: pa.Array, codec: str, outer: str = "auto") -> bytes:
         prefix = struct.pack("<I", n) + np.packbits(valid, bitorder="little").tobytes()
         flags = FLAG_NULLS
         arr = arr.drop_null()
+    if dtype == DT_DECIMAL128:
+        lo, hi = _decimal128_words(arr)
+        cid = intcodecs.INT_CODEC_IDS[codec]
+        lo_frame = wrap(cid, intcodecs.encode_int_body(cid, lo, wide=True), "none", DT_INT64)
+        # hi is usually a constant 0/-1 sign plane (values that fit 64
+        # bits): FOR packs that to ~nothing; race plain as the safety net
+        hi_frame = min(
+            (
+                wrap(c, intcodecs.encode_int_body(c, hi, wide=True), "none", DT_INT64)
+                for c in (intcodecs.INT_CODEC_IDS["for"], intcodecs.INT_CODEC_IDS["plain"])
+            ),
+            key=len,
+        )
+        body = (
+            struct.pack("<BB", arr.type.precision, arr.type.scale)
+            + struct.pack("<I", len(lo_frame))
+            + lo_frame
+            + hi_frame
+        )
+        return wrap(cid, prefix + body, outer, dtype, flags)
     if is_string_kind(dtype):
         cid = strcodecs.STR_CODEC_IDS[codec]
         vals = arr.cast(pa.large_binary()) if dtype == DT_FIXED_BINARY else arr
@@ -425,7 +479,7 @@ def encode_list_column(
     values = arr.flatten()  # valid rows' elements only (null rows add none)
     lengths_frame = encode_any_column(lengths, "for", outer="none")
     if values_body is not None and values.null_count == 0 and elem_dtype not in (
-        DT_FIXED_BINARY, DT_DECIMAL64,
+        DT_FIXED_BINARY, DT_DECIMAL64, DT_DECIMAL128,
     ):
         # the caller's winning trial body IS the values frame (string trial
         # reuse — the same pattern doc_id follows); excluded for types that
@@ -507,6 +561,29 @@ def decode_column_arrow(buf: bytes | memoryview) -> pa.Array:
             bitorder="little", count=n_total,
         ).astype(bool)
         body = body[4 + nbytes :]
+    if dtype == DT_DECIMAL128:
+        p, s = body[0], body[1]
+        (llen,) = struct.unpack_from("<I", body, 2)
+        cid_lo, b_lo, _, _ = unwrap(body[6 : 6 + llen])
+        cid_hi, b_hi, _, _ = unwrap(body[6 + llen :])
+        lo = intcodecs.decode_int_body(cid_lo, b_lo, wide=True)
+        hi = intcodecs.decode_int_body(cid_hi, b_hi, wide=True)
+        if valid is None:
+            pairs = np.empty((len(lo), 2), np.int64)
+            pairs[:, 0], pairs[:, 1] = lo, hi
+            return pa.Array.from_buffers(
+                pa.decimal128(p, s), len(lo), [None, pa.py_buffer(pairs.tobytes())]
+            )
+        pairs = np.zeros((len(valid), 2), np.int64)
+        pairs[valid, 0], pairs[valid, 1] = lo, hi
+        return pa.Array.from_buffers(
+            pa.decimal128(p, s),
+            len(valid),
+            [
+                pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
+                pa.py_buffer(pairs.tobytes()),
+            ],
+        )
     # parameterized-type headers (after the validity section, before the
     # codec body): decimal carries (precision, scale), fsb its byte width
     deci = fsb_width = None

@@ -322,9 +322,17 @@ def _bloom_probe_value(encoded: DataFrame, column: str, value) -> int:
         w = np.float32 if elem == "float" else np.float64
         return int(np.array([value], dtype=w).view(np.int32 if elem == "float" else np.int64)[0])
     if elem.startswith("decimal"):
+        import decimal as _decimal
+
         scale = int(elem.rstrip(")").split(",")[1])
         d = value if isinstance(value, Decimal) else Decimal(str(value))
-        return int(d.scaleb(scale))
+        # prec=60 keeps all 38 digits of a decimal128 exact (the default
+        # 28-digit context would silently round the unscaled int)
+        u = int(d.scaleb(scale, _decimal.Context(prec=60)))
+        # the filter's build domain is the signed LO WORD of the 16 B
+        # unscaled storage (identity for precision ≤ 18; for decimal128 a
+        # lo-word filter is sound — it only ever adds false positives)
+        return ((u + (1 << 63)) % (1 << 64)) - (1 << 63)
     if elem in _ZONE_TEMPORAL and isinstance(value, (_dt.date, _dt.datetime, _dt.time)):
         return _temporal_carrier(elem, value)
     return int(value)

@@ -235,6 +235,25 @@ def _pick_str_codec(valid: pa.Array, allow_dict: bool = True) -> tuple[str, byte
     return best, None if sampled else bodies[best], rule
 
 
+def _patch_decimal128_stats(st, valid: pa.Array, dtype: int):
+    """decimal128 metrics min/max: the carrier view is the LO word only, so
+    compute_chunk_stats' bounds are meaningless for precision > 18. Replace
+    them with the TRUE unscaled-value bounds, saturated to the metrics
+    row's int64 columns (exact whenever the values fit 64 bits — the common
+    case). Zone-map scans reject decimal columns (`scan_value_range`), so
+    these bounds are informational, never a pruning predicate."""
+    from .codecs.container import DT_DECIMAL128, decimal128_minmax
+
+    if dtype != DT_DECIMAL128 or st is None or len(valid) == 0:
+        return st
+    import dataclasses
+
+    i64 = 1 << 63
+    sat = lambda v: min(max(v, -i64), i64 - 1)  # noqa: E731 — saturate BOTH sides
+    tmin, tmax = decimal128_minmax(valid)
+    return dataclasses.replace(st, min_val=sat(tmin), max_val=sat(tmax))
+
+
 def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     """One extra LIST column → (payload, stats, rule, n_values, dtype_ddl).
     The tokens pattern generalized: flattened values pick their codec via
@@ -304,11 +323,14 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
             wide=wide,
         )
     payload = encode_list_column(arr, d.codec, outer)
-    elem_bytes = 8 if wide else 4
+    from .codecs.container import DT_DECIMAL128
+
+    elem_bytes = 16 if elem == DT_DECIMAL128 else 8 if wide else 4
     if d.codec not in ("plain", "bss") and len(payload) > len(view) * elem_bytes + 128:
         # hard guarantee: never worse than plain (R3 escape hatch)
         payload = encode_list_column(arr, "plain", outer)
         d = select_codec(view, st, forced="plain", wide=wide)
+    st = _patch_decimal128_stats(st, valid, elem)
     return payload, st, d.rule, len(values), ddl
 
 
@@ -380,11 +402,16 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
             wide=wide,
         )
     payload = encode_any_column(arr, d.codec, outer)
-    elem = 8 if wide else 4
+    from .codecs.container import DT_DECIMAL128
+
+    elem = 16 if dtype == DT_DECIMAL128 else 8 if wide else 4
     if d.codec not in ("plain", "bss") and len(payload) > len(view) * elem + 64:
         # hard guarantee: never worse than plain (R3 escape hatch)
         payload = encode_any_column(arr, "plain", outer)
         d = select_codec(view, st, forced="plain", wide=wide)
+    # AFTER selection: the selector's cost model runs on the lo-word view;
+    # only the metrics row gets the true-value bounds
+    st = _patch_decimal128_stats(st, valid, dtype)
     return payload, st, d.rule, None, ddl
 
 

@@ -528,9 +528,13 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     has_stats = (F.col("distinct_est") > 0) | all_null | empty
     ratio = F.col("distinct_est") / F.greatest(denom, F.lit(1))
     # estimate_dictionary_payload_bytes: entry width follows the stored
-    # dtype — 8 B for the wide int family, 4 B otherwise (a 4 B estimate
-    # fires the overflow arm 2× late for bigint/timestamp extras)
+    # dtype — 16 B for decimal128 (precision > 18), 8 B for the wide int
+    # family, 4 B otherwise (a 4 B estimate fires the overflow arm 2× late
+    # for bigint/timestamp extras)
+    deci_precision = F.regexp_extract(F.col("dtype"), r"decimal\((\d+),", 1)
     entry_bytes = F.when(
+        (deci_precision != "") & (deci_precision.cast("int") > 18), F.lit(16)
+    ).when(
         F.col("dtype").isin(
             "bigint", "timestamp_ntz", "timestamp", "time(6)", "double",
             "array<bigint>", "array<timestamp_ntz>", "array<timestamp>",

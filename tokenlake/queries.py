@@ -1401,8 +1401,10 @@ def q_generic_roundtrip(spark, sf_dir):
     11-column table from events (doc_id, tokens, n_tok, source + double with
     planted nulls, timestamp_ntz, zoned timestamp with its own planted
     nulls, bigint, bool, a ragged array<float> embedding column
-    with planted null rows, and a decimal(14,2) price through the unscaled
-    int64 carrier), push it through encode→decode, and
+    with planted null rows, a decimal(14,2) price through the unscaled
+    int64 carrier, and a decimal(38,4) big_price through the two-word
+    decimal128 registry path — unscaled values ~10^22), push it through
+    encode→decode, and
     aggregate per source. The oracle computes the same aggregates straight
     from events — so a single flipped bit in ANY column's codec path breaks
     the hash match. This is the reference's any-flat-schema surface
@@ -1440,6 +1442,18 @@ def q_generic_roundtrip(spark, sf_dir):
         F.when(F.col("event_id") % 17 == 0, F.lit(None))
         .otherwise(((F.col("event_id") % 100000) / 4.0).cast("decimal(14,2)"))
         .alias("price"),
+        # decimal(38,4) with unscaled values FAR beyond int64 (~10^22):
+        # exercises the two-word DT_DECIMAL128 registry path end-to-end.
+        # Digits are built by string concat so Spark and DuckDB construct
+        # bit-identical decimals with no arithmetic typing rules involved.
+        F.when(F.col("event_id") % 23 == 0, F.lit(None))
+        .otherwise(
+            F.concat(
+                (F.col("event_id") % 90000 + 10000).cast("string"),
+                F.lit("00000000000000.25"),
+            ).cast("decimal(38,4)")
+        )
+        .alias("big_price"),
     )
     enc = encode_job.encode_dataframe(df, max_rows=4096, max_values=1_000_000)
     dec = decode_job.decode_dataframe(
@@ -1447,7 +1461,7 @@ def q_generic_roundtrip(spark, sf_dir):
         extra_types={
             "value": "double", "ts": "timestamp_ntz", "ts_tz": "timestamp",
             "user_id": "bigint", "flag": "boolean", "emb": "array<float>",
-            "price": "decimal(14,2)",
+            "price": "decimal(14,2)", "big_price": "decimal(38,4)",
         },
     )
     tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
@@ -1469,6 +1483,12 @@ def q_generic_roundtrip(spark, sf_dir):
         F.sum(F.col("emb").isNull().cast("int")).cast("bigint").alias("null_embs"),
         F.sum("price").cast("double").alias("sum_price"),
         F.sum(F.col("price").isNull().cast("int")).cast("bigint").alias("null_prices"),
+        # sum(decimal(38,4)) is decimal(38,4) in BOTH engines; compare as
+        # STRINGS because duckdb's pandas bridge narrows wide decimals to
+        # float64 (lossy at 10^22) while Spark keeps exact Decimals —
+        # decimal→string is exact and format-identical ("...X.2500")
+        F.sum("big_price").cast("string").alias("sum_big_price"),
+        F.sum(F.col("big_price").isNull().cast("int")).cast("bigint").alias("null_big"),
     )
 
 
@@ -1496,7 +1516,12 @@ SELECT event_type AS source,
        sum(CASE WHEN event_id % 17 = 0 THEN NULL
                 ELSE CAST((event_id % 100000) / 4.0 AS DECIMAL(14,2)) END)::DOUBLE
          AS sum_price,
-       sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_prices
+       sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_prices,
+       CAST(CAST(sum(CASE WHEN event_id % 23 = 0 THEN NULL
+                ELSE CAST(CAST(event_id % 90000 + 10000 AS VARCHAR)
+                          || '00000000000000.25' AS DECIMAL(38,4)) END)
+            AS DECIMAL(38,4)) AS VARCHAR) AS sum_big_price,
+       sum(CASE WHEN event_id % 23 = 0 THEN 1 ELSE 0 END)::BIGINT AS null_big
 FROM events GROUP BY 1
 """
 
