@@ -1382,3 +1382,102 @@ def test_decimal128_list_extra_roundtrip(spark, tmp_path):
     assert j.count() == df.count()
     assert j.filter(~F.col("a.ledger").eqNullSafe(F.col("b.ledger"))).count() == 0
     df.unpersist()
+
+
+# ------------------------------------------ JPEG (baseline, from scratch)
+
+def test_jpeg_roundtrip_quality_matrix():
+    """Baseline JPEG with all-ones quant tables is near-lossless: flat and
+    smooth-gradient images round-trip exactly, random noise within ±1 (the
+    only loss is float-coefficient rounding); non-multiple-of-8 dims crop
+    back correctly (T.81 A.2.4 edge padding)."""
+    from tokenlake.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    flat = np.full((16, 16), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat)), flat)
+
+    gy, gx = np.mgrid[0:24, 0:40]
+    grad = ((gy * 3 + gx * 2) % 256).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(grad)), grad)
+
+    noise = rng.integers(0, 256, (23, 37), np.uint8)  # ragged dims
+    out = decode_jpeg(encode_jpeg(noise))
+    assert out.shape == noise.shape
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 1
+
+    # color 4:4:4: flat exact, smooth within color-transform rounding
+    color = np.zeros((16, 16, 3), np.uint8)
+    color[...] = (30, 180, 90)
+    assert np.array_equal(decode_jpeg(encode_jpeg(color)), color)
+    smooth = np.stack(
+        [(gy * 5 + gx) % 256, (gx * 4) % 256, (gy * 2 + gx * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(smooth))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 2
+
+    # real quantization actually quantizes (lossy but bounded)
+    out = decode_jpeg(encode_jpeg(grad, quant=8))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 16
+
+
+def test_jpeg_subsampling_and_restarts():
+    """4:2:0 chroma subsampling decodes (flat chroma exact); restart
+    intervals (DRI + RSTn with DC-predictor resets) decode to the SAME
+    pixels as the unrestarted stream."""
+    from tokenlake.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    flat = np.zeros((20, 28, 3), np.uint8)
+    flat[...] = (200, 40, 120)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, subsample=True)), flat)
+
+    img = rng.integers(0, 256, (32, 32), np.uint8)
+    with_rst = encode_jpeg(img, restart_interval=3)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    assert np.array_equal(decode_jpeg(with_rst), decode_jpeg(encode_jpeg(img)))
+
+    # deterministic fixtures: same input → same bytes
+    assert encode_jpeg(img) == encode_jpeg(img)
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    from tokenlake.jpeg_codec import decode_jpeg, encode_jpeg
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = bytearray(encode_jpeg(img))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"JUNK" + bytes(good))
+    # flip SOF0 → SOF2 (progressive): loud rejection, not garbage pixels
+    sof = bytes(good).index(b"\xff\xc0")
+    prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2 :])
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[: len(good) // 2]))  # truncated mid-stream
+
+
+def test_jpeg_registry_and_spark_features(spark):
+    """image/jpeg dispatches through the media-decoder contract, and the
+    Spark feature kernel decodes JPEG payloads: constant-pixel images with
+    different container bytes yield identical feature vectors."""
+    from tokenlake import multimodal as mm
+    from tokenlake.jpeg_codec import encode_jpeg
+
+    img = np.full((16, 16), 100, np.uint8)
+    out = mm.decode_media(encode_jpeg(img), "image/jpeg")
+    assert out.dtype == np.uint8 and np.array_equal(out, img)
+
+    # same pixels, different entropy stream (restart markers) → same features
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg(img)), "image/jpeg", 0, 16, 16),
+            (2, bytearray(encode_jpeg(img, restart_interval=1)), "image/jpeg", 0, 16, 16),
+            (3, bytearray(encode_jpeg(np.stack([img] * 3, axis=-1))), "image/jpeg", 0, 16, 16),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {r["doc_id"]: r["feature"] for r in mm.extract_features(media, dim=4).collect()}
+    assert feats[1] == [100.0, 100.0, 100.0, 100.0]
+    assert feats[2] == feats[1]
+    assert feats[3] == feats[1]  # gray-in-RGB decodes to the same plane values

@@ -1,0 +1,485 @@
+"""From-scratch baseline JPEG codec (ITU-T T.81 baseline sequential DCT).
+
+Pure numpy + stdlib — no image library. Registered behind the round-4
+media-decoder contract (`multimodal.register_decoder("image/jpeg", ...)`)
+the same way the WAV and PNG decoders are; the encoder exists so tests can
+pin deterministic fixtures without any external tool.
+
+Scope (decode): baseline/extended sequential Huffman (SOF0/SOF1), 8-bit,
+1-component grayscale or 3-component YCbCr (JFIF), arbitrary sampling
+factors 1..2 per axis (4:4:4, 4:2:2, 4:2:0 all decode), multiple DQT/DHT
+segments, restart intervals (DRI + RSTn), 0xFF00 byte-stuffing. Progressive
+(SOF2) and arithmetic-coded variants are rejected loudly.
+
+Scope (encode): grayscale or RGB; 4:4:4 or 4:2:0; arbitrary quant tables
+(default all-ones ≈ near-lossless); optional restart interval. Huffman
+tables are built canonically over exactly the symbols the scan uses —
+fixed-length codes that leave the all-ones pattern unassigned (T.81 C.2's
+reserved-codepoint rule), so any conforming decoder reads the output.
+
+T.81 references in comments: F.2 (decode procedures), A.3.3 (zigzag),
+A.3.1 (level shift), F.1.2.1.1 (EXTEND), B.2 (marker syntax).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# A.3.3 zigzag order: ZIGZAG[i] = natural (row-major) index of the i-th
+# coefficient in transmission order
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# orthonormal 8-point DCT-II basis: block_dct = C @ block @ C.T
+_K = np.arange(8).reshape(8, 1)
+_N = np.arange(8).reshape(1, 8)
+_C = np.cos((2 * _N + 1) * _K * np.pi / 16) * np.where(_K == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+# JFIF (BT.601 full-range) color transforms
+def _rgb_to_ycc(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycc_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- decoder
+
+class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy bytes (F.2.2.5)."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("truncated JPEG entropy segment")
+        v = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """F.1.2.1.1 EXTEND: t-bit magnitude v → signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(BITS[1..16], HUFFVAL) → {(length, code): symbol} (C.2 canonical)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _destuff(scan: bytes) -> tuple[bytes, list[int]]:
+    """Strip 0xFF00 stuffing; split on RSTn markers. Returns the segment
+    list implicitly: de-stuffed bytes with RST positions recorded as
+    segment boundaries (byte offsets into the OUTPUT)."""
+    out = bytearray()
+    bounds: list[int] = []
+    i, n = 0, len(scan)
+    while i < n:
+        b = scan[i]
+        if b != 0xFF:
+            out.append(b)
+            i += 1
+            continue
+        m = scan[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            out.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: restart boundary
+            bounds.append(len(out))
+            i += 2
+        else:  # EOI or next marker — scan ends
+            break
+    return bytes(out), bounds
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → H×W uint8 (grayscale) or H×W×3 uint8 (RGB)."""
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    frame = None  # (H, W, [(cid, h, v, tq), ...])
+    restart = 0
+    i = 2
+    while i < len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"bad marker byte at {i}")
+        m = data[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, i + 2)
+        seg = data[i + 4 : i + 2 + seglen]
+        i += 2 + seglen
+        if m == 0xDB:  # DQT (B.2.4.1), possibly several tables
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, p + 1).astype(np.int32)
+                    p += 65
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, p + 1).astype(np.int32)
+                    p += 129
+                q = np.zeros(64, np.int32)
+                q[ZIGZAG] = tbl  # stored in zigzag order
+                qt[tq] = q.reshape(8, 8)
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1
+            _, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG variant (SOF{m - 0xC0}): only baseline/"
+                "extended sequential Huffman (SOF0/SOF1) decodes here"
+            )
+        elif m == 0xC4:  # DHT, possibly several tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            sel = {}  # cid → (dc table, ac table)
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cid] = (huff[(0, tt >> 4)], huff[(1, tt & 15)])
+            scan, bounds = _destuff(data[i:])
+            return _decode_scan(frame, sel, qt, scan, bounds, restart)
+        # APPn / COM / others: skipped
+    raise ValueError("no SOS marker found (truncated JPEG)")
+
+
+def _decode_scan(frame, sel, qt, scan: bytes, bounds: list[int], restart: int) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * 8 * v, mcux * 8 * hc), np.float64)
+        for cid, hc, v, _ in comps
+    }
+    segments = [scan[a:b] for a, b in zip([0] + bounds, bounds + [len(scan)])]
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    pred = {cid: 0 for cid, *_ in comps}
+    mcus_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcus_in_seg == restart:
+                # F.2.1.3.1: RST resets predictors and byte-aligns
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG restart marker count mismatch")
+                reader = _BitReader(segments[seg_idx])
+                pred = {cid: 0 for cid in pred}
+                mcus_in_seg = 0
+            for cid, hc, vc, tq in comps:
+                for by in range(vc):
+                    for bx in range(hc):
+                        coef = np.zeros(64, np.float64)
+                        t = reader.huff(sel[cid][0])
+                        pred[cid] += _extend(reader.read(t), t)
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(sel[cid][1])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            coef[ZIGZAG[k]] = _extend(reader.read(s), s)
+                            k += 1
+                        block = _idct(coef.reshape(8, 8) * qt[tq]) + 128.0
+                        y0 = (my * vc + by) * 8
+                        x0 = (mx * hc + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcus_in_seg += 1
+    # upsample each component to full resolution (nearest) and crop
+    full = []
+    for cid, hc, vc, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vc, axis=0), hmax // hc, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        return _ycc_to_rgb(np.stack(full, axis=-1))
+    raise ValueError(f"unsupported component count {len(full)} (need 1 or 3)")
+
+
+# ---------------------------------------------------------------- encoder
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF00 stuffing (B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (B.1.1.5)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _category(v: int) -> int:
+    return int(abs(int(v))).bit_length()
+
+
+def _build_encode_table(symbols: set[int]) -> tuple[list[int], list[int], dict]:
+    """Canonical fixed-length table over exactly `symbols`: length L =
+    ceil(log2(N+1)) leaves the all-ones code unassigned (C.2's reserved
+    codepoint), codes are 0..N-1 in symbol order. Returns (BITS, HUFFVAL,
+    {symbol: (code, length)})."""
+    vals = sorted(symbols) or [0]
+    n = len(vals)
+    length = max(1, (n + 1 - 1).bit_length())  # smallest L with n < 2**L
+    while (1 << length) - 1 < n:  # need the all-ones pattern left over
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    enc = {sym: (code, length) for code, sym in enumerate(vals)}
+    return bits, vals, enc
+
+
+def _quantized_zz(block: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """One 8×8 spatial block → 64 quantized coefficients in zigzag order."""
+    q = np.round(_fdct(block.astype(np.float64) - 128.0) / quant).astype(np.int64)
+    return q.reshape(64)[ZIGZAG]
+
+
+def _symbolize(zz: np.ndarray, pred: int) -> tuple[int, tuple, list]:
+    """Quantized zigzag coefficients + DC predictor → (new_pred,
+    (dc_category, dc_magnitude_bits), [(ac_symbol, mag_bits, nbits), ...])
+    per F.1.2 (DC diff coding, AC run-length with ZRL/EOB)."""
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    mag = diff if diff >= 0 else diff + (1 << t) - 1
+    acs = []
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        sz = _category(v)
+        m = v if v >= 0 else v + (1 << sz) - 1
+        acs.append(((run << 4) | sz, m, sz))
+        run = 0
+    if last < 63:
+        acs.append((0x00, 0, 0))  # EOB
+    return int(zz[0]), (t, mag), acs
+
+
+def _pad_to(img: np.ndarray, my: int, mx: int) -> np.ndarray:
+    """Edge-replicate to multiples of (my, mx)."""
+    h, w = img.shape
+    return np.pad(img, ((0, -h % my), (0, -w % mx)), mode="edge")
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: np.ndarray | int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 H×W (grayscale) or H×W×3 (RGB) → baseline JPEG bytes.
+
+    quant: scalar or 8×8 table, shared by all components; values must fit
+    u8 (1 ≈ near-lossless). subsample: 4:2:0 chroma (2×2 mean) instead of
+    4:4:4. restart_interval: emit DRI + RSTn every N MCUs (0 = none) with
+    spec-correct DC-predictor resets. Deterministic: same input → same
+    bytes (tables are canonical over the used symbols, no randomness)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_jpeg needs a uint8 H×W or H×W×3 array")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = (
+        np.full((8, 8), int(quant), np.int64)
+        if np.isscalar(quant)
+        else np.asarray(quant, np.int64).reshape(8, 8)
+    )
+    if q.min() < 1 or q.max() > 255:
+        raise ValueError("quant values must be in 1..255 (8-bit DQT)")
+
+    if gray:
+        comps = [(1, 1, 1)]
+        planes = [_pad_to(img.astype(np.float64), 8, 8)]
+    else:
+        ycc = _rgb_to_ycc(img)
+        if subsample:
+            comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+            planes = [_pad_to(ycc[..., 0], 16, 16)]
+            for ch in (1, 2):
+                c = _pad_to(ycc[..., ch], 16, 16)
+                c = c.reshape(c.shape[0] // 2, 2, c.shape[1] // 2, 2).mean(axis=(1, 3))
+                planes.append(c)
+        else:
+            comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+            planes = [_pad_to(ycc[..., ch], 8, 8) for ch in range(3)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nf = len(comps)
+
+    # pass 1 — symbolize every block in MCU (interleaved) order with
+    # restart-aware DC predictors, collecting the symbol alphabets
+    ntables = 1 if gray else 2
+    dc_syms = [set() for _ in range(ntables)]
+    ac_syms = [set() for _ in range(ntables)]
+    mcu_stream = []  # [(comp_idx, (t, mag), acs), ...] per MCU
+    pred = [0] * nf
+    mcus_since = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcus_since == restart_interval:
+                pred = [0] * nf
+                mcus_since = 0
+            mcu = []
+            for ci, ((cid, hc, vc), plane) in enumerate(zip(comps, planes)):
+                tid = 0 if ci == 0 else 1
+                for by in range(vc):
+                    for bx in range(hc):
+                        y0, x0 = (my * vc + by) * 8, (mx * hc + bx) * 8
+                        zz = _quantized_zz(plane[y0 : y0 + 8, x0 : x0 + 8], q)
+                        pred[ci], dc, acs = _symbolize(zz, pred[ci])
+                        dc_syms[tid].add(dc[0])
+                        ac_syms[tid].update(sym for sym, _, _ in acs)
+                        mcu.append((tid, dc, acs))
+            mcu_stream.append(mcu)
+            mcus_since += 1
+
+    dc_tables = [_build_encode_table(sset) for sset in dc_syms]
+    ac_tables = [_build_encode_table(sset) for sset in ac_syms]
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    zzq = q.reshape(64)[ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zzq.tobytes()  # DQT id 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)  # SOF0
+    for cid, hc, vc in comps:
+        out += struct.pack("BBB", cid, (hc << 4) | vc, 0)
+    for tid in range(ntables):
+        for cls, (bits, vals, _) in ((0, dc_tables[tid]), (1, ac_tables[tid])):
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+            out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)  # SOS
+    for ci in range(nf):
+        tid = 0 if ci == 0 else 1
+        out += struct.pack("BB", comps[ci][0], (tid << 4) | tid)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+
+    # pass 2 — entropy-coded data with restart markers
+    bw = _BitWriter()
+    rst = 0
+    mcus_since = 0
+    for mcu in mcu_stream:
+        if restart_interval and mcus_since == restart_interval:
+            bw.align()
+            out += bw.out + bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BitWriter()
+            mcus_since = 0
+        for tid, (t, mag), acs in mcu:
+            code, ln = dc_tables[tid][2][t]
+            bw.write(code, ln)
+            bw.write(mag, t)
+            for sym, m, sz in acs:
+                code, ln = ac_tables[tid][2][sym]
+                bw.write(code, ln)
+                bw.write(m, sz)
+        mcus_since += 1
+    bw.align()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)

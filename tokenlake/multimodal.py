@@ -90,7 +90,8 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
 
 
 def decode_image_stub(payload: bytes) -> np.ndarray:
-    """Historical stub slot for formats with no shipped decoder (JPEG etc.)."""
+    """Historical stub slot for formats with no shipped decoder
+    (progressive JPEG, video codecs, ...)."""
     raise NotImplementedError(
         "no decoder for this image format in this environment; "
         "register one via register_decoder"
@@ -275,6 +276,13 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 register_decoder("audio/wav", decode_wav)
 register_decoder("image/png", decode_png)
+
+# JPEG (baseline sequential, ITU-T T.81) — from-scratch Huffman+DCT decode
+# in jpeg_codec.py; registered lazily at import so the contract tests and
+# Spark feature kernels pick it up exactly like WAV/PNG.
+from .jpeg_codec import decode_jpeg  # noqa: E402
+
+register_decoder("image/jpeg", decode_jpeg)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
