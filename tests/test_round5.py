@@ -1481,3 +1481,32 @@ def test_jpeg_registry_and_spark_features(spark):
     assert feats[1] == [100.0, 100.0, 100.0, 100.0]
     assert feats[2] == feats[1]
     assert feats[3] == feats[1]  # gray-in-RGB decodes to the same plane values
+
+
+def test_attach_mixed_media_end_to_end(spark):
+    """attach_mixed_media interleaves WAV and JPEG payloads; both decode on
+    one extract_features pass and the JPEG payloads reproduce the seeded
+    gradient exactly (quant=1 single block)."""
+    from tokenlake import multimodal as mm
+    from tokenlake.jpeg_codec import decode_jpeg
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    media = mm.attach_mixed_media(docs)
+    rows = media.collect()
+    kinds = {r["media_type"] for r in rows}
+    assert kinds == {"audio/wav", "image/jpeg"}
+    for r in rows:
+        head = bytes(r["payload"])[:4]
+        if r["media_type"] == "image/jpeg":
+            assert head[:2] == b"\xff\xd8" and r["width"] == 8
+            img = decode_jpeg(bytes(r["payload"]))
+            want = (
+                np.arange(64, dtype=np.int64).reshape(8, 8) * (int(r["doc_id"]) % 29 + 1)
+            ) % 256
+            # the % 256 wrap puts a sharp edge inside the block: AC
+            # coefficient rounding costs up to ±1 there (quant=1 physics)
+            assert np.abs(img.astype(int) - want.astype(int)).max() <= 1
+        else:
+            assert head == b"RIFF"
+    feats = mm.extract_features(media, dim=8).collect()
+    assert len(feats) == 50 and all(len(r["feature"]) == 8 for r in feats)

@@ -358,6 +358,48 @@ def attach_wav_media(docs: DataFrame) -> DataFrame:
     ).mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+def attach_mixed_media(docs: DataFrame) -> DataFrame:
+    """REAL media fixtures across TWO registered formats: docs with
+    doc_id % 5 == 0 carry a deterministic single-block grayscale JPEG
+    (gradient seeded by the doc), the rest the attach_wav_media sawtooth
+    WAV — one feature pass exercises both shipped decoders."""
+    from .jpeg_codec import encode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows, kinds, widths, heights = [], [], [], []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = int(did)
+                if did % 5 == 0:
+                    g = (np.arange(64, dtype=np.int64).reshape(8, 8) * (did % 29 + 1)) % 256
+                    rows.append(encode_jpeg(g.astype(np.uint8)))
+                    kinds.append("image/jpeg")
+                    widths.append(8)
+                    heights.append(8)
+                else:
+                    n = int(nch) % 400 + 40
+                    step = did % 17 + 1
+                    samples = ((np.arange(n, dtype=np.int64) * step) % 256).astype(np.uint8)
+                    rows.append(encode_wav(samples))
+                    kinds.append("audio/wav")
+                    widths.append(0)
+                    heights.append(0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": rows,
+                    "media_type": kinds,
+                    "byte_len": [len(r) for r in rows],
+                    "width": np.asarray(widths, np.int32),
+                    "height": np.asarray(heights, np.int32),
+                }
+            )
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("n_chars")
+    ).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def media_meta(media: DataFrame) -> DataFrame:
     """Metadata projection — stays entirely in whole-stage codegen."""
     return media.select("doc_id", "media_type", "byte_len", "width", "height")

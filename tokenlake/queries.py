@@ -1128,17 +1128,19 @@ def tl_dedup_stream(spark, sf_dir):
 
 def tl_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction (multimodal.extract_features) — since
-    round 5 over REAL media: each document gets a deterministic 8-bit PCM
-    WAV payload (attach_wav_media) and the registered audio/wav decoder
-    actually parses the RIFF container on the feature path (the contract
-    registry's first shipped decoder; a from-scratch PNG decoder ships
-    alongside, pytest-pinned). The raw array<float> column is summarized as
+    round 5 over REAL media in TWO formats: most documents carry a
+    deterministic 8-bit PCM WAV, every fifth a single-block grayscale JPEG
+    (attach_mixed_media) — the registered audio/wav decoder parses RIFF
+    frames and the from-scratch baseline JPEG decoder (Huffman + IDCT,
+    jpeg_codec.py) parses entropy-coded blocks, both on the same feature
+    pass (a PNG decoder ships alongside, pytest-pinned). The raw
+    array<float> column is summarized as
     a rounded comma-joined string — the driver's canonicalizer sorts column
     values and can't order raw arrays (round-1 `unhashable type: 'list'`);
     pytest keeps the array assertions."""
     from . import multimodal
 
-    media = multimodal.attach_wav_media(_docs(spark, sf_dir))
+    media = multimodal.attach_mixed_media(_docs(spark, sf_dir))
     feat = multimodal.extract_features(media)
     sig = F.concat_ws(
         ",", F.transform("feature", lambda v: F.round(v.cast("double"), 2).cast("string"))
