@@ -348,10 +348,10 @@ def test_media_decoder_contract():
     real library; the fixed input → expected output pair is pinned."""
     from tokenlake import multimodal as mm
 
-    # unregistered type: honest NotImplementedError (png/wav ship real
-    # decoders since round 5, so jpeg is the honest gap now)
+    # unregistered type: honest NotImplementedError (wav/png/baseline-jpeg
+    # ship real decoders since round 5, so video is the honest gap now)
     with pytest.raises(NotImplementedError, match="register_decoder"):
-        mm.decode_media(b"\x00", "image/jpeg")
+        mm.decode_media(b"\x00", "video/mp4")
 
     # a real decoder: 2-byte header (w, h) then w*h gray bytes
     def raw_gray(payload: bytes) -> np.ndarray:

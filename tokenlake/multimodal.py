@@ -328,20 +328,26 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("doc_id", "payload", "media_type").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def _sawtooth_wav(did: int, nch: int) -> bytes:
+    """The deterministic per-document WAV fixture both attach kernels share:
+    a sawtooth whose length/step derive from the doc."""
+    n = int(nch) % 400 + 40
+    step = int(did) % 17 + 1
+    samples = ((np.arange(n, dtype=np.int64) * step) % 256).astype(np.uint8)
+    return encode_wav(samples)
+
+
 def attach_wav_media(docs: DataFrame) -> DataFrame:
-    """REAL media fixtures: a deterministic 8-bit PCM WAV per document
-    (sawtooth whose length/step derive from the doc), playable by any
-    standard audio tool — the registered audio/wav decoder then actually
-    parses RIFF frames on the feature path."""
+    """REAL media fixtures: a deterministic 8-bit PCM WAV per document,
+    playable by any standard audio tool — the registered audio/wav decoder
+    then actually parses RIFF frames on the feature path."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
-                n = int(nch) % 400 + 40
-                step = int(did) % 17 + 1
-                samples = ((np.arange(n, dtype=np.int64) * step) % 256).astype(np.uint8)
-                rows.append(encode_wav(samples))
+            rows = [
+                _sawtooth_wav(did, nch)
+                for did, nch in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -377,10 +383,7 @@ def attach_mixed_media(docs: DataFrame) -> DataFrame:
                     widths.append(8)
                     heights.append(8)
                 else:
-                    n = int(nch) % 400 + 40
-                    step = did % 17 + 1
-                    samples = ((np.arange(n, dtype=np.int64) * step) % 256).astype(np.uint8)
-                    rows.append(encode_wav(samples))
+                    rows.append(_sawtooth_wav(did, nch))
                     kinds.append("audio/wav")
                     widths.append(0)
                     heights.append(0)
