@@ -927,7 +927,12 @@ def test_corrupt_composite_payloads_fail_loudly():
         pa.array([Decimal("1.23"), None], pa.decimal128(9, 2)), "plain", outer="none"
     )
     fbuf = encode_any_column(pa.array([b"abcd", b"zzzz"], pa.binary(4)), "str_plain", outer="none")
-    for buf in (lbuf, dbuf, fbuf):
+    d128 = encode_any_column(
+        pa.array([Decimal(10**25).scaleb(-2), None], pa.decimal128(38, 2)),
+        "plain",
+        outer="none",
+    )
+    for buf in (lbuf, dbuf, fbuf, d128):
         assert decode_column_arrow(buf) is not None  # sanity: intact decodes
         for cut in (len(buf) - 1, len(buf) // 2, 12):
             with pytest.raises((ValueError, Exception)):
