@@ -100,7 +100,7 @@ def unpack_uints(buf, n: int, width: int, dtype=np.uint64) -> np.ndarray:
     return out.astype(dtype, copy=False)
 
 
-def sorted_factorize(arr: np.ndarray):
+def sorted_factorize(arr: np.ndarray, minmax: tuple[int, int] | None = None):
     """(sorted_unique_values, codes) — output identical to np.unique with
     return_inverse on large low-cardinality data, picked by value range:
 
@@ -118,7 +118,9 @@ def sorted_factorize(arr: np.ndarray):
     stream's width IS the cost."""
     n = len(arr)
     if n and arr.dtype.kind in "iu":
-        mn, mx = int(arr.min()), int(arr.max())
+        # callers that already scanned the stream (the stats pass) hand the
+        # bounds in — skips two redundant full passes per chunk
+        mn, mx = minmax if minmax is not None else (int(arr.min()), int(arr.max()))
         rng = mx - mn + 1
         if rng <= min(max(4 * n, 1 << 16), 1 << 22):
             shifted = arr if mn == 0 else arr - arr.dtype.type(mn)

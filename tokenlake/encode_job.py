@@ -601,12 +601,15 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     from .codecs.bitio import sorted_factorize
 
     fact_cache: dict = {}
+    # one bounds pass shared by the stats row AND the factorizer's
+    # dense-path check (each used to rescan the multi-MB stream)
+    tmm = (int(flat.min()), int(flat.max())) if len(flat) else None
 
     def _resolve_ndv():
-        fact_cache["f"] = sorted_factorize(flat)
+        fact_cache["f"] = sorted_factorize(flat, minmax=tmm)
         return len(fact_cache["f"][0])
 
-    st = compute_chunk_stats(flat, n_rows, ndv_resolver=_resolve_ndv)
+    st = compute_chunk_stats(flat, n_rows, ndv_resolver=_resolve_ndv, minmax=tmm)
     decision = select_codec(
         flat, st, forced=overrides.get("tokens"),
         allow_dict="!dict:tokens" not in overrides,

@@ -114,7 +114,11 @@ def _avg_block_width(zz: np.ndarray, block: int = 128) -> float:
 
 
 def compute_chunk_stats(
-    flat: np.ndarray, n_rows: int, full: bool = False, ndv_resolver=None
+    flat: np.ndarray,
+    n_rows: int,
+    full: bool = False,
+    ndv_resolver=None,
+    minmax: tuple[int, int] | None = None,
 ) -> ChunkStats:
     """Stats over the flat token stream of one chunk (head-of-chunk sample,
     mirroring the reference's first-row-group sampling, cardinality.rs:116-122).
@@ -154,8 +158,8 @@ def compute_chunk_stats(
     return ChunkStats(
         n_values=n,
         n_rows=n_rows,
-        min_val=int(flat.min()),
-        max_val=int(flat.max()),
+        min_val=minmax[0] if minmax is not None else int(flat.min()),
+        max_val=minmax[1] if minmax is not None else int(flat.max()),
         ndv_sample=ndv,
         sample_n=sn,
         distinct_est=distinct_est,
