@@ -346,6 +346,16 @@ def int_view_of(arr: pa.Array, dtype: int) -> np.ndarray:
         # sound bloom domain (v in chunk ⇒ lo(v) in filter; collisions on
         # the low word only ever ADD false positives) but NOT for ordering.
         return _decimal128_words(arr)[0]
+    # temporal/wide branches FIRST: a plain to_numpy on these materializes
+    # datetime objects — slow, and it REJECTS values the storage admits
+    # (a timestamp past year 9999, a time64 ≥ 24 h raise "hour must be in
+    # 0..23" style errors); the int cast is carrier-exact and total
+    if dtype in (DT_INT64, DT_TIMESTAMP_US, DT_TIMESTAMP_TZ_US, DT_TIME_NS, DT_TIME_US):
+        if dtype != DT_INT64:
+            arr = arr.cast(pa.int64())
+        return np.ascontiguousarray(arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+    if dtype in (DT_DATE32, DT_TIME_MS, DT_TIME_S):
+        return arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
     np_arr = arr.to_numpy(zero_copy_only=False)
     if dtype == DT_FLOAT32:
         return np.ascontiguousarray(np_arr, dtype=np.float32).view(np.int32)
@@ -353,12 +363,6 @@ def int_view_of(arr: pa.Array, dtype: int) -> np.ndarray:
         return np.ascontiguousarray(np_arr, dtype=np.float64).view(np.int64)
     if dtype == DT_BOOL:
         return np_arr.astype(np.int32)
-    if dtype in (DT_INT64, DT_TIMESTAMP_US, DT_TIMESTAMP_TZ_US, DT_TIME_NS, DT_TIME_US):
-        if dtype != DT_INT64:
-            np_arr = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return np.ascontiguousarray(np_arr, dtype=np.int64)
-    if dtype in (DT_DATE32, DT_TIME_MS, DT_TIME_S):
-        return arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
     return np.ascontiguousarray(np_arr, dtype=np.int32)
 
 
