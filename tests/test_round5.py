@@ -129,6 +129,26 @@ def test_lint_encoded_wide_dtype_dictionary_estimate(spark, tmp_path):
     assert rules["narrow_col"] == "ok"
 
 
+def test_lint_encoded_decimal128_dictionary_estimate(spark, tmp_path):
+    """decimal128 dictionary entries are 16 B: distinct_est = 1M is 20 MB
+    > 16 MB at 16 B/entry (overflow) but only 10 MB at the wide-int 8 B
+    (ok) — pins the precision-aware entry width."""
+    out = str(tmp_path / "out")
+    ndv = 1_000_000  # 16 B × 1.25 × 1M = 20 MB; 8 B × 1.25 × 1M = 10 MB
+    _fake_encoded_with_metrics(
+        spark,
+        out,
+        [
+            _meta("d128", "decimal(38,4)", "dict", n_values=100_000_000, distinct_est=ndv),
+            _meta("d64", "decimal(14,2)", "dict", n_values=100_000_000, distinct_est=ndv),
+        ],
+    )
+    d = lint_job.lint_encoded(spark, out)
+    rules = {r["column"]: r["rule"] for r in d.collect()}
+    assert rules["d128"] == "dictionary-overflow"
+    assert rules["d64"] == "ok"
+
+
 # ------------------------------------------ append dtype guard
 
 def test_append_with_diverged_extra_dtype_rejected(spark, tmp_path):
