@@ -1525,12 +1525,10 @@ def test_attach_mixed_media_end_to_end(spark):
         if r["media_type"] == "image/jpeg":
             assert head[:2] == b"\xff\xd8" and r["width"] == 8
             img = decode_jpeg(bytes(r["payload"]))
-            want = (
-                np.arange(64, dtype=np.int64).reshape(8, 8) * (int(r["doc_id"]) % 29 + 1)
-            ) % 256
-            # the % 256 wrap puts a sharp edge inside the block: AC
-            # coefficient rounding costs up to ±1 there (quant=1 physics)
-            assert np.abs(img.astype(int) - want.astype(int)).max() <= 1
+            # flat fixture: EXACT roundtrip (DC-only block) — this is what
+            # lets the driver oracle replay the decoded pixels in SQL
+            v = (int(r["doc_id"]) % 29) * 8 + 3
+            assert np.array_equal(img, np.full((8, 8), v, np.uint8))
         else:
             assert head == b"RIFF"
     feats = mm.extract_features(media, dim=8).collect()

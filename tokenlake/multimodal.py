@@ -367,8 +367,10 @@ def attach_wav_media(docs: DataFrame) -> DataFrame:
 def attach_mixed_media(docs: DataFrame) -> DataFrame:
     """REAL media fixtures across TWO registered formats: docs with
     doc_id % 5 == 0 carry a deterministic single-block grayscale JPEG
-    (gradient seeded by the doc), the rest the attach_wav_media sawtooth
-    WAV — one feature pass exercises both shipped decoders."""
+    (flat value seeded by the doc — flat blocks round-trip EXACTLY through
+    quant=1 DCT, so a SQL oracle can replay the decoded pixels), the rest
+    the attach_wav_media sawtooth WAV (8-bit PCM — also exact). One feature
+    pass exercises both shipped decoders with oracle-replayable output."""
     from .jpeg_codec import encode_jpeg
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -377,8 +379,9 @@ def attach_mixed_media(docs: DataFrame) -> DataFrame:
             for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
                 did = int(did)
                 if did % 5 == 0:
-                    g = (np.arange(64, dtype=np.int64).reshape(8, 8) * (did % 29 + 1)) % 256
-                    rows.append(encode_jpeg(g.astype(np.uint8)))
+                    v = (did % 29) * 8 + 3
+                    g = np.full((8, 8), v, np.uint8)
+                    rows.append(encode_jpeg(g))
                     kinds.append("image/jpeg")
                     widths.append(8)
                     heights.append(8)

@@ -1133,19 +1133,61 @@ def tl_multimodal_features(spark, sf_dir):
     (attach_mixed_media) — the registered audio/wav decoder parses RIFF
     frames and the from-scratch baseline JPEG decoder (Huffman + IDCT,
     jpeg_codec.py) parses entropy-coded blocks, both on the same feature
-    pass (a PNG decoder ships alongside, pytest-pinned). The raw
-    array<float> column is summarized as
-    a rounded comma-joined string — the driver's canonicalizer sorts column
-    values and can't order raw arrays (round-1 `unhashable type: 'list'`);
-    pytest keeps the array assertions."""
+    pass (a PNG decoder ships alongside, pytest-pinned).
+
+    ORACLE-checked since late round 5: both fixtures decode EXACTLY (8-bit
+    PCM passthrough; a flat block through quant=1 DCT), so DuckDB replays
+    the decoded samples symbolically and recomputes per-segment sums. The
+    float32 segment means convert back to exact integer sums via
+    round(mean × count) — |f32 error × count| < 0.5 over this domain
+    (measured ≤ 4.2e-4), so one flipped decoded byte anywhere breaks the
+    hash. n_vals = decoded sample count (WAV: container bytes − 44-byte
+    RIFF/fmt/data header; JPEG: 8×8 pixels)."""
     from . import multimodal
 
     media = multimodal.attach_mixed_media(_docs(spark, sf_dir))
-    feat = multimodal.extract_features(media)
-    sig = F.concat_ws(
-        ",", F.transform("feature", lambda v: F.round(v.cast("double"), 2).cast("string"))
+    feat = multimodal.extract_features(media)  # dim=8 segment means
+    n_vals = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(64))
+        .otherwise(F.col("byte_len") - 44)
+        .cast("bigint")
     )
-    return feat.select("doc_id", "byte_len", sig.alias("feature_sig"))
+    # segment k covers [k*n//8, (k+1)*n//8): count = the bound difference
+    cnt = lambda k: (  # noqa: E731
+        F.floor(((k.cast("bigint") + 1) * F.col("n_vals")) / 8)
+        - F.floor((k.cast("bigint") * F.col("n_vals")) / 8)
+    )
+    sig = F.concat_ws(
+        ",",
+        F.transform(
+            "feature",
+            lambda v, k: F.round(v.cast("double") * cnt(k)).cast("bigint").cast("string"),
+        ),
+    )
+    return (
+        feat.withColumn("n_vals", n_vals)
+        .select("doc_id", "n_vals", sig.alias("feature_sig"))
+    )
+
+
+SQL_TL_MULTIMODAL = """
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0 THEN 64
+              ELSE n_chars % 400 + 40 END AS n
+  FROM documents),
+samples AS (
+  SELECT d.did, d.n, gs.i,
+         CASE WHEN d.did % 5 = 0 THEN (d.did % 29) * 8 + 3
+              ELSE (gs.i * (d.did % 17 + 1)) % 256 END AS v,
+         (8 * gs.i + 7) // d.n AS k
+  FROM docs d, LATERAL (SELECT unnest(range(d.n)) AS i) gs),
+segs AS (
+  SELECT did, n, k, SUM(v) AS s FROM samples GROUP BY did, n, k)
+SELECT did AS doc_id, n AS n_vals,
+       string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS feature_sig
+FROM segs GROUP BY did, n
+"""
 
 
 def tl_encoded_table_ops(spark, sf_dir):
@@ -1665,6 +1707,7 @@ ORACLES: dict[str, str] = {
     "generic_roundtrip": SQL_GENERIC_ROUNDTRIP,
     "lint_decisions_full": SQL_LINT_FULL,
     "tl_roundtrip_check": SQL_TL_ROUNDTRIP_CHECK,
+    "tl_multimodal_features": SQL_TL_MULTIMODAL,
     "tl_streaming_ingest": SQL_TL_STREAMING_INGEST,
     "tl_windowed_stats": SQL_TL_WINDOWED_STATS,
 }
