@@ -1456,6 +1456,8 @@ def test_jpeg_subsampling_and_restarts():
     flat = np.zeros((20, 28, 3), np.uint8)
     flat[...] = (200, 40, 120)
     assert np.array_equal(decode_jpeg(encode_jpeg(flat, subsample=True)), flat)
+    # 4:2:2 (horizontal-only chroma): the decoder's h=2,v=1 sampling path
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, subsample="422")), flat)
 
     img = rng.integers(0, 256, (32, 32), np.uint8)
     with_rst = encode_jpeg(img, restart_interval=3)

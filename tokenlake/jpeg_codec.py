@@ -388,14 +388,15 @@ def _pad_to(img: np.ndarray, my: int, mx: int) -> np.ndarray:
 def encode_jpeg(
     img: np.ndarray,
     quant: np.ndarray | int = 1,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """uint8 H×W (grayscale) or H×W×3 (RGB) → baseline JPEG bytes.
 
     quant: scalar or 8×8 table, shared by all components; values must fit
-    u8 (1 ≈ near-lossless). subsample: 4:2:0 chroma (2×2 mean) instead of
-    4:4:4. restart_interval: emit DRI + RSTn every N MCUs (0 = none) with
+    u8 (1 ≈ near-lossless). subsample: False = 4:4:4, True or "420" =
+    4:2:0 chroma (2×2 mean), "422" = 4:2:2 (horizontal 2×1 mean).
+    restart_interval: emit DRI + RSTn every N MCUs (0 = none) with
     spec-correct DC-predictor resets. Deterministic: same input → same
     bytes (tables are canonical over the used symbols, no randomness)."""
     img = np.asarray(img)
@@ -416,7 +417,14 @@ def encode_jpeg(
         planes = [_pad_to(img.astype(np.float64), 8, 8)]
     else:
         ycc = _rgb_to_ycc(img)
-        if subsample:
+        if subsample == "422":
+            comps = [(1, 2, 1), (2, 1, 1), (3, 1, 1)]
+            planes = [_pad_to(ycc[..., 0], 8, 16)]
+            for ch in (1, 2):
+                c = _pad_to(ycc[..., ch], 8, 16)
+                c = c.reshape(c.shape[0], c.shape[1] // 2, 2).mean(axis=2)
+                planes.append(c)
+        elif subsample:
             comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
             planes = [_pad_to(ycc[..., 0], 16, 16)]
             for ch in (1, 2):
