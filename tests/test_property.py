@@ -216,3 +216,63 @@ def test_random_schema_chunk_roundtrip():
             assert got.equals(want), (name, got.to_pylist(), want.to_pylist())
 
     check()
+
+
+def test_random_forced_codec_roundtrip():
+    """Forced per-column codecs (the prescription DSL path) over random
+    extras: any family-valid codec choice must round-trip bit-exactly —
+    the encoder honors the directive rather than silently re-selecting."""
+    from decimal import Context, Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from tokenlake.decode_job import decode_chunk_row
+    from tokenlake.encode_job import encode_chunk
+    from tokenlake.plan import Prescription
+
+    ctx = Context(prec=60)
+    CASES = [
+        # (arrow type, valid forced codecs, value builder)
+        (pa.int32(), ["plain", "for", "delta", "rle", "dict", "fsst"],
+         lambda d: d.draw(st.integers(-(2**31), 2**31 - 1))),
+        (pa.int64(), ["plain", "for", "delta", "rle", "dict"],
+         lambda d: d.draw(st.integers(-(2**63), 2**63 - 1))),
+        (pa.float64(), ["plain", "bss"],
+         lambda d: d.draw(st.floats(allow_nan=False, width=64))),
+        (pa.string(), ["str_plain", "str_dict", "str_prefix"],
+         lambda d: d.draw(st.text(max_size=10))),
+        (pa.decimal128(38, 3), ["plain", "for", "delta", "rle", "dict"],
+         lambda d: Decimal(d.draw(st.integers(-(10**37), 10**37))).scaleb(-3, ctx)),
+    ]
+
+    @settings(max_examples=20, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 20))
+        ti = data.draw(st.integers(0, len(CASES) - 1))
+        t, codecs, builder = CASES[ti]
+        codec = data.draw(st.sampled_from(codecs))
+        vals = [None if data.draw(st.booleans()) and i % 3 == 0 else builder(data)
+                for i in range(n)]
+        cols = {
+            "doc_id": pa.array([f"d{i:03d}" for i in range(n)], pa.string()),
+            "tokens": pa.array([[1, 2]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "chunk_id": pa.array(["s#0"] * n, pa.string()),
+            "nbuckets": pa.array([1] * n, pa.int32()),
+            "x": pa.array(vals, t),
+        }
+        cfg = Prescription.parse(f"set column x encoding {codec}").apply()
+        enc = encode_chunk(pa.table(cols), cfg=cfg)
+        payloads = {
+            c[len("payload_") :]: enc.column(c)[0].as_py()
+            for c in enc.column_names
+            if c.startswith("payload_")
+        }
+        out = decode_chunk_row(payloads, columns=("doc_id", "x"))
+        got = out.column("x")
+        got = got.combine_chunks() if isinstance(got, pa.ChunkedArray) else got
+        assert got.cast(t).equals(pa.array(vals, t))  # ids pre-sorted
+
+    check()
