@@ -1568,3 +1568,90 @@ def test_jpeg_marker_conformance_and_precision_gate():
     out = decode_jpeg(payload)
     wall = time.perf_counter() - t0
     assert out.shape == big.shape and wall < 5.0  # was minutes pre-LUT
+
+
+# -------------------------------- review fixes: probes, carriers, shortcuts
+
+def test_time_us_zone_scan_and_bloom_probe(spark, tmp_path):
+    """A time64[us] column (parquet-born µs times never see Spark's ns
+    interchange) stores µs carrier ints, but the metrics DDL 'time(6)'
+    erases the unit: before the fix both probes converted bounds to
+    NANOSECONDS, so the zone scan silently pruned every chunk and the
+    bloom probe hashed the wrong domain (false negatives). The stored
+    frame header's dtype byte now picks the tick unit."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from tokenlake.encode_job import encode_chunk
+    from tokenlake.plan import Prescription
+
+    n = 50
+    us = [(3600 + i) * 1_000_000 for i in range(n)]  # 01:00:00 .. 01:00:49
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:03d}" for i in range(n)]),
+            "tokens": pa.array([[1, 2]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": pa.array(["s"] * n),
+            "chunk_id": pa.array(["s#0"] * n),
+            "nbuckets": pa.array([1] * n, pa.int32()),
+            "t_us": pa.array(us, pa.time64("us")),
+        }
+    )
+    cfg = Prescription.parse("set column t_us bloom_filter true").apply()
+    enc = encode_chunk(t, cfg=cfg)
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(f"{out}/encoded/attempt=0")
+    pq.write_table(enc, f"{out}/encoded/attempt=0/part-0.parquet")
+
+    got = decode_job.scan_value_range(
+        spark, out, "t_us", dt.time(1, 0, 10), dt.time(1, 0, 20)
+    )
+    assert got.count() == 11  # was 0: ns bounds vs µs zone map
+
+    hits = decode_job.chunks_containing_value(spark, out, "t_us", dt.time(1, 0, 30))
+    assert hits.count() == 1  # was 0: ns probe vs µs bloom domain
+
+    # attempt dedup in the public candidate API: a superseded duplicate row
+    # in a later attempt must not double-list the chunk
+    os.makedirs(f"{out}/encoded/attempt=1")
+    pq.write_table(enc, f"{out}/encoded/attempt=1/part-0.parquet")
+    assert decode_job.chunks_containing_value(
+        spark, out, "t_us", dt.time(1, 0, 30)
+    ).count() == 1
+
+
+def test_container_decode_shortcut_and_exact_list_types():
+    """decode_column must not hand non-UTF-8 binary payloads to the
+    large_string shortcut, container-level list decode keeps the EXACT
+    stored element type (only the Spark path narrows), and a frame
+    truncated inside the header raises ValueError, not struct.error."""
+    from tokenlake.codecs.container import (
+        decode_column,
+        decode_column_arrow,
+        encode_any_column,
+        encode_list_column,
+    )
+
+    raw = pa.array([b"\xff\xfe\x00raw", b"ok"], pa.large_binary())
+    buf = encode_any_column(raw, "str_plain", outer="none")
+    out = decode_column(buf)
+    assert pa.types.is_binary(out.type) or pa.types.is_large_binary(out.type)
+    assert out.to_pylist() == raw.to_pylist()
+
+    lt = pa.list_(pa.time32("ms"))
+    la = pa.array([[1_000, 2_000], None, []], lt)
+    lb = decode_column_arrow(encode_list_column(la, "for"))
+    assert lb.type == lt  # exact stored element type, scalar parity
+    assert lb.to_pylist() == la.to_pylist()
+    ls = pa.array([["a", "b"], ["c"]], pa.list_(pa.string()))
+    lsb = decode_column_arrow(encode_list_column(ls, "str_plain"))
+    assert pa.types.is_large_string(lsb.type.value_type)  # stored shape
+
+    good = encode_any_column(pa.array([1, 2, 3], pa.int32()), "plain")
+    for cut in (3, 5, 11):
+        with pytest.raises(ValueError):
+            decode_column_arrow(bytes(good[:cut]))

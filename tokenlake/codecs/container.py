@@ -179,9 +179,15 @@ def wrap(
         # R3 trial on a bounded tail sample first (the packed value stream
         # dominates the bytes; reference samples ≤16,384 rows,
         # column_context.rs:543): never pay full-body compression to learn "no"
-        sample = body if len(body) <= _TRIAL_BYTES else body[-_TRIAL_BYTES:]
-        if codec_id == intcodecs.BSS or len(_outer_compress(name, level, sample)) < OUTER_KEEP_RATIO * len(sample):
-            z = _outer_compress(name, level, body)
+        whole = len(body) <= _TRIAL_BYTES  # sample IS the body: trial = answer
+        sample = body if whole else body[-_TRIAL_BYTES:]
+        ztrial = None
+        if codec_id != intcodecs.BSS:
+            ztrial = _outer_compress(name, level, sample)
+        if codec_id == intcodecs.BSS or len(ztrial) < OUTER_KEEP_RATIO * len(sample):
+            # small frames (n_tok/doc_id/source on every chunk) reuse the
+            # trial output instead of compressing the same bytes twice
+            z = ztrial if (whole and ztrial is not None) else _outer_compress(name, level, body)
             if len(z) < OUTER_KEEP_RATIO * len(body):
                 oid, payload = OUTER_IDS[name], z
             else:
@@ -204,9 +210,13 @@ def unwrap(buf: bytes | memoryview) -> tuple[int, memoryview, int, int]:
         raise ValueError("bad container header")
     ver = mv[2]
     if ver == VERSION:
+        if len(mv) < _HDR.size:  # truncated INSIDE the header: same error
+            raise ValueError("bad container header (truncated)")
         _, _, codec_id, oid, _level, dtype, flags, raw_len = _HDR.unpack_from(mv, 0)
         body = mv[_HDR.size :]
     elif ver == _V2:
+        if len(mv) < _HDR_V2.size:
+            raise ValueError("bad container header (truncated)")
         _, _, codec_id, oid, _level, raw_len = _HDR_V2.unpack_from(mv, 0)
         dtype = DT_STRING if codec_id in strcodecs.STR_CODEC_NAMES else DT_INT32
         flags = 0
@@ -505,8 +515,10 @@ def encode_list_column(
 def _decode_list_body(body: memoryview, dtype: int) -> pa.Array:
     (llen,) = struct.unpack_from("<I", body, 0)
     lengths = decode_column_arrow(body[4 : 4 + llen])
+    # container-level decode keeps the EXACT stored element type (scalar
+    # parity); the Spark decode path narrows list children via
+    # _narrow_interchange's list branch
     values = decode_column_arrow(body[4 + llen :])
-    values = _narrow_interchange(values)
     n = len(lengths)
     lens64 = np.asarray(pa.compute.fill_null(lengths, 0), dtype=np.int64)
     offsets64 = np.zeros(n + 1, dtype=np.int64)
@@ -530,23 +542,28 @@ def _decode_list_body(body: memoryview, dtype: int) -> pa.Array:
     )
 
 
+def _narrow_type(t: pa.DataType) -> pa.DataType:
+    """The Spark-interchange type for a stored scalar type."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return pa.binary()
+    if (pa.types.is_time64(t) and t.unit != "ns") or pa.types.is_time32(t):
+        return pa.time64("ns")
+    return t
+
+
 def _narrow_interchange(arr: pa.Array) -> pa.Array:
     """Shape an array for Spark's Arrow interchange: large_string/
-    large_binary → string/binary, fixed-size binary → binary, and any
-    non-ns TIME unit → time64[ns] (Spark's TIME(6) interchange type —
-    container-level decode keeps the exact stored unit; only the Spark
-    decode path narrows)."""
-    if pa.types.is_large_string(arr.type):
-        return arr.cast(pa.string())
-    if pa.types.is_large_binary(arr.type):
-        return arr.cast(pa.binary())
-    if pa.types.is_fixed_size_binary(arr.type):
-        return arr.cast(pa.binary())
-    if pa.types.is_time64(arr.type) and arr.type.unit != "ns":
-        return arr.cast(pa.time64("ns"))
-    if pa.types.is_time32(arr.type):
-        return arr.cast(pa.time64("ns"))
-    return arr
+    large_binary → string/binary, fixed-size binary → binary, any non-ns
+    TIME unit → time64[ns] (Spark's TIME(6) interchange type), and list
+    arrays narrow their CHILD the same way — container-level decode keeps
+    the exact stored type everywhere; only the Spark decode path narrows."""
+    if pa.types.is_list(arr.type):
+        child = _narrow_type(arr.type.value_type)
+        return arr.cast(pa.list_(child)) if child != arr.type.value_type else arr
+    target = _narrow_type(arr.type)
+    return arr.cast(target) if target != arr.type else arr
 
 
 def decode_column_arrow(buf: bytes | memoryview) -> pa.Array:
@@ -636,7 +653,9 @@ def decode_column(buf: bytes | memoryview):
     cid, body, dtype, flags = unwrap(buf)
     if flags or is_string_kind(dtype) or dtype not in (DT_INT32, DT_INT64):
         # the raw-body shortcut must not skip DT_FIXED_BINARY's width header
-        if cid in strcodecs.STR_CODEC_NAMES and not flags and dtype != DT_FIXED_BINARY:
+        # NOR DT_BINARY's large_binary cast (a raw str body decodes to
+        # large_string — arbitrary bytes would crash utf-8 consumers)
+        if cid in strcodecs.STR_CODEC_NAMES and not flags and dtype == DT_STRING:
             return strcodecs.decode_str_body(cid, body)
         return decode_column_arrow(buf)
     return intcodecs.decode_int_body(cid, body, wide=is_wide(dtype))

@@ -334,7 +334,8 @@ def _bloom_probe_value(encoded: DataFrame, column: str, value) -> int:
         # lo-word filter is sound — it only ever adds false positives)
         return ((u + (1 << 63)) % (1 << 64)) - (1 << 63)
     if elem in _ZONE_TEMPORAL and isinstance(value, (_dt.date, _dt.datetime, _dt.time)):
-        return _temporal_carrier(elem, value)
+        tc = _stored_dtype_code(encoded, column) if elem == "time(6)" else None
+        return _temporal_carrier(elem, value, time_code=tc)
     return int(value)
 
 
@@ -352,7 +353,10 @@ def chunks_containing_value(
 
     from .codecs.bloom import hash_string, might_contain
 
-    enc = read_encoded(spark, out_dir)
+    # dedup attempts: a crash-resumed table carries superseded chunk rows
+    # in later attempt partitions — without this, every surviving chunk_id
+    # would appear once per attempt in the public candidate set
+    enc = dedup_attempts(read_encoded(spark, out_dir))
     known = {c[len("payload_") :] for c in enc.columns if c.startswith("payload_")}
     if column not in known:
         # a typo'd column would otherwise silently admit EVERY chunk (no
@@ -387,9 +391,34 @@ _ZONE_SCALARS = {"int", "bigint", "smallint", "tinyint"}
 _ZONE_TEMPORAL = {"timestamp_ntz", "timestamp", "date", "time(6)"}
 
 
-def _temporal_carrier(dtype: str, v) -> int:
+_TIME_TICKS_PER_SEC = {13: 10**9, 14: 10**6, 15: 10**3, 16: 1}  # DT_TIME_NS/US/MS/S
+
+
+def _stored_dtype_code(encoded: DataFrame, column: str) -> int | None:
+    """Exact container dtype CODE of a stored column, sniffed from the
+    12-byte v3 frame header of ONE payload cell. The metrics DDL erases
+    information the probes need — all four TIME units store as 'time(6)'
+    but their carriers differ by factors of 1000, so a DDL-derived carrier
+    silently zone-prunes or bloom-rejects chunks that contain matches.
+    Reads one row's payload bytes only (bounded by one chunk)."""
+    row = (
+        encoded.select(F.substring(F.col(f"payload_{column}"), 1, 12).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .first()
+    )
+    if row is None:
+        return None
+    h = bytes(row["h"])
+    if len(h) >= 7 and h[:2] == b"TL" and h[2] == 3:
+        return h[6]
+    return None  # v2 frame: no dtype byte (TIME never ships as v2)
+
+
+def _temporal_carrier(dtype: str, v, time_code: int | None = None) -> int:
     """A date/datetime/time bound → the column's stored carrier int
-    (days / µs / ns) for the zone-map overlap predicate."""
+    (days / µs / time ticks) for the zone-map overlap predicate.
+    `time_code`: the stored DT_TIME_* code for 'time(6)' columns (the DDL
+    alone cannot recover the tick unit); defaults to nanoseconds."""
     import datetime as _dt
 
     if dtype == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
@@ -417,8 +446,9 @@ def _temporal_carrier(dtype: str, v) -> int:
                 f"bound {v!r} carries a UTC offset but column dtype is "
                 "time(6) (zoneless) — pass a naive time"
             )
-        ns = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000_000
-        return ns + v.microsecond * 1000
+        tps = _TIME_TICKS_PER_SEC.get(time_code, 10**9)
+        ticks = ((v.hour * 60 + v.minute) * 60 + v.second) * tps
+        return ticks + v.microsecond * tps // 10**6
     raise ValueError(f"bound {v!r} does not match the column's {dtype} carrier")
 
 
@@ -447,7 +477,9 @@ def scan_value_range(spark: SparkSession, out_dir: str, column: str, lo, hi) -> 
     dtype = first["dtype"]
     elem = dtype[len("array<") : -1] if dtype.startswith("array<") else dtype
     if elem in _ZONE_TEMPORAL:
-        lo_c, hi_c = _temporal_carrier(elem, lo), _temporal_carrier(elem, hi)
+        tc = _stored_dtype_code(enc, column) if elem == "time(6)" else None
+        lo_c = _temporal_carrier(elem, lo, time_code=tc)
+        hi_c = _temporal_carrier(elem, hi, time_code=tc)
     elif elem in _ZONE_SCALARS:
         lo_c, hi_c = int(lo), int(hi)
     else:
