@@ -1655,3 +1655,78 @@ def test_container_decode_shortcut_and_exact_list_types():
     for cut in (3, 5, 11):
         with pytest.raises(ValueError):
             decode_column_arrow(bytes(good[:cut]))
+
+
+def test_resume_after_lineage_write_crash_no_duplicates(spark, tmp_path):
+    """A crash BETWEEN the encoded write and the lineage write leaves a
+    committed attempt dir with no lineage rows. A re-run used to re-derive
+    the same attempt number from lineage alone and APPEND duplicate chunk
+    rows into that very partition — invisible to dedup_attempts (min
+    attempt per chunk). The attempt counter now skips past every existing
+    encoded dir, so the re-encode lands in a fresh attempt and dedup works."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.004).cache()
+    encode_job.run(spark, df, out, resume=False)
+    shutil.rmtree(f"{out}/lineage")  # the crash window: data committed, checkpoint not
+    encode_job.run(spark, df, out, resume=True)
+    dec = decode_job.decode(spark, out)
+    assert dec.count() == df.count()  # was 2x before the fix
+    assert dec.select("doc_id").distinct().count() == df.count()
+    df.unpersist()
+
+
+def test_null_source_rows_fail_loudly(spark, tmp_path):
+    """Null `source` values cannot route through the bucket equi-join (null
+    keys never match) — the encode used to silently DROP those rows; now
+    the chunk-id derivation raises before any data is lost."""
+    from pyspark.errors import PySparkException
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.003).withColumn(
+        "source",
+        F.when(F.abs(F.xxhash64("doc_id")) % 7 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ),
+    )
+    with pytest.raises(PySparkException, match="null source"):
+        encode_job.run(spark, df, out, resume=False)
+
+
+def test_lint_chunk_fixed_size_binary_extra():
+    """lint_chunk used to cast fsb extras to large_string and crash on
+    non-UTF-8 bytes the encoder accepts; it now runs the same large_binary
+    trial race the encode path does."""
+    n = 12
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:03d}" for i in range(n)]),
+            "tokens": pa.array([[1, 2]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": pa.array(["s"] * n),
+            "chunk_id": pa.array(["s#0"] * n),
+            "nbuckets": pa.array([1] * n, pa.int32()),
+            "digest": pa.array([bytes([255, 254, i, 0]) for i in range(n)], pa.binary(4)),
+        }
+    )
+    d = lint_job.lint_chunk(t)
+    cols = set(d.column("column").to_pylist())
+    assert "digest" in cols  # decisions emitted, no ArrowInvalid
+
+
+def test_plan_from_encoded_preserves_statistics_none_on_temporal(spark, tmp_path):
+    """X1 preserve-untouched must notice blanked stats on NON-int dtypes
+    too: `statistics none` on a timestamp_ntz extra used to be silently
+    dropped on re-encode (int-only dtype regex), re-enabling statistics
+    the original config disabled."""
+    from tokenlake.plan import Prescription
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.003).withColumn(
+        "ts", F.expr("timestamp_ntz'2024-03-01 00:00:00' + make_interval(0,0,0,cast(abs(xxhash64(doc_id)) % 200 as int))")
+    )
+    cfg = Prescription.parse("set column ts statistics none").apply()
+    encode_job.run(spark, df, out, cfg=cfg, resume=False)
+    inferred = encode_job.plan_from_encoded(spark, out)
+    assert inferred.stats_for("ts") == "none"

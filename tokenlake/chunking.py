@@ -75,8 +75,36 @@ def assign_chunks(df: DataFrame, buckets: DataFrame, salt: str | None = None) ->
     if salt is not None:
         parts.append(F.lit(salt))
     parts.append(F.pmod(F.xxhash64("doc_id"), F.col("nbuckets")))
+    # chunk identity is a pure function of (source, doc_id): a null source
+    # cannot route. The bucket equi-join would otherwise silently DROP
+    # null-source rows (null keys never match) — fail loudly instead, on
+    # the join key itself so Catalyst cannot prune the check away.
+    checked = F.when(F.col("source").isNotNull(), F.col("source")).otherwise(
+        F.raise_error(
+            F.lit(
+                "null source value: chunk ids derive from (source, doc_id) "
+                "and the bucket join cannot route null keys — filter or "
+                "fill null sources before encoding"
+            )
+        )
+    )
     # nbuckets rides along into the chunk metrics: lookups re-derive a doc's
     # candidate chunk ids from (prefix, nbuckets) without scanning payloads
-    return df.join(F.broadcast(buckets), "source").withColumn(
+    return df.withColumn("source", checked).join(F.broadcast(buckets), "source").withColumn(
         "chunk_id", F.concat_ws("#", *parts)
+    )
+
+
+def chunk_id_prefix(col: str = "chunk_id"):
+    """Everything before a chunk id's trailing '#<bucket>' — the (source
+    [+ salt]) prefix. NOT substring_index to the first '#': source names
+    may contain '#'. THE shared derivation (lint's per-source fraction map,
+    lookup's candidate reconstruction) — the chunk-id grammar lives here,
+    next to assign_chunks which writes it.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"substring({col}, 1, length({col})"
+        f" - length(element_at(split({col}, '#'), -1)) - 1)"
     )

@@ -537,11 +537,9 @@ def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
     if not doc_ids:
         return decode(spark, out_dir).limit(0)
     enc = read_encoded(spark, out_dir)
-    prefix = F.expr(
-        "substring(chunk_id, 1, length(chunk_id)"
-        " - length(element_at(split(chunk_id, '#'), -1)) - 1)"
-    )
-    groups = enc.select(prefix.alias("prefix"), "nbuckets").distinct()
+    from .chunking import chunk_id_prefix
+
+    groups = enc.select(chunk_id_prefix().alias("prefix"), "nbuckets").distinct()
     ids = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
     cands = groups.crossJoin(F.broadcast(ids)).select(
         F.concat_ws(

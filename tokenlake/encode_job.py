@@ -868,14 +868,20 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
             .select("column", col)
         )
 
-    # any int-family column (canonical or extra, scalar or list element)
+    # any stats-bearing column (canonical or extra, scalar or list element)
     # stores distinct_est ≥ 1 when it has data and stats are on — the dtype
     # field makes the blanked-stats check generic instead of hard-wired to
-    # tokens/n_tok. (List columns count elements in n_values and null ROWS
+    # tokens/n_tok. Covers the full int-carrier family: ints, floats,
+    # temporals, decimals (an int-only regex silently dropped `statistics
+    # none` for timestamp/decimal/float extras on re-encode — X1 violation).
+    # Bool and string dtypes are deliberately absent: their encode paths
+    # store no ChunkStats, so distinct_est = 0 is their NORMAL state, not a
+    # blanked one. (List columns count elements in n_values and null ROWS
     # in null_count — the predicate stays conservative under the mixed
     # units: a chunk it skips just doesn't contribute to the max below.)
     int_stats = F.col("dtype").rlike(
-        "^(array<)?(int|bigint|smallint|tinyint)>?$"
+        r"^(array<)?(int|bigint|smallint|tinyint|float|double|date"
+        r"|time\(6\)|timestamp|timestamp_ntz|decimal\(\d+,\d+\))>?$"
     ) & (F.col("n_values") > F.col("null_count"))
     doc_stats = (F.col("column") == "doc_id") & (F.col("n_rows") > 0)
     rows = (
@@ -930,6 +936,28 @@ def run(
     """
     enc_path = f"{out_dir}/encoded"
     lin_path = f"{out_dir}/lineage"
+
+    def _max_encoded_attempt(spark, path: str) -> int | None:
+        """Highest attempt=N partition dir under the encoded table, via the
+        Hadoop FS API (works for file://, hdfs://, s3a:// alike). A dir
+        counts even when the crashed job committed no data files in it —
+        skipping a number is free; re-using one corrupts."""
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        best = None
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("attempt="):
+                try:
+                    a = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                best = a if best is None or a > best else best
+        return best
+
     cfg = cfg or EncodeConfig()
     extras = extra_columns_of(df.columns, input_side=True)
     enc_ddl = encoded_schema_ddl(extras)
@@ -944,6 +972,16 @@ def run(
         attempt = int(existing.agg(F.max("attempt")).first()[0] or 0) + 1
     except Exception:
         done = None
+    # reconcile with the ENCODED table's attempt dirs: a crash between the
+    # encoded write and the lineage write leaves a committed attempt=N dir
+    # with no lineage row — a lineage-only derivation would reuse N and
+    # APPEND duplicate chunk rows into the same partition, which
+    # dedup_attempts (min attempt per chunk) cannot remove. Skipping past
+    # every existing dir keeps the re-encode in a fresh attempt, where the
+    # dedup works as designed.
+    enc_max = _max_encoded_attempt(spark, enc_path)
+    if enc_max is not None and enc_max >= attempt:
+        attempt = enc_max + 1
 
     if done is not None:
         # appending a DIFFERENT column set would leave attempt dirs with
@@ -1311,7 +1349,11 @@ def compact(
         spark.read.parquet(f"{src_dir}/lineage")
         .filter(F.col("status") == "complete")
         .dropDuplicates(["chunk_id"])
-        .join(F.broadcast(kept_ids), "chunk_id", "left_semi")
+        # no forced broadcast: a mostly-kept compaction at the 10^12-row
+        # design point carries an O(#chunks) id set — AQE picks broadcast
+        # while it is small and a shuffled semi-join of key-only rows past
+        # that (same rule as run()'s resume anti-join)
+        .join(kept_ids, "chunk_id", "left_semi")
         .withColumn("attempt", F.lit(1))
     )
     kept_lineage.write.mode("overwrite").parquet(f"{dest_dir}/lineage")

@@ -82,7 +82,15 @@ def lint_chunk(
     toks = t.column("tokens").chunk(0) if t.column("tokens").num_chunks else pa.array([], pa.list_(pa.int32()))
     if toks.null_count:
         toks = toks.drop_null()
-    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    tok_values = toks.flatten()
+    if tok_values.null_count:
+        # same contract as encode_chunk: silently coercing null elements
+        # would feed NaN-garbage int32 into the stats and emit decisions
+        # for an encode that will actually fail
+        raise ValueError(
+            "null token elements not supported (contract: array<int32 NOT NULL>)"
+        )
+    flat = tok_values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     ntok_col = t.column("n_tok")
     lens = (
         ntok_col.drop_null() if ntok_col.null_count else ntok_col
@@ -90,8 +98,11 @@ def lint_chunk(
 
     rows = []
 
-    def emit(column, st, d, body, nv):
-        plain_bytes = 4 * max(st.n_values, 1) if st else max(len(body), 1)
+    def emit(column, st, d, body, nv, elem_bytes=4):
+        # the severity baseline is PLAIN at the column's true element width
+        # (a 4 B constant understated 64-bit columns' savings by 2x and
+        # misfiled >50% wins as suggestions)
+        plain_bytes = elem_bytes * max(st.n_values, 1) if st else max(len(body), 1)
         saving = 1.0 - d.est_bytes / plain_bytes if st else 0.0
         # Severity ordering mirrors diagnostic.rs:8-12: big wins are warnings
         # (you are leaving >50% on the table), marginal ones suggestions;
@@ -170,11 +181,19 @@ def lint_chunk(
         dtype = dtype_of_arrow(arr.type)
         valid = arr.drop_null() if arr.null_count else arr
         if is_string_kind(dtype):
+            from .codecs.container import DT_FIXED_BINARY
+
+            # same cast the encode trial race applies: fixed-size binary
+            # holds arbitrary bytes — a large_string cast crashes on
+            # non-UTF-8 payloads the encoder accepts
+            trial = (
+                valid.cast(pa.large_binary()) if dtype == DT_FIXED_BINARY else valid
+            )
             codec, body, rule = _pick_str_codec(
-                valid, allow_dict=f"!dict:{name}" not in cfg.overrides
+                trial, allow_dict=f"!dict:{name}" not in cfg.overrides
             )
             if body is None:
-                body = encode_str_body(STR_CODEC_IDS[codec], valid)
+                body = encode_str_body(STR_CODEC_IDS[codec], trial)
             emit(name, None, Decision(codec, len(body), rule), body, nv)
             continue
         view = int_view_of(valid, dtype) if len(valid) else np.empty(0, np.int32)
@@ -194,7 +213,10 @@ def lint_chunk(
         from .codecs.intcodecs import INT_CODEC_IDS, encode_int_body
 
         body = encode_int_body(INT_CODEC_IDS[d.codec], view, wide=wide)
-        emit(name, st, d, body, nv)
+        from .codecs.container import DT_DECIMAL128
+
+        emit(name, st, d, body, nv,
+             elem_bytes=16 if dtype == DT_DECIMAL128 else 8 if wide else 4)
     return pa.Table.from_pylist(rows)
 
 
@@ -269,13 +291,9 @@ def lint(
         d = chunked.groupBy("chunk_id").applyInArrow(fn, LINT_SCHEMA)
         if fracs:
             mapping = F.create_map(*[F.lit(x) for kv in fracs.items() for x in kv])
-            # source = chunk_id minus its trailing '#<bucket>' (NOT
-            # substring_index to the first '#': source names may contain '#';
-            # same derivation as decode_job.lookup)
-            src_col = F.expr(
-                "substring(chunk_id, 1, length(chunk_id)"
-                " - length(element_at(split(chunk_id, '#'), -1)) - 1)"
-            )
+            from .chunking import chunk_id_prefix
+
+            src_col = chunk_id_prefix()
             frac_col = F.coalesce(mapping[src_col], F.lit(float(default_frac)))
         else:
             frac_col = F.lit(float(default_frac))
@@ -324,10 +342,9 @@ def lint(
         # the lower rate would override a better-sampled decision with a
         # noisier one
         deep_srcs = sorted(s for s, f in cheap_fracs.items() if f < fraction)
-        src_col = F.expr(
-            "substring(chunk_id, 1, length(chunk_id)"
-            " - length(element_at(split(chunk_id, '#'), -1)) - 1)"
-        )
+        from .chunking import chunk_id_prefix
+
+        src_col = chunk_id_prefix()
         amb = (
             cheap.filter(ambiguous)
             .filter(src_col.isin(deep_srcs) if deep_srcs else F.lit(False))
@@ -457,6 +474,11 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
             .agg(F.max("dict_payload_bytes").alias("payload"), F.max(rows_expr).alias("rows"))
             .collect()
         )
+        # a file-level max_chunk_rows shrink must fold MIN across columns:
+        # apply()'s last-wins would otherwise keep the lexicographically
+        # last overflower's (looser) shrink and leave the tighter column's
+        # dictionary still over the page cap at encode time
+        min_shrink: int | None = None
         for r in sorted(pay, key=lambda r: r["column"]):
             payload = int(r["payload"] or 0)
             if payload <= DICT_PAGE_SIZE_START:
@@ -468,10 +490,12 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
                 )
             else:
                 shrink = suggested_max_chunk_rows(int(r["rows"]), payload, DICT_PAGE_SIZE_MAX)
-                rx.directives.append(Directive("file", None, "max_chunk_rows", str(shrink)))
+                min_shrink = shrink if min_shrink is None else min(min_shrink, shrink)
                 rx.directives.append(
                     Directive("column", r["column"], "dictionary_page_size_limit", str(DICT_PAGE_SIZE_MAX))
                 )
+        if min_shrink is not None:
+            rx.directives.append(Directive("file", None, "max_chunk_rows", str(min_shrink)))
     return rx
 
 
@@ -507,6 +531,10 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
         F.col("dtype").isin(
             "int", "bigint", "smallint", "tinyint",
             "timestamp_ntz", "timestamp", "date", "time(6)",
+            # scalar floats ride the int-carrier too (bit pattern): dict is
+            # a legal stored codec for them, so they get verdicts like
+            # their array<float|double> forms always did
+            "float", "double",
         )
         | F.col("dtype").startswith("array<")
         | F.col("dtype").startswith("decimal")  # unscaled-int64 carrier
