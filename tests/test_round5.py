@@ -641,10 +641,17 @@ def test_rewrite_from_evidence_keeps_untouched_bytes(spark, tmp_path):
 
 def test_rewrite_from_evidence_noop_table(spark, tmp_path):
     """A table with no flagged evidence copies everything and encodes
-    nothing."""
+    nothing. The fixture pins tokens to dict explicitly: at this scale the
+    cardinality ratio is ~0.02, so R1's evidence tier approves dict but
+    would flag the selector's own near-tie fsst pick (7 B apart) as
+    enable-dictionary — the lifecycle converges on dict either way, and
+    this test wants the already-converged state."""
+    from tokenlake.plan import Prescription
+
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
     df = _df(spark, scale=0.005)
-    encode_job.run(spark, df, src, resume=False)
+    cfg = Prescription.parse("set column tokens encoding dict").apply()
+    encode_job.run(spark, df, src, cfg=cfg, resume=False)
     r = encode_job.rewrite_from_evidence(spark, src, dst)
     assert r["rewritten_chunks"] == 0 and r["kept_chunks"] == r["chunks_total"]
     assert decode_job.decode(spark, dst).count() == df.count()
@@ -1730,3 +1737,69 @@ def test_plan_from_encoded_preserves_statistics_none_on_temporal(spark, tmp_path
     encode_job.run(spark, df, out, cfg=cfg, resume=False)
     inferred = encode_job.plan_from_encoded(spark, out)
     assert inferred.stats_for("ts") == "none"
+
+
+def test_forced_bss_on_int_column_and_float_dict_directive():
+    """`encoding bss` is DSL-legal for any column: forcing it on an int
+    column used to crash select_codec (no analytical bss estimate); and
+    `dictionary false` used to be silently ignored for float columns
+    (select_float_codec hardcoded allow_dict=True)."""
+    from tokenlake.select import select_codec, select_float_codec
+    from tokenlake.stats import compute_chunk_stats
+
+    ints = np.arange(50_000, dtype=np.int32)
+    st = compute_chunk_stats(ints, n_rows=50_000)
+    d = select_codec(ints, st, forced="bss")
+    assert d.codec == "bss" and d.est_bytes > 0  # no ValueError, honest est
+
+    # low-cardinality float bit patterns: dict wins by default...
+    floats = np.tile(np.array([1.5, 2.5, 3.5], np.float64), 20_000).view(np.int64)
+    fst = compute_chunk_stats(floats, n_rows=60_000)
+    assert select_float_codec(floats, fst, wide=True).codec == "dict"
+    # ...and `dictionary false` must actually disable it now
+    d2 = select_float_codec(floats, fst, wide=True, allow_dict=False)
+    assert d2.codec != "dict"
+
+
+def test_outer_policy_small_chunk_band_respects_known_int_kind():
+    """The many-small-chunks LZ4 band is a TEXT band: a known int column
+    (n_tok) must not qualify via the name heuristic (the type gates exist
+    to veto exactly that rewrite)."""
+    from tokenlake import outer_policy as OP
+
+    kwargs = dict(
+        n_chunks=80,
+        total_bytes=72 << 20,
+        max_chunk_bytes=int(0.9 * (1 << 20)),
+        weighted_ratio=0.7,
+        lz4_votes=0,
+        zstd_votes=0,
+    )
+    assert OP.decide(column="n_tok", kind="int32", is_text=False, **kwargs) != "lz4"
+    # a known TEXT column still gets the band
+    assert OP.decide(column="doc_id", kind="byte_array", is_text=True, **kwargs) == "lz4"
+    # unknown kind: name heuristic decides (reference fallback)
+    assert OP.decide(column="title", kind=None, is_text=None, **kwargs) == "lz4"
+    assert OP.decide(column="embedding_bytes", kind=None, is_text=None, **kwargs) != "lz4"
+
+
+def test_lint_severity_uses_true_element_width():
+    """A sorted bigint extra that delta-encodes to ~2 B/value saves 75% vs
+    its 8 B plain — that must classify as 'warning' (>50%), not the
+    'suggestion' a 4 B baseline produced."""
+    n = 4096
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+            "tokens": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * n, pa.int32()),
+            "source": pa.array(["s"] * n),
+            "chunk_id": pa.array(["s#0"] * n, pa.string()),
+            "nbuckets": pa.array([1] * n, pa.int32()),
+            "ts_like": pa.array(np.arange(n, dtype=np.int64) * 1000 + 10**15, pa.int64()),
+        }
+    )
+    d = lint_job.lint_chunk(t)
+    row = {r["column"]: r for r in d.to_pylist()}["ts_like"]
+    assert row["codec"] in ("delta", "for")
+    assert row["severity"] == "warning"  # was 'suggestion' at the 4 B baseline

@@ -203,3 +203,27 @@ def test_stream_then_compact_merges_batch_fragments(spark, stream_dirs, tmp_path
     want = [r["doc_id"] for r in src.select("doc_id").limit(2).collect()]
     hit = decode_job.lookup(spark, dest, want)
     assert sorted(r["doc_id"] for r in hit.collect()) == sorted(want)
+
+
+def test_dedup_stream_keeps_all_null_token_rows(spark, stream_dirs):
+    """md5(NULL) is NULL and dropDuplicates groups NULL keys together: rows
+    with NULL tokens used to collapse to one survivor. They have no content
+    to dedup ON, so each must pass through (keyed by doc_id)."""
+    import pyarrow as pa
+
+    inp, out = stream_dirs
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"n{i}" for i in range(6)]),
+            "tokens": pa.array([None, None, None, [1, 2], [1, 2], [3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([None, None, None, 2, 2, 1], pa.int32()),
+            "source": pa.array(["s"] * 6),
+        }
+    )
+    pq.write_table(tbl, os.path.join(inp, "a.parquet"))
+    q = streaming.dedup_stream(spark, inp, out)
+    q.awaitTermination(180)
+    got = spark.read.parquet(f"{out}/deduped")
+    # 3 null-token rows all kept + 2 distinct contents = 5
+    assert got.count() == 5
+    assert got.filter(F.col("tokens").isNull()).count() == 3

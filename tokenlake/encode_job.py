@@ -314,7 +314,11 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     wide = is_wide(elem)
     st = compute_chunk_stats(view, n_rows=len(arr))
     if elem in (DT_FLOAT32, DT_FLOAT64):
-        d = select_float_codec(view, st, forced=forced, wide=wide)
+        d = select_float_codec(
+            view, st, forced=forced, wide=wide,
+            allow_dict=f"!dict:{name}" not in cfg.overrides,
+            dict_page_limit=cfg.dict_limit_for(name),
+        )
     else:
         d = select_codec(
             view, st, forced=forced,
@@ -393,7 +397,11 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     wide = is_wide(dtype)
     st = compute_chunk_stats(view, n_rows=len(arr))
     if dtype in (DT_FLOAT32, DT_FLOAT64):
-        d = select_float_codec(view, st, forced=forced, wide=wide)
+        d = select_float_codec(
+            view, st, forced=forced, wide=wide,
+            allow_dict=f"!dict:{name}" not in cfg.overrides,
+            dict_page_limit=cfg.dict_limit_for(name),
+        )
     else:
         d = select_codec(
             view, st, forced=forced,

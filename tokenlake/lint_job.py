@@ -143,6 +143,7 @@ def lint_chunk(
         d = select_codec(
             values, st, forced=cfg.overrides.get(column),
             allow_dict=f"!dict:{column}" not in cfg.overrides,
+            dict_page_limit=cfg.dict_limit_for(column),
         )
         # R2 inputs: real sampled encode body + bounded zstd-3 trial ratio
         # (the reference samples one row group, column_context.rs:543)
@@ -202,7 +203,11 @@ def lint_chunk(
         if dtype == DT_BOOL:
             d = Decision("for", (st.n_values + 7) // 8, "bool-bitpack")
         elif dtype in (DT_FLOAT32, DT_FLOAT64):
-            d = select_float_codec(view, st, forced=cfg.overrides.get(name), wide=wide)
+            d = select_float_codec(
+                view, st, forced=cfg.overrides.get(name), wide=wide,
+                allow_dict=f"!dict:{name}" not in cfg.overrides,
+                dict_page_limit=cfg.dict_limit_for(name),
+            )
         else:
             d = select_codec(
                 view, st, forced=cfg.overrides.get(name),

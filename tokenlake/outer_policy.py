@@ -112,7 +112,11 @@ def decide(
         and max_chunk_bytes <= SMALL_CHUNK_BYTES
         and total_bytes >= SMALL_CHUNK_MIN_TOTAL
         and SMALL_RATIO_LO <= weighted_ratio <= SMALL_RATIO_HI
-        and (kind is None or looks_text_column(bool(is_text), column))
+        # with a KNOWN kind the text marker decides; the name heuristic
+        # (looks_text_column) is only for columns with no type evidence —
+        # falling back to it for a known int column fired the text band on
+        # n_tok, prescribing the exact rewrite the type gates below prevent
+        and (bool(is_text) if kind is not None else looks_text_column(False, column))
     ):
         return "lz4"  # many-small-chunks text band
     if lz4_votes == 0 and zstd_votes == 0:

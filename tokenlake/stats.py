@@ -96,7 +96,8 @@ def extrapolate_stats(st: ChunkStats, fraction: float) -> ChunkStats:
         max_zz_delta=st.max_zz_delta,
         avg_delta_width=st.avg_delta_width,
         avg_fanout=st.avg_fanout,
-        raw_bytes=4 * total,
+        # preserve the source width: raw_bytes scales with the value count
+        raw_bytes=int(st.raw_bytes / max(st.n_values, 1) * total) if st.n_values else 0,
     )
 
 
@@ -168,5 +169,8 @@ def compute_chunk_stats(
         max_zz_delta=int(zz.max()) if sn > 1 else 0,
         avg_delta_width=_avg_block_width(zz),
         avg_fanout=n / n_rows if n_rows else 0.0,
-        raw_bytes=4 * n,
+        # true carrier width, not a 4 B constant (wide int64/double views
+        # are 8 B/value; decimal128's LO-WORD view still reads 8 — its true
+        # 16 B width is handled by the callers that know the logical type)
+        raw_bytes=flat.dtype.itemsize * n,
     )

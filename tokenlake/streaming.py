@@ -23,6 +23,7 @@ self-contained under its chunk_id.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession, functions as F
 
 from . import encode_job
@@ -56,8 +57,15 @@ def encode_stream(
     if schema is None:
         try:
             schema = spark.read.parquet(input_dir).schema  # footer sniff
-        except Exception:
-            schema = SEQUENCES_SPARK_SCHEMA  # empty dir: canonical default
+        except AnalysisException as e:
+            # ONLY the empty/missing-dir case may fall back to the canonical
+            # schema: swallowing a transient FS error here would pin a
+            # 4-column schema for the query's checkpointed lifetime and
+            # silently drop every extra column from the stream
+            if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+                schema = SEQUENCES_SPARK_SCHEMA
+            else:
+                raise
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -174,8 +182,15 @@ def dedup_stream(
     reader = spark.readStream.schema(SEQUENCES_SPARK_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # null-token rows have no content to dedup ON: md5(NULL) is NULL and
+    # dropDuplicates groups NULL keys together, so all-but-one null-token
+    # row would vanish — key them by doc_id instead (each passes through)
     stream = reader.parquet(input_dir).withColumn(
-        "content_hash", F.md5(F.col("tokens").cast("string"))
+        "content_hash",
+        F.coalesce(
+            F.md5(F.col("tokens").cast("string")),
+            F.concat(F.lit("\x00null-tokens:"), F.col("doc_id")),
+        ),
     )
 
     if within_watermark is not None:
