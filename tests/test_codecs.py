@@ -132,3 +132,27 @@ def test_fsst_table_bounded():
     (vlen,) = struct.unpack_from("<I", body, 4)
     (npairs,) = struct.unpack_from("<H", body, 8 + vlen)
     assert npairs <= _FSST_MAX_SYMBOLS
+
+
+def test_fsst_pairs_survive_large_vocabularies():
+    """Pair keys must be 64-bit: numpy 1.x value-based promotion kept
+    int32_array * int64_scalar in int32, wrapping keys for vocabularies
+    past ~46341 symbols — the exact verify then rejected every candidate
+    and fsst silently degenerated to a dict-map (npairs=0) on exactly the
+    50K-200K vocabularies real tokenizers produce."""
+    import struct
+
+    import numpy as np
+
+    from tokenlake.codecs import decode_column, encode_int_column
+
+    rng = np.random.default_rng(5)
+    n = 200_000
+    flat = rng.integers(0, 60_000, n).astype(np.int32)
+    pos = rng.choice(n - 1, n // 8, replace=False)
+    flat[pos], flat[pos + 1] = 123, 456  # one digram covers ~25% of the stream
+    body = encode_int_column(flat, "fsst", outer="none")
+    assert np.array_equal(decode_column(body), flat)
+    dict_bytes = len(encode_int_column(flat, "dict", outer="none"))
+    # with the digram captured, fsst must beat plain dict-mapping
+    assert len(body) < dict_bytes, (len(body), dict_bytes)

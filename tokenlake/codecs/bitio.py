@@ -123,7 +123,14 @@ def sorted_factorize(arr: np.ndarray, minmax: tuple[int, int] | None = None):
         mn, mx = minmax if minmax is not None else (int(arr.min()), int(arr.max()))
         rng = mx - mn + 1
         if rng <= min(max(4 * n, 1 << 16), 1 << 22):
-            shifted = arr if mn == 0 else arr - arr.dtype.type(mn)
+            # subtract in a WIDE dtype: int16/int8 inputs whose span exceeds
+            # their positive range would wrap and scatter into wrong slots
+            if mn == 0:
+                shifted = arr
+            elif arr.dtype.itemsize < 8 and rng > np.iinfo(arr.dtype).max:
+                shifted = arr.astype(np.int64) - mn
+            else:
+                shifted = arr - arr.dtype.type(mn)
             present = np.zeros(rng, dtype=bool)
             present[shifted] = True
             vals_off = np.flatnonzero(present)

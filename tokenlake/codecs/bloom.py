@@ -124,13 +124,9 @@ def hash_strings(arr) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, np.int64)
-    offsets = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1, offset=arr.offset * 8)
-    data_buf = arr.buffers()[2]
-    data = (
-        np.frombuffer(data_buf, np.uint8, count=int(offsets[-1]))
-        if data_buf is not None
-        else np.empty(0, np.uint8)
-    )
+    from .strcodecs import _offsets_data  # one buffer-extraction helper
+
+    offsets, data = _offsets_data(arr)
     lens = np.minimum(np.diff(offsets), HASH_PREFIX)
     h = np.full(n, FNV_OFFSET, np.uint64)
     starts = offsets[:-1]

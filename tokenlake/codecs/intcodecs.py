@@ -386,7 +386,11 @@ def enc_fsst(arr: np.ndarray, fact=None) -> bytes:
         # selection); the full stream is probed via the uint32 low-bit path
         # inside _pair_membership
         samp = stream[: _FSST_SAMPLE]
-        ph_s = samp[:-1] * K + samp[1:]
+        # force int64 BEFORE the multiply: numpy 1.x value-based promotion
+        # keeps int32_array * int64_scalar in int32, so pair keys wrapped
+        # for nsym > ~46341 and the exact verify below rejected every pair
+        # — silently disabling fsst for realistic (50K-200K) vocabularies
+        ph_s = samp[:-1].astype(np.int64) * K + samp[1:]
         uniq, counts = np.unique(ph_s, return_counts=True)
         order = np.argsort(-counts, kind="stable")
         take = order[: min(budget, _FSST_PER_ROUND)]

@@ -26,7 +26,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from .bitio import pack_uints, unpack_uints, width_for
+from .bitio import pack_uints, unpack_uints, width_for, ragged_arange
 from .intcodecs import dec_for, enc_for
 
 STR_PLAIN, STR_DICT, STR_PREFIX = 16, 17, 18
@@ -144,8 +144,7 @@ def enc_str_prefix(values) -> bytes:
         L = np.minimum(np.minimum(lens[1:], lens[:-1]), PREFIX_CAP)
         total = int(L.sum())
         if total:
-            from .bitio import ragged_arange
-
+    
             rag = ragged_arange(L)
             cur = data[np.repeat(offsets[1:n], L) + rag]
             prev = data[np.repeat(offsets[: n - 1], L) + rag]
@@ -168,7 +167,6 @@ def enc_str_prefix(values) -> bytes:
             plen[1:] = counts
     slen = lens - plen
     # gather the suffix bytes (tail of each string past its shared prefix)
-    from .bitio import ragged_arange
 
     sidx = np.repeat(offsets[:-1] + plen, slen) + ragged_arange(slen)
     suffix = np.ascontiguousarray(data[sidx]).tobytes() if n else b""
@@ -211,7 +209,6 @@ def dec_str_prefix(body: memoryview) -> pa.Array:
         rows = np.arange(n, dtype=np.int64)
         max_plen = int(plen.max()) if len(plen) else 0
         # positions ≥ every prefix cap: bulk-copy each row's own suffix tail
-        from .bitio import ragged_arange
 
         tail = ragged_arange(slen)
         out[np.repeat(ooff[:-1] + plen, slen) + tail] = suffix[

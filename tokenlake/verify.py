@@ -105,11 +105,16 @@ def verify_bit_identical(source: DataFrame, decoded: DataFrame) -> dict:
         F.sum(F.when(match, 1).otherwise(0)).alias("matched"),
     ).first()
     rows = agg["rows"]
+    # F.sum over a zero-row join is NULL, not 0: an empty-vs-empty verify
+    # (zero-doc input) must pass instead of raising TypeError on int - None
+    matched = agg["matched"] or 0
+    missing = agg["missing"] or 0
+    extra = agg["extra"] or 0
     return {
         "rows": rows,
-        "matched": agg["matched"],
-        "missing": agg["missing"],
-        "extra": agg["extra"],
-        "mismatched": rows - agg["matched"] - agg["missing"] - agg["extra"],
-        "pass": rows == agg["matched"],
+        "matched": matched,
+        "missing": missing,
+        "extra": extra,
+        "mismatched": rows - matched - missing - extra,
+        "pass": rows == matched,
     }
