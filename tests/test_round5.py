@@ -1803,3 +1803,79 @@ def test_lint_severity_uses_true_element_width():
     row = {r["column"]: r for r in d.to_pylist()}["ts_like"]
     assert row["codec"] in ("delta", "for")
     assert row["severity"] == "warning"  # was 'suggestion' at the 4 B baseline
+
+
+def test_split_assign_thresholds_round_not_truncate(spark):
+    """int(0.57*100) == 56: float truncation used to shift split boundaries
+    — bucket 56 must label 'train' under train=0.57."""
+    from tokenlake.textops import split_assign
+
+    docs = spark.range(4000).select(F.col("id").cast("string").alias("doc_id"))
+    out = split_assign(docs, train=0.57, val=0.1)
+    by_bucket = {r["bucket"]: r["split"] for r in out.select("bucket", "split").distinct().collect()}
+    assert by_bucket.get(56) == "train"   # was 'val' under int()
+    assert by_bucket.get(57) == "val"
+    assert by_bucket.get(66) == "val"
+    assert by_bucket.get(67) == "test"
+
+
+def test_dictionary_true_on_string_extra(spark, tmp_path):
+    """`set column <string extra> dictionary true` stores 'dict' (an INT
+    codec id) in the overrides — the string path must map it onto str_dict
+    instead of KeyErroring mid-encode; int-family names that have no
+    string analog fail loudly."""
+    from tokenlake.plan import Prescription
+
+    out = str(tmp_path / "out")
+    df = _df(spark, scale=0.003).withColumn(
+        "lang", F.when(F.abs(F.xxhash64("doc_id")) % 2 == 0, "en").otherwise("es")
+    )
+    cfg = Prescription.parse("set column lang dictionary true").apply()
+    encode_job.run(spark, df, out, cfg=cfg, resume=False)
+    m = encode_job.column_metrics(decode_job.read_encoded(spark, out))
+    rows = m.filter(F.col("column") == "lang").collect()
+    assert rows and all(r["codec"] == "str_dict" for r in rows)
+    dec = decode_job.decode(spark, out)
+    assert dec.filter(F.col("lang").isNull()).count() == 0
+    with pytest.raises(ValueError, match="int-family"):
+        encode_job._coerce_str_codec("delta")
+
+
+def test_lsh_bucket_dim_mismatch_fails_loudly(spark):
+    """zip_with null-pads a dimension mismatch and every vector landed in
+    bucket 0 (one giant bucket, all-pairs join); now it raises."""
+    from pyspark.errors import PySparkException
+
+    from tokenlake.similarity import lsh_hyperplane_buckets
+
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.rand(seed=i) * 2 - 1).cast("float") for i in range(16)]
+        ).alias("embedding"),
+    )
+    with pytest.raises(PySparkException, match="dimension mismatch"):
+        lsh_hyperplane_buckets(emb, n_planes=4, dim=64).collect()
+    ok = lsh_hyperplane_buckets(emb, n_planes=4, dim=16)
+    assert ok.select("bucket").distinct().count() > 1
+
+
+def test_ivf_train_fewer_rows_than_centroids(spark):
+    """A 5-row corpus with n_centroids=8 used to IndexError on the centroid
+    rebuild; it must train the 5 that exist."""
+    from tokenlake.similarity import ivf_train
+
+    emb = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("float") for i in range(4)]).alias("embedding"),
+    )
+    got = ivf_train(emb, n_centroids=8, iters=2)
+    assert 0 < got.count() <= 5
+
+
+def test_plan_rejects_zero_file_integers():
+    from tokenlake.plan import PlanError, Prescription
+
+    for prop in ("max_chunk_rows", "max_chunk_values", "data_page_size_limit"):
+        with pytest.raises(PlanError, match="≥ 1"):
+            Prescription.parse(f"set file {prop} 0")

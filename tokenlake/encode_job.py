@@ -235,6 +235,22 @@ def _pick_str_codec(valid: pa.Array, allow_dict: bool = True) -> tuple[str, byte
     return best, None if sampled else bodies[best], rule
 
 
+def _coerce_str_codec(name: str) -> str:
+    """Map family-generic forced codec names onto the string family: `set
+    column X dictionary true` stores 'dict', which is an INT codec id — on
+    a string column that used to KeyError mid-encode. Unknown int-family
+    names fail loudly with the valid choices."""
+    if name in ("str_plain", "str_dict", "str_prefix"):
+        return name
+    mapped = {"dict": "str_dict", "plain": "str_plain"}.get(name)
+    if mapped is None:
+        raise ValueError(
+            f"codec {name!r} is int-family; string columns take "
+            "str_plain / str_dict / str_prefix (delta_byte_array)"
+        )
+    return mapped
+
+
 def _patch_decimal128_stats(st, valid: pa.Array, dtype: int):
     """decimal128 metrics min/max: the carrier view is the LO word only, so
     compute_chunk_stats' bounds are meaningless for precision > 18. Replace
@@ -290,7 +306,7 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         trial = valid.cast(pa.large_binary()) if elem == DT_FIXED_BINARY else valid
         body = None
         if forced:
-            codec, rule = forced, "forced"
+            codec, rule = _coerce_str_codec(forced), "forced"
         else:
             codec, body, rule = _pick_str_codec(trial, allow_dict=f"!dict:{name}" not in cfg.overrides)
         if elem == DT_FIXED_BINARY or values.null_count:
@@ -378,7 +394,7 @@ def _encode_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         # large_string cast would crash on non-UTF-8 bytes)
         trial = valid.cast(pa.large_binary()) if dtype == DT_FIXED_BINARY else valid
         if forced:
-            codec, body, rule = forced, None, "forced"
+            codec, body, rule = _coerce_str_codec(forced), None, "forced"
         else:
             codec, body, rule = _pick_str_codec(trial, allow_dict=f"!dict:{name}" not in cfg.overrides)
         if body is not None and not arr.null_count and dtype != DT_FIXED_BINARY:
@@ -666,7 +682,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     forced_doc = overrides.get("doc_id")
     doc_body = None
     if forced_doc:
-        doc_codec, doc_rule = forced_doc, "forced"
+        doc_codec, doc_rule = _coerce_str_codec(forced_doc), "forced"
     else:
         doc_codec, doc_body, doc_rule = _pick_str_codec(
             doc_valid, allow_dict="!dict:doc_id" not in overrides
@@ -692,9 +708,9 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
     if src.null_count:
         from .codecs.container import encode_any_column
 
-        sbuf = encode_any_column(src, overrides.get("source", "str_dict"), cfg.outer_for("source"))
+        sbuf = encode_any_column(src, _coerce_str_codec(overrides.get("source", "str_dict")), cfg.outer_for("source"))
     else:
-        sbuf = encode_str_column(src, overrides.get("source", "str_dict"), outer=cfg.outer_for("source"))
+        sbuf = encode_str_column(src, _coerce_str_codec(overrides.get("source", "str_dict")), outer=cfg.outer_for("source"))
     src_bytes = int(pc.sum(pc.binary_length(src.drop_null() if src.null_count else src)).as_py() or 0)
     sbp = cfg.bloom_for("source")
     emit("source", sbuf, n_rows, src_bytes, None, "dictionary-encoding-cardinality", tcol,

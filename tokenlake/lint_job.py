@@ -190,9 +190,15 @@ def lint_chunk(
             trial = (
                 valid.cast(pa.large_binary()) if dtype == DT_FIXED_BINARY else valid
             )
-            codec, body, rule = _pick_str_codec(
-                trial, allow_dict=f"!dict:{name}" not in cfg.overrides
-            )
+            forced_s = cfg.overrides.get(name)
+            if forced_s:
+                from .encode_job import _coerce_str_codec
+
+                codec, body, rule = _coerce_str_codec(forced_s), None, "forced"
+            else:
+                codec, body, rule = _pick_str_codec(
+                    trial, allow_dict=f"!dict:{name}" not in cfg.overrides
+                )
             if body is None:
                 body = encode_str_body(STR_CODEC_IDS[codec], trial)
             emit(name, None, Decision(codec, len(body), rule), body, nv)

@@ -269,8 +269,11 @@ def _check_directive(d: Directive, lineno: int) -> None:
             raise PlanError(f"line {lineno}: unknown file property {d.prop!r}")
         if d.prop == "compression":
             _norm_outer(d.value)
-        elif not d.value.isdigit():
-            raise PlanError(f"line {lineno}: {d.prop} expects an integer, got {d.value!r}")
+        elif not d.value.isdigit() or int(d.value) < 1:
+            # 0 would either vanish into `cfg.x or default` falsy fallbacks
+            # (a silent no-op) or cap chunks at one value — reject like the
+            # column-level integer props do
+            raise PlanError(f"line {lineno}: {d.prop} expects an integer ≥ 1, got {d.value!r}")
     else:
         if d.prop not in col_props:
             raise PlanError(f"line {lineno}: unknown column property {d.prop!r}")

@@ -58,6 +58,22 @@ def _centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Max-cosine centroid per vector (broadcast centroids, 6-decimal round
+    + centroid_id tiebreak for cross-engine reproducibility). THE shared
+    assignment — ivf_search and ivf_assign must never diverge on it."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+
+
 def ivf_search(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -75,17 +91,8 @@ def ivf_search(
     from pyspark.sql import Window
 
     cents = _centroids(emb, n_centroids)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("embedding"),
-        F.col("centroid_id"),
-        F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+    assigned = _assign_to_centroids(emb, cents).select(
+        "vec_id", "embedding", "centroid_id"
     )
     q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q"))
     probed = (
@@ -141,6 +148,12 @@ def ivf_train(emb: DataFrame, n_centroids: int = 8, iters: int = 3) -> DataFrame
         list(r["embedding"])
         for r in emb.orderBy("vec_id").limit(n_centroids).collect()
     ]
+    # fewer rows than requested centroids: train what exists (the rebuild
+    # below indexed past the collected list and crashed with IndexError)
+    n_centroids = min(n_centroids, len(cents))
+    if n_centroids == 0:
+        raise ValueError("ivf_train needs at least one embedding row")
+    cents = cents[:n_centroids]
     for _ in range(iters):
         assigned = _assign_to_literal_centroids(emb, cents)
         ex = assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
@@ -167,20 +180,7 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     """IVF-lite: deterministic centroids = embeddings of the n smallest
     vec_ids; every vector is assigned to its max-cosine centroid. Returns
     (centroid_id, n_vecs) — the inverted-file bucket sizes."""
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c"))
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("centroid_id").cast("long").alias("centroid_id"),
-        F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("sim"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    assigned = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    assigned = _assign_to_centroids(emb, _centroids(emb, n_centroids))
     return assigned.groupBy("centroid_id").agg(F.count("*").cast("long").alias("n_vecs"))
 
 
@@ -208,13 +208,28 @@ def hyperplanes(n: int, dim: int = 64, seed: int = 42) -> np.ndarray:
 
 
 def _bucket_expr(planes: np.ndarray) -> Column:
-    """Sign-bit signature of one band's hyperplane dot products."""
+    """Sign-bit signature of one band's hyperplane dot products.
+
+    Guarded on the embedding length: zip_with null-pads a dimension
+    mismatch, the dot goes NULL, every bit falls to 0, and ALL vectors
+    silently land in bucket 0 (one giant bucket → the near-dup candidate
+    join degenerates to all pairs). Fail loudly instead."""
+    dim = planes.shape[1]
     bucket = None
     for row in planes:
         lit = F.array([F.lit(float(v)) for v in row])
         bit = F.when(_dot(F.col("embedding"), lit) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket * 2 + bit
-    return bucket.cast("long")
+    ok = F.size("embedding") == dim
+    return F.when(ok, bucket.cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dimension mismatch: hyperplanes are {dim}-d, row has "),
+                F.size("embedding").cast("string"),
+                F.lit(" values — pass dim=<actual> to the LSH entry point"),
+            )
+        ).cast("long")
+    )
 
 
 def lsh_hyperplane_buckets(emb: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:

@@ -19,10 +19,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 WORD_SPLIT_RE = "[^a-z0-9]+"
 
 # tiny per-language stopword marker sets for the language-ID heuristic
+# the two languages the prediction (and its DuckDB oracle) actually
+# compare; a dead "zh" entry used to ship markers the pred could never
+# emit — and its pinyin "de" collided with the es marker set
 LANG_MARKERS = {
     "en": ["the", "and", "of", "a"],
     "es": ["el", "la", "los", "de"],
-    "zh": ["de", "shi", "le", "bu"],
 }
 
 
@@ -191,15 +193,20 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     At scale the candidate set (same mh0 bucket) is tiny relative to n², so
     the shingle self-join only touches candidate docs.
     """
-    sig = minhash_signatures(docs).select("doc_id", F.col("mh0").alias("bucket"))
+    # only mh0 is consumed as the bucket key: computing the other three
+    # aggregations over the exploded shingle set (the job's largest
+    # intermediate) was pure waste
+    sig = minhash_signatures(docs, n_hashes=1).select("doc_id", F.col("mh0").alias("bucket"))
     cand = sig.join(
         sig.groupBy("bucket").count().filter(F.col("count") > 1).select("bucket"),
         "bucket",
     ).select(F.col("doc_id").alias("cand_id"))
     sh = (
         docs.join(cand, docs.doc_id.cast("long") == cand.cand_id)
+        # no .distinct(): cand ids are distinct groupBy output and
+        # explode(array_distinct(...)) is per-doc unique already — the
+        # extra full shuffle deduplicated nothing
         .select(F.col("cand_id").alias("doc_id"), F.explode(F.array_distinct(shingles())).alias("sh"))
-        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -232,7 +239,10 @@ def split_assign(docs: DataFrame, train: float = 0.9, val: float = 0.05) -> Data
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
         % 100
     )
-    t, v = int(train * 100), int((train + val) * 100)
+    # round, not int(): float truncation shifted boundaries for many
+    # fractions (int(0.57*100) == 56), silently relabeling split buckets
+    # in a reproducibility-critical assigner
+    t, v = round(train * 100), round((train + val) * 100)
     split = (
         F.when(bucket < t, F.lit("train"))
         .when(bucket < v, F.lit("val"))
