@@ -504,9 +504,20 @@ def test_cli_lint_gate_and_prescription(spark, tmp_path):
     assert code == 1
     text = open(rx_p).read()
     assert "set column tokens encoding" in text
-    # severity filter + rule filter paths run
+    # severity filter + rule filter paths run; a typo'd rule name must
+    # fail LOUDLY (it used to silently filter to zero rows and weaken the
+    # CI gate to exit 0)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="unknown rule"):
+        cli.main(
+            ["lint", in_p, "--fraction", "0.5", "--severity", "error",
+             "--rules", "no-such-rule"],
+            spark=spark,
+        )
     assert cli.main(
-        ["lint", in_p, "--fraction", "0.5", "--severity", "error", "--rules", "no-such-rule"],
+        ["lint", in_p, "--fraction", "0.5", "--severity", "error",
+         "--rules", "dictionary-encoding-cardinality, fsst-symbol-table"],
         spark=spark,
     ) in (0, 1)
 

@@ -197,7 +197,7 @@ def cmd_lint(args, spark=None) -> int:
         df = read_sequences(spark, args.input, format=args.format)
         decisions = lint_job.lint(spark, df, fraction=args.fraction)
         if args.rules:
-            decisions = decisions.filter(F.col("rule").isin(args.rules.split(",")))
+            decisions = decisions.filter(F.col("rule").isin(_parse_rules(args.rules)))
         decisions = decisions.cache()
         rows = decisions.collect()
         floor = SEVERITY_RANK[args.severity]
@@ -223,6 +223,28 @@ def cmd_lint(args, spark=None) -> int:
             spark.stop()
 
 
+# every rule name a lint decision row can carry — `--rules` typos must fail
+# loudly instead of silently filtering the CI gate down to zero rows
+KNOWN_RULES = frozenset({
+    "dictionary-encoding-cardinality", "timestamp-delta-encoding",
+    "frame-of-reference", "run-length", "fsst-symbol-table",
+    "low-compression-ratio", "bool-bitpack", "float-byte-stream-split",
+    "string-byte-array-encoding", "delta-byte-array-front-coding",
+    "forced", "enable-dictionary", "disable-dictionary",
+    "dictionary-overflow", "no-evidence", "ok",
+})
+
+
+def _parse_rules(arg: str) -> list[str]:
+    names = [r.strip() for r in arg.split(",") if r.strip()]
+    unknown = sorted(set(names) - KNOWN_RULES)
+    if unknown:
+        raise SystemExit(
+            f"unknown rule name(s) {unknown}; valid: {sorted(KNOWN_RULES)}"
+        )
+    return names
+
+
 def cmd_rewrite(args, spark=None) -> int:
     from . import encode_job, lint_job
     from .plan import Prescription
@@ -233,8 +255,19 @@ def cmd_rewrite(args, spark=None) -> int:
             if args.from_prescription:
                 print("--from-evidence and --from-prescription are exclusive", file=sys.stderr)
                 return 2
+            if args.rules:
+                # rewrite_from_evidence applies every evidence fix; silently
+                # honoring a --rules subset would mislead exactly like the
+                # --from-prescription case below
+                print("--rules filters lint decisions; it has no effect with "
+                      "--from-evidence", file=sys.stderr)
+                return 2
+            if args.export_prescription:
+                print("--export-prescription writes the lint-derived DSL; "
+                      "--from-evidence rewrites from stored metrics and has "
+                      "none to export", file=sys.stderr)
+                return 2
             if args.dry_run:
-                from . import lint_job
                 from pyspark.sql import functions as F
 
                 ev = lint_job.lint_encoded(spark, args.input).filter(
@@ -261,7 +294,7 @@ def cmd_rewrite(args, spark=None) -> int:
             if args.rules:
                 from pyspark.sql import functions as F
 
-                decisions = decisions.filter(F.col("rule").isin(args.rules.split(",")))
+                decisions = decisions.filter(F.col("rule").isin(_parse_rules(args.rules)))
             # decisions carry per-chunk sample_fraction; no extra rescale
             rx = lint_job.prescription_from_decisions(decisions)
         for err in rx.validate():

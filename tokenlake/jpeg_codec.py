@@ -147,6 +147,8 @@ def _destuff(scan: bytes) -> tuple[bytes, list[int]]:
         if m == 0x00:
             out.append(0xFF)
             i += 2
+        elif m == 0xFF:  # fill byte before a marker (B.1.1.2) — skip one
+            i += 1
         elif 0xD0 <= m <= 0xD7:  # RSTn: restart boundary
             bounds.append(len(out))
             i += 2
@@ -225,6 +227,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if frame is not None and ns != len(frame[2]):
+                raise ValueError(
+                    f"non-interleaved JPEG (scan covers {ns} of "
+                    f"{len(frame[2])} components) — only single-scan "
+                    "interleaved baseline decodes here"
+                )
             sel = {}  # cid → (dc table, ac table)
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]

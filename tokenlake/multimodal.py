@@ -154,6 +154,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, idat, hdr = 8, [], None
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            # declared length overruns the buffer: raise the family's
+            # uniform ValueError instead of letting the CRC unpack_from
+            # throw struct.error (or silently CRC-check truncated data)
+            raise ValueError("truncated PNG chunk (declared length overruns payload)")
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)

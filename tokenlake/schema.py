@@ -115,13 +115,17 @@ def _gen_profile(name: str, rng: np.random.Generator, rows: int, lo: int, hi: in
 
 
 def _ragged_arange(lens: np.ndarray) -> np.ndarray:
-    """[0..lens[0]-1, 0..lens[1]-1, ...] vectorized."""
+    """[0..lens[0]-1, 0..lens[1]-1, ...] vectorized. Zero-length entries are
+    handled exactly (the old cumsum-reset formulation let a later reset
+    overwrite an earlier one at the shared start index, silently corrupting
+    the counters after any empty row; zero TOTAL IndexErrored)."""
+    lens = np.asarray(lens, dtype=np.int64)
     total = int(lens.sum())
-    out = np.ones(total, dtype=np.int64)
-    out[0] = 0
-    starts = np.cumsum(lens)[:-1]
-    out[starts] = 1 - lens[:-1]
-    return np.cumsum(out)
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.zeros(len(lens), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
 
 def _gen_edge(rng: np.random.Generator, rows: int):
@@ -224,7 +228,7 @@ def sequences_from_documents(spark, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.expr(
         "transform(filter(split(lower(text), '[^a-z0-9]+'), w -> w <> ''), "
-        "w -> cast(abs(hash(w)) % 65536 as int))"
+        "w -> cast(abs(cast(hash(w) as bigint)) % 65536 as int))"
     )
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),

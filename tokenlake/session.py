@@ -33,7 +33,12 @@ def get_spark(
             shuffle_partitions = int(os.environ.get("TOKENLAKE_SHUFFLE_PARTITIONS", "64"))
         else:
             n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-            shuffle_partitions = 32 if n == "*" else max(8, int(n))
+            # local[4,2] (maxFailures) and local-cluster[2,1,1024] are valid
+            # master forms: take the FIRST bracket field; anything
+            # unparsable falls back to the 32-core default instead of
+            # crashing before the session even builds
+            head = n.split(",")[0].strip()
+            shuffle_partitions = 32 if not head.isdigit() else max(8, int(head))
     builder = SparkSession.builder
     if not inherit:
         builder = builder.master(master)
