@@ -98,7 +98,9 @@ def test_fetch_midstream_failure_leaves_no_part_orphan(tmp_path, monkeypatch):
         def read(self, n=-1):
             raise OSError("connection reset mid-stream")
 
-    monkeypatch.setattr(urllib.request, "urlopen", lambda url: DyingReader())
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda url, timeout=None: DyingReader()
+    )
     dest = tmp_path / "obj.bin"
     with pytest.raises(OSError, match="mid-stream"):
         fetch_if_missing("file:///irrelevant", str(dest))
@@ -154,3 +156,100 @@ def test_fetch_cli_manifest_resumes(tmp_path, capsys):
     assert '"skipped": 3' in out2
     for i, d in enumerate(dests):
         assert d.read_bytes() == bytes([i]) * 100
+
+
+# --- S7 live http(s) branch: loopback server, no external data ---
+
+
+def _loopback_server(handler_cls):
+    """Start an HTTP server on 127.0.0.1:<ephemeral>; returns (server, port).
+    Caller must .shutdown() + .server_close()."""
+    import http.server
+    import threading
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+def test_fetch_http_loopback_roundtrip_and_skip(tmp_path):
+    """The real urllib http branch (streaming copy, atomic rename,
+    skip-if-exists) against a loopback http.server — no external data."""
+    import http.server
+
+    from tokenlake.io_sources import fetch_if_missing
+
+    body = bytes(range(256)) * 1024  # 256 KiB, multiple copy chunks at 4 KiB
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv, port = _loopback_server(Handler)
+    try:
+        dest = tmp_path / "fetched" / "obj.bin"
+        url = f"http://127.0.0.1:{port}/obj.bin"
+        assert fetch_if_missing(url, str(dest), chunk_bytes=4096) is True
+        assert dest.read_bytes() == body
+        assert not list(dest.parent.glob(dest.name + ".part*"))
+        # idempotence over the SAME http branch: second call skips
+        assert fetch_if_missing(url, str(dest)) is False
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_fetch_http_midbody_drop_is_atomic_and_cli_resumable(tmp_path, capsys):
+    """A server that advertises more bytes than it sends (connection drop
+    mid-body): the fetch must raise, leave NO destination and NO .part
+    orphan (the atomic-rename contract), and the CLI manifest loop must
+    treat it as a resumable failure (exit 1 + summary), not a crash —
+    IncompleteRead is an HTTPException, not an OSError."""
+    import http.server
+
+    import pytest
+
+    from tokenlake.cli import main
+    from tokenlake.io_sources import fetch_if_missing
+
+    class TruncatingHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", "100000")
+            self.end_headers()
+            self.wfile.write(b"x" * 100)
+            self.wfile.flush()
+            # drop the socket mid-body: client sees IncompleteRead
+            self.connection.close()
+
+        def log_message(self, *a):
+            pass
+
+    srv, port = _loopback_server(TruncatingHandler)
+    try:
+        dest = tmp_path / "truncated.bin"
+        url = f"http://127.0.0.1:{port}/t.bin"
+        with pytest.raises(Exception):
+            fetch_if_missing(url, str(dest), chunk_bytes=4096)
+        assert not dest.exists()
+        assert not list(tmp_path.glob("truncated.bin.part*"))
+
+        # CLI: good file first, truncating URL second -> resumable exit 1
+        good = tmp_path / "good.bin"
+        good.write_bytes(b"ok" * 50)
+        dests = [tmp_path / "out" / "f0.bin", tmp_path / "out" / "f1.bin"]
+        man = tmp_path / "man.txt"
+        man.write_text(f"{good.as_uri()} {dests[0]}\n{url} {dests[1]}\n")
+        assert main(["fetch", "--manifest", str(man)]) == 1
+        out = capsys.readouterr()
+        assert '"failed_at": 1' in out.out
+        assert dests[0].exists() and not dests[1].exists()
+    finally:
+        srv.shutdown()
+        srv.server_close()

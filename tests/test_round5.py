@@ -695,20 +695,25 @@ def test_dedup_and_resume_joins_broadcast_via_aqe(spark, tmp_path):
 # ------------------------------------------ sampled string-codec screen
 
 def test_pick_str_codec_head_sample():
-    """Past 16 Ki values the trial race runs on the head sample and returns
-    body=None (caller encodes the winner once); the sampled pick matches
+    """Past 16 Ki values the trial race runs on the head sample; a
+    non-plain sampled winner is then encoded in FULL and size-checked
+    against full plain (round-6: the R3 never-worse-than-plain guarantee
+    must hold on the whole chunk), so the full body comes back and the
+    caller reuses it instead of encoding twice. The sampled pick matches
     the full-race pick on sorted-id and low-cardinality shapes."""
+    from tokenlake.codecs.strcodecs import enc_str_plain
     from tokenlake.encode_job import _STR_TRIAL_ROWS, _pick_str_codec
 
     big_sorted = pa.array([f"web-{i:012d}" for i in range(_STR_TRIAL_ROWS * 2)])
     codec, body, _ = _pick_str_codec(big_sorted)
-    assert codec == "str_prefix" and body is None
+    assert codec == "str_prefix" and body is not None
+    assert len(body) <= 0.95 * len(enc_str_plain(big_sorted))  # R3, full chunk
     small_sorted = pa.array([f"web-{i:012d}" for i in range(1000)])
     codec_s, body_s, _ = _pick_str_codec(small_sorted)
     assert codec_s == "str_prefix" and body_s is not None  # full race keeps body
     lowcard = pa.array([f"s{i % 5}" for i in range(_STR_TRIAL_ROWS * 2)])
     codec_l, body_l, _ = _pick_str_codec(lowcard)
-    assert codec_l == "str_dict" and body_l is None
+    assert codec_l == "str_dict" and body_l is not None
 
 
 # ------------------------------------------ real media decoders (round 5)

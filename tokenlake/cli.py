@@ -36,6 +36,7 @@ needs its own reader and its north rule demands a bit-identity gate):
 from __future__ import annotations
 
 import argparse
+import http.client as _http_client
 import json
 import sys
 
@@ -493,10 +494,12 @@ def cmd_fetch(args) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
-        except OSError as e:
-            # URLError/HTTPError are OSError subclasses. Fail fast like the
-            # reference's loop, but cleanly: completed files stay on disk,
-            # so re-running the same manifest resumes at this entry.
+        except (OSError, _http_client.HTTPException) as e:
+            # URLError/HTTPError are OSError subclasses; a server that drops
+            # the connection mid-body raises IncompleteRead (HTTPException,
+            # NOT an OSError). Fail fast like the reference's loop, but
+            # cleanly: completed files stay on disk, so re-running the same
+            # manifest resumes at this entry.
             print(f"fetch #{i} failed: {url}: {e}", file=sys.stderr)
             print(json.dumps({"fetched": fetched, "skipped": skipped, "failed_at": i}))
             return 1

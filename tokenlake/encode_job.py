@@ -207,9 +207,12 @@ def _pick_str_codec(valid: pa.Array, allow_dict: bool = True) -> tuple[str, byte
     cardinality says the table pays (R1 on strings,
     dictionary_encoding.rs:312-477), keep the winner under the R3 ≥5% rule.
 
-    Past _STR_TRIAL_ROWS values the race runs on a HEAD SAMPLE and only
-    the winner is encoded in full (body=None tells the caller to do that
-    one encode) — the sampled discipline every other column follows.
+    Past _STR_TRIAL_ROWS values the race runs on a HEAD SAMPLE — the
+    sampled discipline every other column follows. A non-plain sampled
+    winner is then encoded in full and size-checked against full plain
+    (the int paths' escape hatch), so R3 holds on the whole chunk even
+    when the tail's cardinality diverges from the head's; a plain sampled
+    winner returns body=None and the caller does the one full encode.
     Chunks arrive doc_id-sorted, so a head sample sees the same
     shared-prefix / cardinality structure as the whole chunk."""
     from .codecs.strcodecs import enc_str_dict, enc_str_plain, enc_str_prefix
@@ -227,6 +230,21 @@ def _pick_str_codec(valid: pa.Array, allow_dict: bool = True) -> tuple[str, byte
     # R3: a winner that saves <5% vs plain isn't worth the decode detour
     if best != "str_plain" and len(bodies[best]) > 0.95 * len(bodies["str_plain"]):
         best = "str_plain"
+    if sampled and best != "str_plain":
+        # the head sample picked a non-plain winner: the R3 never-worse-
+        # than-plain guarantee must hold on the FULL chunk, not the head —
+        # a chunk whose head is low-cardinality but whose tail is high-
+        # cardinality would otherwise ship a str_dict payload larger than
+        # plain. Encode the winner AND plain in full (plain is one buffer
+        # copy + a FOR pack over lengths) and keep whichever actually won;
+        # the full body is returned so callers don't encode a second time.
+        full = {"str_dict": enc_str_dict, "str_prefix": enc_str_prefix}[best](valid)
+        full_plain = enc_str_plain(valid)
+        if len(full) > 0.95 * len(full_plain):
+            best, bodies = "str_plain", {"str_plain": full_plain}
+        else:
+            bodies = {best: full}
+        sampled = False  # bodies[best] now covers the whole chunk
     rule = {
         "str_plain": "string-byte-array-encoding",
         "str_prefix": "delta-byte-array-front-coding",
@@ -1007,10 +1025,14 @@ def run(
     if enc_max is not None and enc_max >= attempt:
         attempt = enc_max + 1
 
-    if done is not None:
-        # appending a DIFFERENT column set would leave attempt dirs with
-        # divergent parquet schemas; a later read picks one footer and the
-        # other attempts' extra payloads silently vanish. Refuse up front.
+    if done is not None or enc_max is not None:
+        # an existing encoded table — whether it has lineage or not (a
+        # direct-Arrow attempt dir, or a crash between the encoded and
+        # lineage writes, leaves attempt dirs with no lineage rows) — must
+        # pass the append-compatibility guards below. Appending a DIFFERENT
+        # column set would leave attempt dirs with divergent parquet
+        # schemas; a later read picks one footer and the other attempts'
+        # extra payloads silently vanish. Refuse up front.
         try:
             stored = spark.read.parquet(enc_path)
             have = {
@@ -1069,6 +1091,34 @@ def run(
                         )
                         + "; cast the input to the stored types or use a new out_dir"
                     )
+                # the metrics DDL erases the TIME tick unit (all four units
+                # store as 'time(6)'), and the zone-map / bloom probes sniff
+                # the unit from ONE chunk's frame header and apply it column-
+                # wide — so an append must not mix tick units under a
+                # matching DDL. Spark's TIME(p) interchanges as time64[ns]
+                # (container.py:57), so a table whose existing chunks store
+                # any other carrier (a direct-Arrow attempt written with
+                # time64[us]/time32) cannot take a Spark append.
+                from .codecs.container import (
+                    DT_TIME_MS, DT_TIME_NS, DT_TIME_S, DT_TIME_US,
+                )
+                from .decode_job import _stored_dtype_code
+
+                _unit = {DT_TIME_NS: "time64[ns]", DT_TIME_US: "time64[us]",
+                         DT_TIME_MS: "time32[ms]", DT_TIME_S: "time32[s]"}
+                for c, ddl in stored_types.items():
+                    if "time(6)" not in ddl or c not in extras:
+                        continue
+                    code = _stored_dtype_code(stored, c)
+                    if code is not None and code != DT_TIME_NS:
+                        raise ValueError(
+                            f"append tick-unit mismatch at {out_dir!r}: column "
+                            f"{c!r} stores {_unit.get(code, code)!r} "
+                            "carriers but a Spark TIME(p) append would store "
+                            "time64[ns]; mixed units under one 'time(6)' DDL "
+                            "would mis-scale zone-map and bloom probes — "
+                            "re-encode into a fresh out_dir instead"
+                        )
 
     skipped = 0
     if resume and done is not None:

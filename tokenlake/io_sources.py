@@ -93,7 +93,6 @@ def fetch_if_missing(url: str, destination: str, chunk_bytes: int = 1 << 20) -> 
 
     Returns True if fetched, False if skipped.
     """
-    import shutil
     import urllib.parse
     import urllib.request
 
@@ -114,8 +113,29 @@ def fetch_if_missing(url: str, destination: str, chunk_bytes: int = 1 << 20) -> 
     # complete content
     part = f"{destination}.part.{os.getpid()}.{threading.get_ident()}"
     try:
-        with urllib.request.urlopen(url) as src, open(part, "wb") as dst:
-            shutil.copyfileobj(src, dst, chunk_bytes)
+        # timeout: a stalled remote must surface as the OSError the manifest
+        # loop handles resumably, not hang the copy loop on a dead socket
+        with urllib.request.urlopen(url, timeout=60) as src, open(part, "wb") as dst:
+            # copyfileobj would be the obvious loop, but it stops silently
+            # when read() returns b"" — and http.client deliberately does
+            # NOT raise on a length-known body cut short by a connection
+            # drop, so a truncated file would rename into place and the
+            # skip-if-exists check would treat it as complete forever.
+            # Count bytes and verify against Content-Length when declared.
+            length = getattr(src, "headers", None)
+            expected = length.get("Content-Length") if length is not None else None
+            written = 0
+            while True:
+                buf = src.read(chunk_bytes)
+                if not buf:
+                    break
+                dst.write(buf)
+                written += len(buf)
+            if expected is not None and written != int(expected):
+                raise OSError(
+                    f"truncated fetch of {url!r}: got {written} of "
+                    f"{expected} bytes (connection dropped mid-body)"
+                )
             dst.flush()
             os.fsync(dst.fileno())
         os.replace(part, destination)

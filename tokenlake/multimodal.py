@@ -199,21 +199,31 @@ def decode_png(payload: bytes) -> np.ndarray:
             ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up (uint8 wraparound add)
             out[y] = r + prev
-        elif f == 3:  # Average — per-pixel recurrence
-            cur = out[y]
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                cur[i] = (int(r[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth — per-pixel recurrence
-            cur = out[y]
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+        elif f == 3:  # Average — inherent left-neighbor recurrence; run it
+            # over plain Python lists (one bulk tolist per row) instead of
+            # per-element numpy indexing, which boxes a scalar every access
+            rl, pl = r.tolist(), prev.tolist()
+            cur = [0] * stride
+            for i in range(ch):
+                cur[i] = (rl[i] + (pl[i] >> 1)) & 0xFF
+            for i in range(ch, stride):
+                cur[i] = (rl[i] + ((cur[i - ch] + pl[i]) >> 1)) & 0xFF
+            out[y] = cur
+        elif f == 4:  # Paeth — same recurrence treatment as Average
+            rl, pl = r.tolist(), prev.tolist()
+            cur = [0] * stride
+            for i in range(ch):
+                # a = c = 0: predictor reduces to b = prev[i]
+                cur[i] = (rl[i] + pl[i]) & 0xFF
+            for i in range(ch, stride):
+                a, b, c = cur[i - ch], pl[i], pl[i - ch]
                 p = a + b - c
-                pa, pb, pc2 = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc2 = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc2) else b if pb <= pc2 else c
-                cur[i] = (int(r[i]) + pred) & 0xFF
+                cur[i] = (rl[i] + pred) & 0xFF
+            out[y] = cur
         else:
             raise ValueError(f"unknown PNG filter type {f}")
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
