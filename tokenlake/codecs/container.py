@@ -93,6 +93,13 @@ _WIDE_DTYPES = frozenset({DT_INT64, DT_FLOAT64, DT_TIMESTAMP_US, DT_TIMESTAMP_TZ
 _STR_DTYPES = frozenset({DT_STRING, DT_BINARY, DT_FIXED_BINARY})
 
 FLAG_NULLS = 1  # body carries a validity-bitmap section
+# FLAG_BLOCKED (list columns only): the body is an intra-chunk block index —
+# <I block_rows> <I nblocks> <Q offsets[nblocks+1]> concat(inner frames) —
+# each inner frame a complete FLAG_LIST frame over `block_rows` rows with its
+# own outer layer. R10's `small-pages` physical knob
+# (vector_embedding.rs:19-76): a point lookup decodes only the block(s)
+# holding its rows, O(doc) payload bytes instead of the whole chunk.
+FLAG_BLOCKED = 4
 # list-typed payload: body = u32 lengths_frame_len | lengths_frame |
 # values_frame, both full TL frames (outer "none" inside — the composite's
 # own outer covers everything once). The header's codec byte is the VALUES
@@ -471,7 +478,11 @@ def encode_any_column(arr: pa.Array, codec: str, outer: str = "auto") -> bytes:
 
 
 def encode_list_column(
-    arr: pa.Array, values_codec: str, outer: str = "auto", values_body: bytes | None = None
+    arr: pa.Array,
+    values_codec: str,
+    outer: str = "auto",
+    values_body: bytes | None = None,
+    block_rows: int | None = None,
 ) -> bytes:
     """Encode an arrow list array of ANY supported scalar element type.
 
@@ -479,9 +490,33 @@ def encode_list_column(
     each become a full inner TL frame — self-describing, so decode needs no
     side channel. Lengths use FOR (a fixed-fanout embedding column packs to
     ~zero bits; ragged fanouts stay near their entropy); values run the
-    caller-selected codec. Null rows and null elements are both preserved."""
+    caller-selected codec. Null rows and null elements are both preserved.
+
+    `block_rows` (R10 small-pages): split the column into independently
+    decodable blocks of that many rows behind an offset index
+    (FLAG_BLOCKED) so `decode_list_rows` can decode O(rows-wanted) bytes."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if block_rows is not None and len(arr) > block_rows:
+        t0 = arr.type
+        if pa.types.is_fixed_size_list(t0):
+            arr = arr.cast(pa.list_(t0.value_type))
+        subs = [
+            encode_list_column(arr.slice(i, block_rows), values_codec, outer=outer)
+            for i in range(0, len(arr), block_rows)
+        ]
+        offs = np.zeros(len(subs) + 1, np.uint64)
+        np.cumsum([len(s) for s in subs], out=offs[1:])
+        body = struct.pack("<II", block_rows, len(subs)) + offs.tobytes() + b"".join(subs)
+        elem_dtype = dtype_of_arrow(arr.type.value_type)
+        cid = (
+            strcodecs.STR_CODEC_IDS[values_codec]
+            if values_codec in strcodecs.STR_CODEC_IDS
+            else intcodecs.INT_CODEC_IDS[values_codec]
+        )
+        # blocks compress individually; an outer layer over the index would
+        # force a whole-frame decompress and defeat the random access
+        return wrap(cid, body, "none", elem_dtype, FLAG_LIST | FLAG_BLOCKED)
     t = arr.type
     if pa.types.is_fixed_size_list(t):
         arr = arr.cast(pa.list_(t.value_type))
@@ -510,6 +545,46 @@ def encode_list_column(
         else intcodecs.INT_CODEC_IDS[values_codec]
     )
     return wrap(cid, body, outer, elem_dtype, FLAG_LIST)
+
+
+def _blocked_index(body: memoryview) -> tuple[int, int, np.ndarray, int]:
+    """Parse a FLAG_BLOCKED body → (block_rows, nblocks, offsets, data_off)."""
+    block_rows, nblocks = struct.unpack_from("<II", body, 0)
+    offs = np.frombuffer(body, np.uint64, count=nblocks + 1, offset=8)
+    return block_rows, nblocks, offs, 8 + (nblocks + 1) * 8
+
+
+def _blocked_frames(body: memoryview):
+    block_rows, nblocks, offs, base = _blocked_index(body)
+    for i in range(nblocks):
+        yield body[base + int(offs[i]) : base + int(offs[i + 1])]
+
+
+def decode_list_rows(
+    buf: bytes | memoryview, indices: np.ndarray
+) -> tuple[pa.Array, int]:
+    """Random-access decode of specific ROWS of a list column payload →
+    (rows in ascending-index order, payload bytes actually decoded).
+
+    On a FLAG_BLOCKED frame only the blocks covering `indices` are decoded
+    — the R10 small-pages contract: a point lookup touches O(rows-wanted)
+    bytes. Any other frame decodes fully and takes (byte count = whole
+    payload), so callers need no format knowledge."""
+    idx = np.sort(np.asarray(indices, np.int64))
+    cid, body, dtype, flags = unwrap(buf)
+    if not (flags & FLAG_BLOCKED):
+        arr = decode_column_arrow(buf)
+        return arr.take(pa.array(idx, pa.int64())), len(buf)
+    block_rows, nblocks, offs, base = _blocked_index(body)
+    parts = []
+    touched = base + len(buf) - len(body)  # index + frame header bytes
+    for b in np.unique(idx // block_rows):
+        frame = body[base + int(offs[b]) : base + int(offs[b + 1])]
+        sub = decode_column_arrow(frame)
+        local = idx[(idx >= b * block_rows) & (idx < (b + 1) * block_rows)] - b * block_rows
+        parts.append(sub.take(pa.array(local, pa.int64())))
+        touched += len(frame)
+    return pa.concat_arrays(parts), touched
 
 
 def _decode_list_body(body: memoryview, dtype: int) -> pa.Array:
@@ -571,6 +646,9 @@ def decode_column_arrow(buf: bytes | memoryview) -> pa.Array:
     restored at their original positions. List payloads (FLAG_LIST) decode
     to pa.list_ arrays with int32 offsets — Spark's interchange shape."""
     cid, body, dtype, flags = unwrap(buf)
+    if flags & FLAG_BLOCKED:
+        parts = [decode_column_arrow(f) for f in _blocked_frames(body)]
+        return pa.concat_arrays(parts)
     if flags & FLAG_LIST:
         return _decode_list_body(body, dtype)
     valid = None

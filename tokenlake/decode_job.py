@@ -136,6 +136,39 @@ def decode_chunk_row(
     return pa.table({c: arrays[c] for c in columns})
 
 
+def decode_chunk_rows_for_ids(
+    payloads: dict[str, bytes], want_ids: set, columns: tuple[str, ...]
+) -> tuple[pa.Table, int]:
+    """Point-lookup decode of ONE chunk: only the rows whose doc_id is in
+    `want_ids` — and for FLAG_BLOCKED extras (the R10 small-pages knob)
+    only the payload BLOCKS covering those rows. Returns (rows, payload
+    bytes actually decoded) so tests and tooling can assert the random-
+    access contract; canonical columns decode whole (tokens' flat stream
+    is offset-addressed through n_tok, not blocked) and count fully."""
+    from .codecs.container import decode_list_rows
+
+    doc = _narrow(decode_column_arrow(payloads["doc_id"]))
+    mask = pa.compute.is_in(doc, value_set=pa.array(sorted(want_ids), doc.type))
+    idx = np.nonzero(np.asarray(pa.compute.fill_null(mask, False)))[0]
+    canonical = tuple(c for c in columns if c in ALL_COLUMNS)
+    extras = [c for c in columns if c not in ALL_COLUMNS]
+    touched = len(payloads["doc_id"])
+    arrays: dict[str, pa.Array] = {}
+    if canonical:
+        base = decode_chunk_row(payloads, canonical)
+        touched += sum(
+            len(payloads[p]) for p in _payloads_for(canonical) if p != "doc_id"
+        )
+        taken = base.take(idx)
+        for c in canonical:
+            arrays[c] = taken.column(c).combine_chunks()
+    for c in extras:
+        vals, t = decode_list_rows(payloads[c], idx)
+        arrays[c] = _narrow(vals)
+        touched += t
+    return pa.table({c: arrays[c] for c in columns}), touched
+
+
 def decode_chunk(t: pa.Table) -> pa.Table:
     """Decode a table of encoded chunk rows (kernel entry; also usable
     standalone on a driver-side pyarrow table). Canonical columns only."""
@@ -567,6 +600,23 @@ def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
 
         pruned = pruned.filter(admits(_column_bloom_expr(enc, "doc_id")))
     pruned = dedup_attempts(pruned)
-    return decode_dataframe(pruned, extra_types=extra_types_of(enc)).filter(
-        F.col("doc_id").isin(list(doc_ids))
-    )
+    # row-targeted decode: only matched rows materialize, and FLAG_BLOCKED
+    # extras (R10 small-pages) decode only the blocks covering them —
+    # O(#ids) payload bytes per candidate chunk instead of the whole chunk
+    extra_types = extra_types_of(enc)
+    cols = (*ALL_COLUMNS, *extra_types)
+    need = _payloads_for(cols, extra_types)
+    schema = ", ".join(f"{c} {_COLUMN_TYPES.get(c) or extra_types[c]}" for c in cols)
+    want = set(doc_ids)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            for i in range(t.num_rows):
+                out, _ = decode_chunk_rows_for_ids(
+                    {c: t.column(f"payload_{c}")[i].as_py() for c in need}, want, cols
+                )
+                if out.num_rows:
+                    yield from out.to_batches()
+
+    return pruned.select(*[f"payload_{p}" for p in need]).mapInArrow(fn, schema)

@@ -45,7 +45,7 @@ COLMETA_FIELDS = (
     "column string, codec string, outer string, dtype string, n_values long, "
     "null_count long, encoded_bytes long, raw_bytes long, rule string, "
     "min_val long, max_val long, distinct_est long, elapsed_ms double, "
-    "bloom binary"
+    "outer_trial_ratio double, bloom binary"
 )
 
 _COLMETA_ARROW = pa.struct(
@@ -63,6 +63,11 @@ _COLMETA_ARROW = pa.struct(
         ("max_val", pa.int64()),
         ("distinct_est", pa.int64()),
         ("elapsed_ms", pa.float64()),
+        # evidence for the compression tier of lint_encoded: the bounded
+        # zstd tail-sample trial ratio over the STORED payload, recorded
+        # only when the stored outer is 'none' (0.0 otherwise / too small).
+        # Lets the R2/R3 analogs fire from metrics alone — no payload read.
+        ("outer_trial_ratio", pa.float64()),
         # per-column membership filter (reference bloom directives are
         # per-column, prescription.rs:113-130 / fix.rs:168-182); the tokens
         # filter stays in the top-level `bloom` column (its historical slot)
@@ -319,6 +324,15 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     from .codecs.container import DT_FIXED_BINARY
 
     values = arr.flatten()
+    # R10 small-pages knob: a per-column data_page_size_limit splits the
+    # list payload into independently decodable blocks sized to the byte
+    # budget, so lookup() decodes O(doc) embedding bytes (FLAG_BLOCKED)
+    block_rows = None
+    page_limit = cfg.page_limit_for(name)
+    if page_limit and len(arr):
+        val_bytes = sum(len(b) for b in (values.buffers() or []) if b is not None)
+        per_row = max(1, val_bytes // max(1, len(arr)))
+        block_rows = max(16, page_limit // per_row)
     valid = values.drop_null() if values.null_count else values
     if is_string_kind(elem):
         trial = valid.cast(pa.large_binary()) if elem == DT_FIXED_BINARY else valid
@@ -327,10 +341,10 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
             codec, rule = _coerce_str_codec(forced), "forced"
         else:
             codec, body, rule = _pick_str_codec(trial, allow_dict=f"!dict:{name}" not in cfg.overrides)
-        if elem == DT_FIXED_BINARY or values.null_count:
+        if elem == DT_FIXED_BINARY or values.null_count or block_rows:
             body = None  # fsb needs its width header; nulls need the bitmap
         return (
-            encode_list_column(arr, codec, outer, values_body=body),
+            encode_list_column(arr, codec, outer, values_body=body, block_rows=block_rows),
             None,
             rule,
             len(values),
@@ -338,7 +352,7 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
         )
     if elem == DT_BOOL:
         return (
-            encode_list_column(arr, forced or "for", outer),
+            encode_list_column(arr, forced or "for", outer, block_rows=block_rows),
             None,
             "bool-bitpack",
             len(values),
@@ -360,13 +374,13 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
             dict_page_limit=cfg.dict_limit_for(name),
             wide=wide,
         )
-    payload = encode_list_column(arr, d.codec, outer)
+    payload = encode_list_column(arr, d.codec, outer, block_rows=block_rows)
     from .codecs.container import DT_DECIMAL128
 
     elem_bytes = 16 if elem == DT_DECIMAL128 else 8 if wide else 4
     if d.codec not in ("plain", "bss") and len(payload) > len(view) * elem_bytes + 128:
         # hard guarantee: never worse than plain (R3 escape hatch)
-        payload = encode_list_column(arr, "plain", outer)
+        payload = encode_list_column(arr, "plain", outer, block_rows=block_rows)
         d = select_codec(view, st, forced="plain", wide=wide)
     st = _patch_decimal128_stats(st, valid, elem)
     return payload, st, d.rule, len(values), ddl
@@ -617,6 +631,17 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
         payloads[column] = payload
         if bloom is not None:
             chunk_bloom[0] = bloom
+        # compression evidence for lint_encoded: when the stored frame is
+        # NOT outer-compressed (auto declined, or the user forced none),
+        # record the same bounded zstd tail-sample trial wrap() uses —
+        # evidence the R2 analog reads later without touching payloads.
+        # Skipped for tiny frames where codec framing dominates the ratio.
+        trial = 0.0
+        if outer_name == "none" and len(payload) >= 4096:
+            from .codecs.container import ZSTD_LEVEL, _TRIAL_BYTES, _outer_compress
+
+            tail = payload[-_TRIAL_BYTES:]
+            trial = len(_outer_compress("zstd", ZSTD_LEVEL, tail)) / len(tail)
         col_meta.append(
             {
                 "column": column,
@@ -632,6 +657,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "max_val": stats.max_val if stats and keep_stats else 0,
                 "distinct_est": stats.distinct_est if stats and keep_stats else 0,
                 "elapsed_ms": (time.perf_counter() - (t_start or t0)) * 1000,
+                "outer_trial_ratio": trial,
                 "bloom": col_bloom,
             }
         )
@@ -842,6 +868,11 @@ def column_metrics(encoded: DataFrame) -> DataFrame:
         F.col("c.max_val").alias("max_val"),
         F.col("c.distinct_est").alias("distinct_est"),
         F.col("c.elapsed_ms").alias("elapsed_ms"),
+        (
+            F.col("c.outer_trial_ratio")
+            if "outer_trial_ratio" in meta_fields
+            else F.lit(0.0)  # pre-r6 tables: no stored trial → no evidence
+        ).alias("outer_trial_ratio"),
         (
             (F.col("chunk_has_bloom") & (F.col("c.column") == "tokens"))
             | (
@@ -1201,8 +1232,10 @@ def rewrite_from_evidence(
     """Close the evidence→rewrite loop (the reference's lint→rewrite
     lifecycle, cli/main.rs:186-199, applied to the engine's own format at
     CHUNK granularity): re-encode ONLY the chunks whose stored-evidence
-    lint (lint_encoded) says enable-dictionary / disable-dictionary, and
-    copy every other chunk — payloads byte-identical — plus its lineage.
+    lint (lint_encoded) says enable-dictionary / disable-dictionary /
+    enable-compression / disable-compression — the full rule-family set,
+    not just the dictionary tier — and copy every other chunk — payloads
+    byte-identical — plus its lineage.
 
     The re-encode FORCES the evidence's verdict — enable-dictionary →
     `dict`, disable-dictionary → the !dict marker — rather than merely
@@ -1244,7 +1277,13 @@ def rewrite_from_evidence(
         )
 
     ev = lint_encoded(spark, src_dir).filter(
-        F.col("rule").isin("enable-dictionary", "disable-dictionary")
+        F.col("rule").isin(
+            "enable-dictionary", "disable-dictionary",
+            # round 6: the compression tier's verdicts re-encode too — the
+            # reference's rewrite applies the FULL merged prescription
+            # (cli/main.rs:186-230), not just the dictionary rules
+            "enable-compression", "disable-compression",
+        )
     )
     flagged = ev.select("chunk_id").distinct()
     # per-chunk verdict SIGNATURE (sorted column=rule entries): chunks are
@@ -1260,6 +1299,30 @@ def rewrite_from_evidence(
         tuple(r["sig"]) for r in chunk_sigs.select("sig").distinct().collect()
     )
     flagged_cols = sorted({e.split("=")[0] for sig in sigs for e in sig})
+    # compression verdicts are COLUMN-level in the reference (R2's majority
+    # vote emits one directive per column, compression_codec.rs:247-264) —
+    # and they must be here too, because the selective re-encode re-buckets
+    # rows: a merged chunk's bigger body can develop compression evidence a
+    # small source chunk lacked, and a per-group outer would leave those
+    # re-flagging forever. Majority vote per column, applied to EVERY
+    # re-encode group; O(#columns) rows reach the driver.
+    from .codecs.container import ZSTD_LEVEL
+
+    comp_votes = (
+        ev.filter(F.col("rule").isin("enable-compression", "disable-compression"))
+        .groupBy("column", "rule")
+        .count()
+        .collect()
+    )
+    tally: dict[str, int] = {}
+    for r in comp_votes:
+        tally[r["column"]] = tally.get(r["column"], 0) + (
+            r["count"] if r["rule"] == "enable-compression" else -r["count"]
+        )
+    comp_force = {
+        col: (f"zstd:{ZSTD_LEVEL}" if votes >= 0 else "none")
+        for col, votes in tally.items()
+    }
 
     enc = dedup_attempts(read_encoded(spark, src_dir))
     body_cols = [c for c in enc.columns if c != "attempt"]
@@ -1299,12 +1362,17 @@ def rewrite_from_evidence(
         cfg = Prescription([]).apply(base=base_cfg)  # deep copy
         for entry in sig:
             col, rule = entry.split("=", 1)
+            if rule in ("enable-compression", "disable-compression"):
+                continue  # column-level: comp_force below covers every group
             cfg.overrides.pop(col, None)
             cfg.overrides.pop(f"!dict:{col}", None)
             if rule == "enable-dictionary":
                 cfg.overrides[col] = "dict"
             else:
                 cfg.overrides[f"!dict:{col}"] = "1"
+        # forced outer compresses unconditionally (container.wrap), so the
+        # enable verdict can't re-fire on any rewritten chunk
+        cfg.outer.update(comp_force)
         # content-derived salt per group (a fixed salt would collide with
         # kept chunks of the same source — bucket numbering restarts over
         # the group subset); the group index keeps distinct groups distinct

@@ -530,11 +530,28 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     Chunks written with `statistics none` have blanked NDV (distinct_est=0
     with values present) and classify as `no-evidence` — the reference's
     fall-back-to-sampling arm; run the sampled `lint` on the decoded rows
-    for those. Decision rows are column-located like lint()'s."""
+    for those. Decision rows are column-located like lint()'s.
+
+    A COMPRESSION tier (round 6) rides the same metrics scan — the R2/R3
+    analogs over stored evidence (compression_codec.rs:68-85 conditions
+    applied to what the table actually stores, not samples):
+    - stored outer 'none' whose recorded `outer_trial_ratio` (the bounded
+      zstd tail-sample trial the encoder ran at write time) is below the
+      keep threshold                         → `enable-compression` (warning)
+    - stored outer ≠ 'none' whose whole-pipeline ratio encoded/raw > 0.95
+      (the general-purpose layer isn't buying the 5% R3 demands — only a
+      FORCED outer can store this shape; auto keeps a codec only when it
+      pays)                                  → `disable-compression` (warning)
+    Compression rows are EXTRA rows (a column can carry both a dictionary
+    and a compression verdict); their `cardinality_ratio` column carries
+    the byte/trial ratio that fired the rule. Pre-round-6 tables have no
+    stored trial → no enable verdicts (no evidence, never a guess)."""
     from pyspark.sql import functions as F
 
+    from .codecs.container import OUTER_KEEP_RATIO
     from .decode_job import dedup_attempts, read_encoded
     from .encode_job import column_metrics
+    from .outer_policy import RATIO_SKIP
     from .select import DICT_ENABLE_RATIO, DICT_PAGE_SIZE_MAX, DICT_REJECT_RATIO
 
     m = column_metrics(dedup_attempts(read_encoded(spark, out_dir)))
@@ -592,7 +609,7 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
         .when(is_dict & (table_bytes > DICT_PAGE_SIZE_MAX), F.lit("dictionary-overflow"))
         .otherwise(F.lit("ok"))
     )
-    return m.filter(int_kind).select(
+    base = m.filter(int_kind).select(
         "chunk_id",
         "column",
         "codec",
@@ -605,6 +622,36 @@ def lint_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
         F.col("n_values"),
         F.lit("column").alias("location"),
     )
+    # compression tier: flagged rows only (every column kind qualifies —
+    # the outer layer is codec-agnostic), unioned under the same schema
+    comp_rule = F.when(
+        (F.col("outer") != "none")
+        & (F.col("raw_bytes") > 0)
+        & (F.col("encoded_bytes") > RATIO_SKIP * F.col("raw_bytes")),
+        F.lit("disable-compression"),
+    ).when(
+        (F.col("outer") == "none")
+        & (F.col("outer_trial_ratio") > 0)
+        & (F.col("outer_trial_ratio") < OUTER_KEEP_RATIO),
+        F.lit("enable-compression"),
+    )
+    comp = m.filter(comp_rule.isNotNull()).select(
+        "chunk_id",
+        "column",
+        "codec",
+        comp_rule.alias("rule"),
+        F.lit("warning").alias("severity"),
+        F.round(
+            F.when(F.col("outer") == "none", F.col("outer_trial_ratio")).otherwise(
+                F.col("encoded_bytes") / F.greatest(F.col("raw_bytes"), F.lit(1))
+            ),
+            6,
+        ).alias("cardinality_ratio"),
+        F.col("distinct_est"),
+        F.col("n_values"),
+        F.lit("column").alias("location"),
+    )
+    return base.unionByName(comp)
 
 
 def lint_lineage(spark: SparkSession, out_dir: str) -> DataFrame:

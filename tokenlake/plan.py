@@ -95,6 +95,10 @@ class EncodeConfig:
     bloom: dict[str, dict] = field(default_factory=dict)     # column -> {fpp, ndv}
     stats_level: dict[str, str] = field(default_factory=dict)     # column -> none|chunk|page
     dict_page_limit: dict[str, int] = field(default_factory=dict)  # column -> bytes
+    # column -> encode-block byte budget (R10 `small-pages`): list columns
+    # under a budget store intra-chunk BLOCKS so a point lookup decodes
+    # O(doc) payload bytes, not the chunk (vector_embedding.rs:19-76)
+    page_limit: dict[str, int] = field(default_factory=dict)
     max_chunk_rows: int | None = None
     max_chunk_values: int | None = None
     data_page_size_limit: int | None = None  # bytes; caps chunk payload
@@ -117,6 +121,9 @@ class EncodeConfig:
 
     def dict_limit_for(self, column: str) -> int | None:
         return self.dict_page_limit.get(column)
+
+    def page_limit_for(self, column: str) -> int | None:
+        return self.page_limit.get(column)
 
     def effective_max_values(self, default: int) -> int:
         """max_chunk_values folded with the data_page_size_limit byte cap."""
@@ -178,6 +185,7 @@ class Prescription:
             bloom={k: dict(v) for k, v in cfg.bloom.items()},
             stats_level=dict(cfg.stats_level),
             dict_page_limit=dict(cfg.dict_page_limit),
+            page_limit=dict(cfg.page_limit),
             max_chunk_rows=cfg.max_chunk_rows,
             max_chunk_values=cfg.max_chunk_values,
             data_page_size_limit=cfg.data_page_size_limit,
@@ -213,6 +221,8 @@ class Prescription:
                     cfg.stats_level[d.column] = d.value
                 elif d.prop == "dictionary_page_size_limit":
                     cfg.dict_page_limit[d.column] = int(d.value)
+                elif d.prop == "data_page_size_limit":
+                    cfg.page_limit[d.column] = int(d.value)
                 elif d.prop == "bloom_filter":
                     if d.value == "true":
                         cfg.bloom.setdefault(d.column, {"fpp": 0.01, "ndv": None})
@@ -261,7 +271,7 @@ def _check_directive(d: Directive, lineno: int) -> None:
     }
     col_props = {
         "compression", "encoding", "dictionary",
-        "statistics", "dictionary_page_size_limit",
+        "statistics", "dictionary_page_size_limit", "data_page_size_limit",
         "bloom_filter", "bloom_filter_ndv", "bloom_filter_fpp",
     }
     if d.scope == "file":
@@ -285,8 +295,10 @@ def _check_directive(d: Directive, lineno: int) -> None:
             raise PlanError(f"line {lineno}: {d.prop} expects true/false")
         if d.prop == "statistics" and d.value not in ("none", "chunk", "page"):
             raise PlanError(f"line {lineno}: statistics expects none|chunk|page")
-        if d.prop == "dictionary_page_size_limit" and (not d.value.isdigit() or int(d.value) < 1):
-            raise PlanError(f"line {lineno}: dictionary_page_size_limit expects an integer ≥ 1")
+        if d.prop in ("dictionary_page_size_limit", "data_page_size_limit") and (
+            not d.value.isdigit() or int(d.value) < 1
+        ):
+            raise PlanError(f"line {lineno}: {d.prop} expects an integer ≥ 1")
         if d.prop == "bloom_filter_ndv" and (not d.value.isdigit() or int(d.value) < 1):
             # ndv=0 would divide by zero in build_bloom's k sizing — reject
             # at parse time, not inside the encode UDF
@@ -309,3 +321,21 @@ def plan_from_decisions(decisions: list[dict]) -> Prescription:
     for r in decisions:
         dirs.append(Directive("column", r["column"], "encoding", r["codec"]))
     return Prescription(dirs)
+
+
+# R10's physical page budget for random access over high-fanout embedding
+# columns (reference vector_embedding.rs:19-76 prescribes 256 KiB pages)
+R10_PAGE_BYTES = 256 * 1024
+
+
+def plan_from_r10(decisions: list[dict], column: str) -> Prescription:
+    """R10 `small-pages` decision rows → the physical directive: a
+    per-column data_page_size_limit that makes the encoder store the list
+    column in independently decodable blocks (FLAG_BLOCKED), so a point
+    lookup decodes O(doc) bytes. Round-trips through the DSL: the returned
+    prescription's .format() parses back into the same EncodeConfig knob."""
+    if any(r.get("decision") == "small-pages" for r in decisions):
+        return Prescription(
+            [Directive("column", column, "data_page_size_limit", str(R10_PAGE_BYTES))]
+        )
+    return Prescription([])
