@@ -579,7 +579,19 @@ def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
             "#", "prefix", F.pmod(F.xxhash64("doc_id"), F.col("nbuckets"))
         ).alias("chunk_id")
     )
-    pruned = enc.join(F.broadcast(cands), "chunk_id", "left_semi")
+    # hybrid pruning: a small candidate set (the point-lookup case) collects
+    # into a LITERAL isin predicate — parquet pushes it into row-group
+    # pruning, so the scan reads O(#candidates) payload bytes instead of
+    # every row's (the semi-join filters rows but not I/O; at the 5k-chunk
+    # rehearsal that was the whole lookup wall). The limit bounds the
+    # driver: a batch lookup past the threshold keeps the broadcast
+    # semi-join, which never lands the candidate set on the driver.
+    _ISIN_CAP = 256
+    head = cands.distinct().limit(_ISIN_CAP + 1).collect()
+    if len(head) <= _ISIN_CAP:
+        pruned = enc.filter(F.col("chunk_id").isin([r["chunk_id"] for r in head]))
+    else:
+        pruned = enc.join(F.broadcast(cands), "chunk_id", "left_semi")
     # second pruning stage: chunks that carry a doc_id membership filter
     # (set column doc_id bloom_filter true) drop out when it rejects EVERY
     # requested id — a candidate bucket holds ~n_rows/nbuckets unrelated

@@ -918,7 +918,8 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
     fix.rs:139-166 — the engine's "page-level" analog is the bloom/membership
     index, its "chunk stats" are the stored min/max/ndv metrics), plus the
     file-level max_chunk_rows from the largest chunk (infer_max_row_group_size,
-    fix.rs:95-103). Two aggregates; O(#columns) rows reach the driver.
+    fix.rs:95-103). ONE aggregate over the metadata (single scan);
+    O(#columns × #codecs) rows reach the driver, never O(#chunks).
 
     Stats-presence detection rides the format's own invariants, mirroring the
     reference's presence-not-value checks: a chunk with data always stores
@@ -928,18 +929,6 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
     level is left at the default — same as the reference returning None when
     a column carries no evidence (fix.rs:139-144)."""
     enc = column_metrics(spark.read.parquet(f"{out_dir}/encoded"))
-
-    def majority(col: str) -> DataFrame:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("column").orderBy(F.desc("cnt"), col)
-        return (
-            enc.groupBy("column", col)
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("column", col)
-        )
 
     # any stats-bearing column (canonical or extra, scalar or list element)
     # stores distinct_est ≥ 1 when it has data and stats are on — the dtype
@@ -957,20 +946,56 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
         r"|time\(6\)|timestamp|timestamp_ntz|decimal\(\d+,\d+\))>?$"
     ) & (F.col("n_values") > F.col("null_count"))
     doc_stats = (F.col("column") == "doc_id") & (F.col("n_rows") > 0)
-    rows = (
-        majority("codec")
-        .join(majority("outer"), "column")
-        .join(
-            enc.groupBy("column").agg(
-                F.max(F.col("has_bloom")).alias("has_bloom"),
-                F.max(F.when(int_stats, F.col("distinct_est") > 0)).alias("has_int_stats"),
-                F.max(F.when(doc_stats, F.col("doc_id_max") != "")).alias("has_doc_stats"),
-                F.max("n_rows").alias("max_rows"),
-            ),
-            "column",
+    # ONE scan: the previous shape (two window-majority aggregates joined
+    # to a third aggregate) re-read the encoded table's metadata three
+    # times — at ~10^6 chunks (~10^5 files) repeated file-open overhead
+    # turns a planner call into minutes (measured super-linear at the
+    # 5k-chunk rehearsal, tools/scale_rehearsal.py). Aggregate per
+    # (column, codec, outer) once and fold the majority vote driver-side:
+    # O(#columns × #codecs × #outers) rows reach the driver, never #chunks.
+    grows = (
+        enc.groupBy("column", "codec", "outer")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max("has_bloom").alias("has_bloom"),
+            F.max(F.when(int_stats, F.col("distinct_est") > 0)).alias("has_int_stats"),
+            F.max(F.when(doc_stats, F.col("doc_id_max") != "")).alias("has_doc_stats"),
+            F.max("n_rows").alias("max_rows"),
         )
         .collect()
     )
+    codec_cnt: dict = {}
+    outer_cnt: dict = {}
+    per_col: dict = {}
+    for g in grows:
+        c = g["column"]
+        codec_cnt[(c, g["codec"])] = codec_cnt.get((c, g["codec"]), 0) + g["cnt"]
+        outer_cnt[(c, g["outer"])] = outer_cnt.get((c, g["outer"]), 0) + g["cnt"]
+        a = per_col.setdefault(
+            c,
+            {"has_bloom": False, "has_int_stats": None, "has_doc_stats": None, "max_rows": 0},
+        )
+        a["has_bloom"] = a["has_bloom"] or bool(g["has_bloom"])
+        for k in ("has_int_stats", "has_doc_stats"):
+            if g[k] is not None:
+                a[k] = bool(a[k]) or g[k]
+        a["max_rows"] = max(a["max_rows"], g["max_rows"] or 0)
+
+    def _majority(cnts: dict, column: str) -> str:
+        # most frequent; deterministic tiebreak on the value name, matching
+        # the reference's most_frequent (fix.rs:196-211)
+        cands = [(n, v) for (c, v), n in cnts.items() if c == column]
+        return min(cands, key=lambda nv: (-nv[0], nv[1]))[1]
+
+    rows = [
+        {
+            "column": c,
+            "codec": _majority(codec_cnt, c),
+            "outer": _majority(outer_cnt, c),
+            **a,
+        }
+        for c, a in sorted(per_col.items())
+    ]
     cfg = EncodeConfig()
     for r in rows:
         cfg.overrides[r["column"]] = r["codec"]
@@ -1276,14 +1301,26 @@ def rewrite_from_evidence(
             "the rewrite replaces dest and must never touch src"
         )
 
-    ev = lint_encoded(spark, src_dir).filter(
-        F.col("rule").isin(
-            "enable-dictionary", "disable-dictionary",
-            # round 6: the compression tier's verdicts re-encode too — the
-            # reference's rewrite applies the FULL merged prescription
-            # (cli/main.rs:186-230), not just the dictionary rules
-            "enable-compression", "disable-compression",
+    from pyspark import StorageLevel
+
+    # persisted: the verdict frame is consulted several times below (flagged
+    # ids, signatures, majority votes, one filter per signature group) and
+    # each un-persisted consult would re-run the full lint DAG — a repeated
+    # metadata scan + dedup shuffle that grows with #chunks (measured ~17 s
+    # per re-execution at the 5k-chunk rehearsal). Rows are O(#chunks ×
+    # #flagged-columns) thin verdicts, payload-free.
+    ev = (
+        lint_encoded(spark, src_dir)
+        .filter(
+            F.col("rule").isin(
+                "enable-dictionary", "disable-dictionary",
+                # round 6: the compression tier's verdicts re-encode too —
+                # the reference's rewrite applies the FULL merged
+                # prescription (cli/main.rs:186-230), not just dictionary
+                "enable-compression", "disable-compression",
+            )
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     flagged = ev.select("chunk_id").distinct()
     # per-chunk verdict SIGNATURE (sorted column=rule entries): chunks are
@@ -1401,6 +1438,7 @@ def rewrite_from_evidence(
             rows.unpersist()
 
     total = enc.count()
+    ev.unpersist()
     return {
         "chunks_total": int(total),
         "kept_chunks": int(total - n_flagged),

@@ -43,12 +43,14 @@ def main() -> None:
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    tbl = generate_sequences(scale=0.05)
-    df = spark.createDataFrame(tbl).cache()
-    n_rows = df.count()
-    print(json.dumps({"rows": n_rows, "gauge": host_gauge()}))
+    print(json.dumps({"gauge": host_gauge()}))
 
     for target in targets:
+        # size the input so max_rows ≥ 8 still yields ~target chunks
+        # (generate_sequences: rows ≈ 226k × scale)
+        scale = max(0.05, target * 8 * 1.2 / 226_000)
+        df = spark.createDataFrame(generate_sequences(scale=scale)).cache()
+        n_rows = df.count()
         max_rows = max(8, n_rows // target)
         with tempfile.TemporaryDirectory(prefix="tl_scale_") as td:
             out = os.path.join(td, "out")
@@ -72,12 +74,14 @@ def main() -> None:
             # signatures + per-column majority tallies reach the driver —
             # chunk-id sets never do
             t0 = time.perf_counter()
+            from pyspark import StorageLevel
+
             flagged = ev.filter(
                 F.col("rule").isin(
                     "enable-dictionary", "disable-dictionary",
                     "enable-compression", "disable-compression",
                 )
-            )
+            ).persist(StorageLevel.MEMORY_AND_DISK)  # as rewrite_from_evidence does
             chunk_sigs = flagged.groupBy("chunk_id").agg(
                 F.sort_array(
                     F.collect_set(F.concat_ws("=", "column", "rule"))
@@ -93,6 +97,7 @@ def main() -> None:
                 .collect()
             )
             t_sig_collect = time.perf_counter() - t0
+            flagged.unpersist()
 
             t0 = time.perf_counter()
             cfg = encode_job.plan_from_encoded(spark, out)
@@ -113,10 +118,12 @@ def main() -> None:
                         "distinct_signatures": len(sigs),
                         "vote_rows_to_driver": len(votes),
                         "plan_from_encoded_s": round(t_plan, 2),
+                        "rows": n_rows,
                         "plan_overrides": len(cfg.overrides),
                     }
                 )
             )
+        df.unpersist()
     print(json.dumps({"gauge_end": host_gauge()}))
 
 
