@@ -463,3 +463,53 @@ def test_r10_small_pages_lookup_decodes_o_doc_bytes(spark, tmp_path):
     a = decode(spark, out_knob).orderBy("doc_id").collect()
     b = decode(spark, out_plain).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_blocked_frames_full_decode_parity_everywhere():
+    """FLAG_BLOCKED frames must decode identically through every full-
+    decode surface: container decode, the Spark-free local reader's
+    decode_chunk_row, and the streaming-ingest-shaped re-encode (a blocked
+    table re-encodes cleanly)."""
+    from tokenlake.codecs.container import (
+        decode_column_arrow,
+        encode_list_column,
+    )
+    from tokenlake.decode_job import decode_chunk_row
+    from tokenlake.encode_job import encode_chunk
+    from tokenlake.plan import Prescription
+
+    rng = np.random.default_rng(4)
+    n = 500
+    emb = pa.array(
+        [None if i % 97 == 0 else rng.standard_normal(8).astype(np.float32) for i in range(n)],
+        pa.list_(pa.float32()),
+    )
+    blocked = encode_list_column(emb, "plain", block_rows=64)
+    plain = encode_list_column(emb, "plain")
+    assert decode_column_arrow(blocked).equals(decode_column_arrow(plain))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+            "tokens": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * n, pa.int32()),
+            "source": pa.array(["s"] * n),
+            "chunk_id": pa.array(["s#0"] * n),
+            "nbuckets": pa.array([1] * n, pa.int32()),
+            "emb": emb,
+        }
+    )
+    cfg = Prescription.parse("set column emb data_page_size_limit 1024").apply()
+    enc = encode_chunk(t, cfg=cfg)
+    payloads = {
+        c: enc.column(f"payload_{c}")[0].as_py()
+        for c in ("doc_id", "tokens", "n_tok", "source", "emb")
+    }
+    # the local reader's row decode (decode_chunk_row) over a blocked extra
+    out = decode_chunk_row(payloads, ("doc_id", "tokens", "n_tok", "source", "emb"))
+    assert out.column("emb").combine_chunks().equals(
+        decode_column_arrow(payloads["emb"]).cast(out.column("emb").type)
+        if out.column("emb").type != decode_column_arrow(payloads["emb"]).type
+        else decode_column_arrow(payloads["emb"])
+    )
+    assert out.column("doc_id").to_pylist() == t.column("doc_id").to_pylist()
