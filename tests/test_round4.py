@@ -287,11 +287,17 @@ if HAVE_HYP:
 
 # ------------------------------------------ salt-proof lookup
 
-def test_lookup_multibatch_salted_table_no_isin(spark, tmp_path):
-    """lookup() on a multi-batch (salted) table: candidates reach the scan
-    via a broadcast semi-join — no driver-collected `chunk_id IN (...)`
-    literal list (round-3 verdict: the isin list grew O(#ids × #batches) on
-    long-lived streamed tables)."""
+def test_lookup_multibatch_salted_table_bounded_pruning(spark, tmp_path):
+    """lookup() on a multi-batch (salted) table — the round-6 HYBRID
+    contract: a small candidate set collects into a BOUNDED literal isin
+    (parquet pushes it into row-group pruning, so the scan reads
+    O(#candidates) payload bytes — the semi-join filtered rows but not
+    I/O); past LOOKUP_ISIN_CAP candidates the broadcast semi-join keeps
+    the candidate set off the driver, preserving the round-3 finding that
+    an UNBOUNDED literal list grows O(#ids × #batches) on long-lived
+    streamed tables."""
+    import re
+
     from tokenlake import decode_job
 
     out = str(tmp_path / "out")
@@ -302,21 +308,29 @@ def test_lookup_multibatch_salted_table_no_isin(spark, tmp_path):
         encode_job.run(spark, part, out, resume=False, salt=salt)
     want = [r["doc_id"] for r in df.orderBy("doc_id").limit(5).collect()]
     got = decode_job.lookup(spark, out, want)
-    import re
-
     plan = got._jdf.queryExecution().executedPlan().toString()
-    # the O(#requested-ids) doc_id IN (...) filter is fine; a literal
-    # chunk_id candidate list is not — candidates must arrive via the
-    # broadcast semi-join
-    assert not re.search(r"chunk_id#?\d* IN \(", plan)
-    assert "In(chunk_id" not in plan  # none pushed as a literal scan filter
-    assert "LeftSemi, BuildRight" in plan
+    # small set → literal pruning reaches the SCAN as a pushed filter
+    assert "In(chunk_id" in plan or re.search(r"chunk_id#?\d* IN(SET)? ", plan)
     rows = got.collect()
     assert sorted(r["doc_id"] for r in rows) == sorted(want)
-    # and decoded content is right
     orig = {r["doc_id"]: r["tokens"] for r in df.filter(F.col("doc_id").isin(want)).collect()}
     for r in rows:
         assert r["tokens"] == orig[r["doc_id"]]
+
+    # past the cap: the semi-join path, candidate set never collected
+    import tokenlake.decode_job as dj
+
+    old_cap = dj.LOOKUP_ISIN_CAP
+    dj.LOOKUP_ISIN_CAP = 2  # force the batch regime with the same 5 ids
+    try:
+        got2 = decode_job.lookup(spark, out, want)
+        plan2 = got2._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"chunk_id#?\d* IN \(", plan2)
+        assert "In(chunk_id" not in plan2
+        assert "LeftSemi, BuildRight" in plan2
+        assert sorted(r["doc_id"] for r in got2.collect()) == sorted(want)
+    finally:
+        dj.LOOKUP_ISIN_CAP = old_cap
 
 
 # ------------------------------------------ full-depth deterministic lint

@@ -513,3 +513,39 @@ def test_blocked_frames_full_decode_parity_everywhere():
         else decode_column_arrow(payloads["emb"])
     )
     assert out.column("doc_id").to_pylist() == t.column("doc_id").to_pylist()
+
+
+def test_lookup_missing_and_colliding_ids_on_blocked_table(spark, tmp_path):
+    """The COMMON lookup case on a blocked table: a candidate bucket that
+    does NOT contain the requested doc (bucket collision) must decode to
+    zero rows, not crash — and a genuinely missing id returns an empty
+    frame with the full schema."""
+    from tokenlake.decode_job import lookup
+    from tokenlake.plan import Prescription
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"w-{i:07d}" for i in range(n)]),
+            "tokens": pa.array([[1, 2]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": pa.array(["web"] * n),
+            "emb": pa.array(
+                [rng.standard_normal(16).astype(np.float32) for _ in range(n)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    cfg = Prescription.parse("set column emb data_page_size_limit 2048").apply()
+    out = str(tmp_path / "out")
+    encode_job.run(spark, df := spark.createDataFrame(t), out, cfg=cfg, resume=False)
+    # missing id: its candidate bucket exists (same derivation) but holds
+    # other docs → the per-chunk match set is EMPTY on a blocked extra
+    got = lookup(spark, out, ["w-9999999"])
+    assert got.count() == 0
+    assert set(got.columns) == {"doc_id", "tokens", "n_tok", "source", "emb"}
+    # mixed present+missing
+    got2 = lookup(spark, out, ["w-0000042", "w-9999999"]).collect()
+    assert len(got2) == 1 and got2[0]["doc_id"] == "w-0000042"
+    assert len(got2[0]["emb"]) == 16

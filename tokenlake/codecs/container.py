@@ -578,6 +578,12 @@ def decode_list_rows(
     block_rows, nblocks, offs, base = _blocked_index(body)
     parts = []
     touched = base + len(buf) - len(body)  # index + frame header bytes
+    if len(idx) == 0:
+        # a candidate chunk with no matching rows (bucket collision is the
+        # COMMON lookup case): type the empty result off block 0 without
+        # paying for the other blocks
+        frame = body[base + int(offs[0]) : base + int(offs[1])]
+        return decode_column_arrow(frame).slice(0, 0), touched + len(frame)
     for b in np.unique(idx // block_rows):
         frame = body[base + int(offs[b]) : base + int(offs[b + 1])]
         sub = decode_column_arrow(frame)

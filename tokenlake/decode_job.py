@@ -419,6 +419,11 @@ def scan_token(spark: SparkSession, out_dir: str, token: int) -> DataFrame:
     )
 
 
+# lookup()'s hybrid candidate pruning: at most this many candidate chunk
+# ids collect into a literal isin (parquet row-group pruning); past it the
+# broadcast semi-join keeps the candidate set off the driver entirely
+LOOKUP_ISIN_CAP = 256
+
 _ZONE_SCALARS = {"int", "bigint", "smallint", "tinyint"}
 # temporal carriers: stored min/max are the carrier ints (µs / days / ns)
 _ZONE_TEMPORAL = {"timestamp_ntz", "timestamp", "date", "time(6)"}
@@ -583,12 +588,13 @@ def lookup(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
     # into a LITERAL isin predicate — parquet pushes it into row-group
     # pruning, so the scan reads O(#candidates) payload bytes instead of
     # every row's (the semi-join filters rows but not I/O; at the 5k-chunk
-    # rehearsal that was the whole lookup wall). The limit bounds the
-    # driver: a batch lookup past the threshold keeps the broadcast
-    # semi-join, which never lands the candidate set on the driver.
-    _ISIN_CAP = 256
-    head = cands.distinct().limit(_ISIN_CAP + 1).collect()
-    if len(head) <= _ISIN_CAP:
+    # rehearsal that was the whole lookup wall). The CAP bounds the driver
+    # — the round-3 finding stands: an UNBOUNDED literal list grows
+    # O(#ids × #batches) on long-lived streamed tables, so a batch lookup
+    # past the threshold keeps the broadcast semi-join, which never lands
+    # the candidate set on the driver.
+    head = cands.distinct().limit(LOOKUP_ISIN_CAP + 1).collect()
+    if len(head) <= LOOKUP_ISIN_CAP:
         pruned = enc.filter(F.col("chunk_id").isin([r["chunk_id"] for r in head]))
     else:
         pruned = enc.join(F.broadcast(cands), "chunk_id", "left_semi")

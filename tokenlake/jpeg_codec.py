@@ -176,6 +176,9 @@ def _build_fast_table(bits: list[int], vals: list[int], is_ac: bool) -> list[int
                 out[base : base + span] = ((2 if sym == 0xF0 else 1) << 6) | length
             elif s == 0:  # DC category 0: diff is 0, no magnitude bits
                 out[base : base + span] = (2048 << 6) | length
+            elif is_ac and s > 10:
+                pass  # non-baseline magnitude (B.2.4.2 caps AC at 10 bits):
+                # leave 0 → the two-step fallback raises loudly
             elif length + s <= _FAST_W:
                 rem = _FAST_W - length - s
                 mag = (np.arange(base, base + span, dtype=np.int64) >> rem) & ((1 << s) - 1)
