@@ -549,3 +549,50 @@ def test_lookup_missing_and_colliding_ids_on_blocked_table(spark, tmp_path):
     got2 = lookup(spark, out, ["w-0000042", "w-9999999"]).collect()
     assert len(got2) == 1 and got2[0]["doc_id"] == "w-0000042"
     assert len(got2[0]["emb"]) == 16
+
+
+def test_compact_preserves_blocked_layout(spark, tmp_path):
+    """X1 preserve-untouched for the R10 small-pages layout: compaction
+    re-encodes undersized chunks through plan_from_encoded, which must
+    sniff the stored FLAG_BLOCKED block_rows and reproduce it — otherwise
+    a maintenance pass silently flattens the random-access layout."""
+    from tokenlake.codecs.container import FLAG_BLOCKED
+    from tokenlake.decode_job import decode, dedup_attempts, read_encoded
+    from tokenlake.plan import Prescription
+
+    rng = np.random.default_rng(6)
+    n = 1200
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"w-{i:06d}" for i in range(n)]),
+            "tokens": pa.array([[1, 2]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": pa.array(["web"] * n),
+            "emb": pa.array(
+                [rng.standard_normal(16).astype(np.float32) for _ in range(n)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    df = spark.createDataFrame(t)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    cfg = Prescription.parse("set column emb data_page_size_limit 4096").apply()
+    # small chunks so compaction actually merges
+    encode_job.run(spark, df, src, cfg=cfg, resume=False, max_rows=200)
+
+    sniffed = encode_job.plan_from_encoded(spark, src)
+    assert sniffed.block_rows_for("emb"), sniffed.block_rows
+
+    r = encode_job.compact(spark, src, dst, max_rows=5000)
+    assert r["merged_chunks"] > 0
+
+    enc = dedup_attempts(read_encoded(spark, dst))
+    heads = enc.select(F.substring(F.col("payload_emb"), 1, 16).alias("h")).collect()
+    assert heads
+    for row in heads:
+        h = bytes(row["h"])
+        assert h[:2] == b"TL" and (h[7] & FLAG_BLOCKED), "blocked layout lost"
+    # content parity
+    a = decode(spark, src).orderBy("doc_id").collect()
+    b = decode(spark, dst).orderBy("doc_id").collect()
+    assert a == b

@@ -326,10 +326,13 @@ def _encode_list_extra(arr: pa.Array, name: str, cfg: EncodeConfig):
     values = arr.flatten()
     # R10 small-pages knob: a per-column data_page_size_limit splits the
     # list payload into independently decodable blocks sized to the byte
-    # budget, so lookup() decodes O(doc) embedding bytes (FLAG_BLOCKED)
-    block_rows = None
+    # budget, so lookup() decodes O(doc) embedding bytes (FLAG_BLOCKED).
+    # An explicit block_rows (the X1 carrier plan_from_encoded sniffs from
+    # a stored blocked column) wins over the byte budget, so compaction /
+    # rewrite reproduce the exact stored layout.
+    block_rows = cfg.block_rows_for(name)
     page_limit = cfg.page_limit_for(name)
-    if page_limit and len(arr):
+    if block_rows is None and page_limit and len(arr):
         val_bytes = sum(len(b) for b in (values.buffers() or []) if b is not None)
         per_row = max(1, val_bytes // max(1, len(arr)))
         block_rows = max(16, page_limit // per_row)
@@ -961,6 +964,7 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
             F.max(F.when(int_stats, F.col("distinct_est") > 0)).alias("has_int_stats"),
             F.max(F.when(doc_stats, F.col("doc_id_max") != "")).alias("has_doc_stats"),
             F.max("n_rows").alias("max_rows"),
+            F.max("dtype").alias("dtype"),  # uniform per column (append guard)
         )
         .collect()
     )
@@ -973,7 +977,8 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
         outer_cnt[(c, g["outer"])] = outer_cnt.get((c, g["outer"]), 0) + g["cnt"]
         a = per_col.setdefault(
             c,
-            {"has_bloom": False, "has_int_stats": None, "has_doc_stats": None, "max_rows": 0},
+            {"has_bloom": False, "has_int_stats": None, "has_doc_stats": None,
+             "max_rows": 0, "dtype": g["dtype"]},
         )
         a["has_bloom"] = a["has_bloom"] or bool(g["has_bloom"])
         for k in ("has_int_stats", "has_doc_stats"):
@@ -1014,6 +1019,30 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
             cfg.stats_level[r["column"]] = "page"
         # max over chunk rows = the reference's largest-row-group inference
         cfg.max_chunk_rows = max(cfg.max_chunk_rows or 1, int(r["max_rows"] or 1))
+    # X1 for the R10 small-pages layout: FLAG_BLOCKED is a payload-frame
+    # property the metrics can't carry, so sniff ONE stored frame header
+    # per list-typed column (12-byte header + u32 block_rows at the body
+    # start) — O(#list-columns) bounded probes, never row data. Without
+    # this, compaction/rewrite would silently flatten a blocked column.
+    from .codecs.container import FLAG_BLOCKED
+
+    import struct as _struct
+
+    raw = spark.read.parquet(f"{out_dir}/encoded")
+    for r in rows:
+        c, dtype = r["column"], r.get("dtype") or ""
+        if not dtype.startswith("array<") or f"payload_{c}" not in raw.columns:
+            continue
+        head = (
+            raw.select(F.substring(F.col(f"payload_{c}"), 1, 16).alias("h"))
+            .filter(F.col("h").isNotNull())
+            .first()
+        )
+        if head is None:
+            continue
+        h = bytes(head["h"])
+        if len(h) >= 16 and h[:2] == b"TL" and h[2] == 3 and (h[7] & FLAG_BLOCKED):
+            cfg.block_rows[c] = _struct.unpack_from("<I", h, 12)[0]
     return cfg
 
 

@@ -99,6 +99,11 @@ class EncodeConfig:
     # under a budget store intra-chunk BLOCKS so a point lookup decodes
     # O(doc) payload bytes, not the chunk (vector_embedding.rs:19-76)
     page_limit: dict[str, int] = field(default_factory=dict)
+    # column -> explicit rows-per-block (wins over page_limit): the X1
+    # preserve-untouched carrier — plan_from_encoded sniffs a stored
+    # blocked column's exact block_rows so compaction / rewrite keeps the
+    # random-access layout instead of silently flattening it
+    block_rows: dict[str, int] = field(default_factory=dict)
     max_chunk_rows: int | None = None
     max_chunk_values: int | None = None
     data_page_size_limit: int | None = None  # bytes; caps chunk payload
@@ -124,6 +129,9 @@ class EncodeConfig:
 
     def page_limit_for(self, column: str) -> int | None:
         return self.page_limit.get(column)
+
+    def block_rows_for(self, column: str) -> int | None:
+        return self.block_rows.get(column)
 
     def effective_max_values(self, default: int) -> int:
         """max_chunk_values folded with the data_page_size_limit byte cap."""
@@ -186,6 +194,7 @@ class Prescription:
             stats_level=dict(cfg.stats_level),
             dict_page_limit=dict(cfg.dict_page_limit),
             page_limit=dict(cfg.page_limit),
+            block_rows=dict(cfg.block_rows),
             max_chunk_rows=cfg.max_chunk_rows,
             max_chunk_values=cfg.max_chunk_values,
             data_page_size_limit=cfg.data_page_size_limit,
