@@ -596,3 +596,41 @@ def test_compact_preserves_blocked_layout(spark, tmp_path):
     a = decode(spark, src).orderBy("doc_id").collect()
     b = decode(spark, dst).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_lint_prescribes_small_pages_for_embedding_extras(spark):
+    """The engine-level R10 lifecycle: the sampled lint's prescription
+    export emits a data_page_size_limit directive for high-fanout list
+    extras (≥64 values/row), low-fanout columns and tokens stay clean, and
+    the directive round-trips into the blocked encode."""
+    from tokenlake import lint_job
+    from tokenlake.plan import Prescription
+
+    rng = np.random.default_rng(8)
+    n = 600
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:05d}" for i in range(n)]),
+            "tokens": pa.array(
+                [rng.integers(0, 99, 80).astype(np.int32) for _ in range(n)],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([80] * n, pa.int32()),
+            "source": pa.array(["web"] * n),
+            "emb": pa.array(
+                [rng.standard_normal(64).astype(np.float32) for _ in range(n)],
+                pa.list_(pa.float32()),
+            ),
+            "pair": pa.array([[1, 2]] * n, pa.list_(pa.int32())),  # fanout 2
+        }
+    )
+    df = spark.createDataFrame(t)
+    d = lint_job.lint(spark, df, fraction=0.5)
+    rx = lint_job.prescription_from_decisions(d)
+    text = rx.format()
+    assert "set column emb data_page_size_limit 262144" in text
+    assert "pair data_page_size_limit" not in text
+    assert "tokens data_page_size_limit" not in text
+    # the exported text parses back into the physical knob
+    cfg = Prescription.parse(text).apply()
+    assert cfg.page_limit_for("emb") == 262144

@@ -455,6 +455,33 @@ def prescription_from_decisions(decisions: DataFrame, scale: float = 1.0) -> Pre
         if v is not None:
             rx.directives.append(Directive("column", r["column"], "compression", v))
 
+    # R10 vector-embedding page-size (vector_embedding.rs:19-76): a list
+    # extra averaging ≥ 64 values/row gets the small-pages directive — a
+    # per-column data_page_size_limit the encoder turns into intra-chunk
+    # FLAG_BLOCKED blocks, so point lookups decode O(doc) bytes. Fanout is
+    # read off the decisions' own (sample_values, sample_rows); a scalar
+    # column can never reach 64× rows, so the threshold implies list-ness.
+    # `tokens` is excluded by design: its flat stream is offset-addressed
+    # through n_tok, not block-indexed (engine divergence, documented).
+    from .plan import R10_PAGE_BYTES
+
+    fan = (
+        decisions.filter(F.col("column") != "tokens")
+        .groupBy("column")
+        .agg(
+            (
+                F.sum("sample_values")
+                / F.greatest(F.sum("sample_rows"), F.lit(1))
+            ).alias("avg_fanout")
+        )
+        .collect()
+    )
+    for r in sorted(fan, key=lambda r: r["column"]):
+        if r["avg_fanout"] is not None and r["avg_fanout"] >= 64:
+            rx.directives.append(
+                Directive("column", r["column"], "data_page_size_limit", str(R10_PAGE_BYTES))
+            )
+
     # R1 growth flow (dictionary_encoding.rs:155-240): where dictionary wins
     # but its table would overflow the 2 MB starting page, grow the page limit
     # (2 MB doubling ≤16 MB); if even 16 MB can't hold it, shrink chunks
