@@ -634,3 +634,38 @@ def test_lint_prescribes_small_pages_for_embedding_extras(spark):
     # the exported text parses back into the physical knob
     cfg = Prescription.parse(text).apply()
     assert cfg.page_limit_for("emb") == 262144
+
+
+def test_dedup_components_matches_union_find(spark):
+    """The iterative min-label propagation must produce exactly the
+    components an independent union-find computes over the same pairs,
+    with cluster id = min member and singletons preserved."""
+    from tokenlake import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.30).collect()
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+
+    parent = {i: i for i in ids}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for r in pairs:
+        a, b = find(r["vec_a"]), find(r["vec_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    from collections import Counter
+
+    want = Counter(find(i) for i in ids)
+
+    got = {
+        r["cluster"]: r["n_members"]
+        for r in similarity.dedup_components(emb, threshold=0.30).collect()
+    }
+    assert got == dict(want)
+    # keep-one-per-cluster semantics: the representative IS the cluster id
+    assert all(c == min(c, c) and c in ids for c in got)

@@ -864,6 +864,33 @@ SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= {threshold}
 SQL_DEDUP_EMBEDDING = _sql_dedup_embedding_lsh()
 
 
+
+
+def q_dedup_embedding_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph
+    (similarity.dedup_components): cluster = smallest reachable vec_id via
+    min-label propagation — keep-one-per-cluster dedup. The oracle replays
+    the SAME pair derivation (shared hyperplane literals) and closes it
+    transitively with a recursive CTE, so the iterative Spark algorithm is
+    hash-checked against a declarative fixpoint."""
+    return similarity.dedup_components(_emb(spark, sf_dir), threshold=0.45)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pr AS ({SQL_DEDUP_EMBEDDING}),
+ids AS (SELECT vec_id::BIGINT AS vec_id FROM embeddings),
+edges AS (SELECT vec_a AS x, vec_b AS y FROM pr UNION ALL SELECT vec_b, vec_a FROM pr),
+reach(x, lbl) AS (
+  SELECT vec_id, vec_id FROM ids
+  UNION
+  SELECT e.y, r.lbl FROM reach r JOIN edges e ON e.x = r.x
+),
+comp AS (SELECT x, min(lbl) AS lbl FROM reach GROUP BY x)
+SELECT lbl::BIGINT AS cluster, count(*)::BIGINT AS n_members, max(x)::BIGINT AS max_member
+FROM comp GROUP BY lbl ORDER BY cluster
+"""
+
+
 def q_ann_ivf_search(spark, sf_dir):
     """IVF search (assign → nprobe nearest centroid lists → exact within):
     the missing half of round-1's assignment-only IVF."""
@@ -1772,6 +1799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_buckets": q_ann_ivf_buckets,
     "ann_ivf_search": q_ann_ivf_search,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_clusters": q_dedup_embedding_clusters,
     "multimodal_meta": q_multimodal_meta,
     "generic_roundtrip": q_generic_roundtrip,
     "lint_decisions_full": q_lint_decisions_full,
@@ -1827,6 +1855,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_buckets": SQL_ANN_IVF,
     "ann_ivf_search": SQL_ANN_IVF_SEARCH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_clusters": SQL_DEDUP_CLUSTERS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "generic_roundtrip": SQL_GENERIC_ROUNDTRIP,
     "lint_decisions_full": SQL_LINT_FULL,

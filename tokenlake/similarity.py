@@ -297,3 +297,63 @@ def embedding_near_dup_pairs_lsh(
     return pairs.select("vec_a", "vec_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
+
+
+def dedup_components(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_bands: int = 8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the
+    keep-one-per-cluster primitive of a dedup pipeline: every vector's
+    cluster id is the SMALLEST vec_id reachable through near-dup edges
+    (embedding_near_dup_pairs_lsh), so "keep the representative" is
+    `filter(vec_id == cluster)`. Returns the per-cluster summary
+    (cluster, n_members, max_member), singletons included.
+
+    Scale notes: min-label propagation — each iteration is ONE equi-join
+    of the labels onto the symmetric edge list plus a groupBy-min over
+    (V + E) rows, converging in O(graph diameter) iterations (near-dup
+    graphs are shallow: duplicates cluster tightly). Labels are
+    localCheckpoint()ed per iteration so the plan stays linear instead of
+    doubling (the standard iterative-algorithm discipline; GraphFrames'
+    connected components runs the same alternating min-label shape).
+    Convergence is detected with a changed-labels probe (LIMIT 1), so
+    quiet graphs stop after diameter+1 rounds, and `max_iter` bounds
+    adversarial chains. Deterministic: labels are ids, min is total."""
+    pairs = embedding_near_dup_pairs_lsh(emb, threshold, n_planes, n_bands)
+    fwd = pairs.select(F.col("vec_a").alias("x"), F.col("vec_b").alias("y"))
+    edges = fwd.union(
+        pairs.select(F.col("vec_b").alias("x"), F.col("vec_a").alias("y"))
+    ).localCheckpoint()
+    labels = emb.select(F.col("vec_id").cast("long").alias("x")).withColumn(
+        "lbl", F.col("x")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = edges.join(labels, "x").select(F.col("y").alias("x"), "lbl")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("x")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max("x").cast("long").alias("max_member"),
+        )
+        .orderBy("cluster")
+    )
