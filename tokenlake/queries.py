@@ -691,6 +691,30 @@ WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5
 """
 
 
+
+
+def q_dedup_text_clusters(spark, sf_dir):
+    """Text twin of dedup_embedding_clusters: components over the
+    Jaccard-verified near-dup pairs (textops.dedup_text_clusters); same
+    recursive-CTE oracle shape over the SQL_DEDUP_JACCARD pair replay."""
+    return textops.dedup_text_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
+SQL_DEDUP_TEXT_CLUSTERS = f"""
+WITH RECURSIVE pr AS ({SQL_DEDUP_JACCARD}),
+ids AS (SELECT doc_id::BIGINT AS doc_id FROM documents),
+edges AS (SELECT doc_a AS x, doc_b AS y FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+reach(x, lbl) AS (
+  SELECT doc_id, doc_id FROM ids
+  UNION
+  SELECT e.y, r.lbl FROM reach r JOIN edges e ON e.x = r.x
+),
+comp AS (SELECT x, min(lbl) AS lbl FROM reach GROUP BY x)
+SELECT lbl::BIGINT AS cluster, count(*)::BIGINT AS n_members, max(x)::BIGINT AS max_member
+FROM comp GROUP BY lbl ORDER BY cluster
+"""
+
+
 def q_text_token_count(spark, sf_dir):
     return textops.token_count(_docs(spark, sf_dir))
 
@@ -1789,6 +1813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_buckets": q_dedup_lsh_buckets,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_text_clusters": q_dedup_text_clusters,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1845,6 +1870,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_lsh_buckets": SQL_DEDUP_LSH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_text_clusters": SQL_DEDUP_TEXT_CLUSTERS,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_QUALITY,
     "text_langid": SQL_LANGID,

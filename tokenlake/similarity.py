@@ -324,13 +324,24 @@ def dedup_components(
     quiet graphs stop after diameter+1 rounds, and `max_iter` bounds
     adversarial chains. Deterministic: labels are ids, min is total."""
     pairs = embedding_near_dup_pairs_lsh(emb, threshold, n_planes, n_bands)
-    fwd = pairs.select(F.col("vec_a").alias("x"), F.col("vec_b").alias("y"))
-    edges = fwd.union(
-        pairs.select(F.col("vec_b").alias("x"), F.col("vec_a").alias("y"))
+    ids = emb.select(F.col("vec_id").cast("long").alias("x"))
+    return min_label_components(
+        pairs.select(F.col("vec_a").alias("x"), F.col("vec_b").alias("y")),
+        ids,
+        max_iter=max_iter,
+    )
+
+
+def min_label_components(
+    pairs: DataFrame, ids: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Shared components engine (see dedup_components for the scale
+    notes): `pairs` is (x, y) undirected-edge rows, `ids` the full vertex
+    set as (x). Returns (cluster, n_members, max_member) sorted."""
+    edges = pairs.union(
+        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).localCheckpoint()
-    labels = emb.select(F.col("vec_id").cast("long").alias("x")).withColumn(
-        "lbl", F.col("x")
-    ).localCheckpoint()
+    labels = ids.withColumn("lbl", F.col("x")).localCheckpoint()
     for _ in range(max_iter):
         prop = edges.join(labels, "x").select(F.col("y").alias("x"), "lbl")
         new = (

@@ -359,3 +359,18 @@ def simhash_candidates(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def dedup_text_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Connected components over the Jaccard-verified text near-dup graph
+    (ngram_jaccard_pairs): cluster = smallest doc_id reachable, so
+    keep-one-per-cluster is `filter(doc_id == cluster)` — the text twin of
+    similarity.dedup_components, sharing its min-label propagation engine
+    (one equi-join + groupBy-min per iteration, O(diameter) rounds)."""
+    from .similarity import min_label_components
+
+    pairs = ngram_jaccard_pairs(docs, threshold)
+    ids = docs.select(F.col("doc_id").cast("long").alias("x"))
+    return min_label_components(
+        pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y")), ids
+    )
