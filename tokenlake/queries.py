@@ -715,6 +715,65 @@ FROM comp GROUP BY lbl ORDER BY cluster
 """
 
 
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation funnel (textops.curate_corpus): quality gate →
+    exact dedup → Jaccard near-dup clusters, per-source keep/drop
+    accounting. Every stage has a DuckDB twin, so the whole funnel is
+    hash-checked as one composition."""
+    return textops.curate_corpus(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+SQL_CORPUS_CURATION = f"""
+WITH RECURSIVE staged AS (
+  SELECT doc_id::BIGINT AS doc_id, text, source,
+         (len({_DUCK_WORDS}) >= 5
+          AND round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1), 4) >= 0.5) AS pass_quality
+  FROM documents),
+surv1 AS (SELECT doc_id, text, source FROM staged WHERE pass_quality),
+keep2 AS (SELECT min(doc_id) AS doc_id FROM surv1 GROUP BY md5(text)),
+surv2 AS (SELECT s.* FROM surv1 s JOIN keep2 USING (doc_id)),
+sh_all AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM surv2),
+sig AS (SELECT doc_id, min(md5(concat('0', sh))) AS bucket FROM sh_all GROUP BY doc_id),
+hot AS (SELECT bucket FROM sig GROUP BY bucket HAVING count(*) > 1),
+cand AS (SELECT sig.doc_id FROM sig JOIN hot USING (bucket)),
+sh AS (SELECT DISTINCT s.doc_id, s.sh FROM sh_all s JOIN cand USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pr AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5),
+edges AS (SELECT doc_a AS x, doc_b AS y FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+reach(x, lbl) AS (
+  SELECT doc_id, doc_id FROM surv2
+  UNION
+  SELECT e.y, r.lbl FROM reach r JOIN edges e ON e.x = r.x),
+comp AS (SELECT x, min(lbl) AS lbl FROM reach GROUP BY x),
+dropped3 AS (SELECT x AS doc_id FROM comp WHERE x != lbl)
+SELECT st.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN NOT st.pass_quality THEN 1 ELSE 0 END)::BIGINT AS dropped_quality,
+       sum(CASE WHEN st.pass_quality AND k.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS dropped_exact,
+       sum(CASE WHEN d3.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS dropped_neardup,
+       (count(*)
+        - sum(CASE WHEN NOT st.pass_quality THEN 1 ELSE 0 END)
+        - sum(CASE WHEN st.pass_quality AND k.doc_id IS NULL THEN 1 ELSE 0 END)
+        - sum(CASE WHEN d3.doc_id IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS kept
+FROM staged st
+LEFT JOIN keep2 k ON k.doc_id = st.doc_id
+LEFT JOIN dropped3 d3 ON d3.doc_id = st.doc_id
+GROUP BY st.source ORDER BY st.source
+"""
+
+
 def q_text_token_count(spark, sf_dir):
     return textops.token_count(_docs(spark, sf_dir))
 
@@ -1814,6 +1873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_buckets": q_dedup_lsh_buckets,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_text_clusters": q_dedup_text_clusters,
+    "corpus_curation": q_corpus_curation,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1871,6 +1931,7 @@ ORACLES: dict[str, str] = {
     "dedup_lsh_buckets": SQL_DEDUP_LSH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_text_clusters": SQL_DEDUP_TEXT_CLUSTERS,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_QUALITY,
     "text_langid": SQL_LANGID,

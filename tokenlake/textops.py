@@ -374,3 +374,89 @@ def dedup_text_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return min_label_components(
         pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y")), ids
     )
+
+
+def curate_corpus(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """End-to-end corpus curation funnel — the composition a training-data
+    pipeline actually runs, each stage the operator this module already
+    ships, applied in sequence so later (costlier) stages see only
+    survivors:
+
+      1. quality gate: ≥5 words AND alpha_ratio ≥ 0.5 (quality_scores'
+         features, fixed thresholds)
+      2. exact dedup: keep doc_id == min per md5(text) among survivors
+      3. near-dup dedup: Jaccard clusters over the remaining docs
+         (ngram_jaccard_pairs → min_label_components); keep the cluster
+         representative (min doc_id)
+
+    Returns the per-source accounting (n_docs, dropped_quality,
+    dropped_exact, dropped_neardup, kept) — deterministic, fully
+    SQL-replayable (each stage has a DuckDB twin), and shuffle-frugal:
+    the funnel's joins are all on doc_id/content-hash equi-keys and the
+    expensive pair join runs over the post-dedup minority."""
+    from .similarity import min_label_components
+
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    q = quality_scores(docs).select("doc_id", "n_words", "alpha_ratio")
+    staged = base.join(q, "doc_id").withColumn(
+        "pass_quality", (F.col("n_words") >= 5) & (F.col("alpha_ratio") >= 0.5)
+    )
+    surv1 = staged.filter("pass_quality").select("doc_id", "text", "source")
+    keep2 = (
+        surv1.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv2 = surv1.join(keep2, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(surv2, jaccard_threshold)
+    comps = min_label_components(
+        pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y")),
+        surv2.select(F.col("doc_id").alias("x")),
+    )
+    # members of a >1 cluster whose id isn't the representative are dropped;
+    # re-derive per-doc labels cheaply: docs in pairs join their cluster via
+    # the label frame is already aggregated — recompute membership by
+    # joining each doc to the smallest cluster containing it through pairs'
+    # closure is the components' job; use the summary: kept = representatives
+    # + docs in no pair (singletons ARE their own representative).
+    kept3 = comps.select(F.col("cluster").alias("doc_id"))
+    dropped3 = surv2.join(kept3, "doc_id", "left_anti").select("doc_id")
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("pass_quality"), 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_quality"),
+        )
+        .join(
+            surv1.join(surv2, "doc_id", "left_anti")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("dropped_exact")),
+            "source",
+            "left",
+        )
+        .join(
+            surv2.join(dropped3, "doc_id", "left_semi")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("dropped_neardup")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dropped_quality",
+            F.coalesce("dropped_exact", F.lit(0)).cast("long").alias("dropped_exact"),
+            F.coalesce("dropped_neardup", F.lit(0)).cast("long").alias("dropped_neardup"),
+            (
+                F.col("n_docs")
+                - F.col("dropped_quality")
+                - F.coalesce("dropped_exact", F.lit(0))
+                - F.coalesce("dropped_neardup", F.lit(0))
+            ).cast("long").alias("kept"),
+        )
+        .orderBy("source")
+    )
