@@ -173,11 +173,11 @@ def test_extra_types_of_raises_on_conflicting_dtypes(spark):
     silently pick one (the decode schema would disagree with half the
     payloads)."""
     a = spark.createDataFrame(
-        [("c1", [("v", "plain", "none", "double", 1, 0, 1, 1, "", 0, 1, 1, 0.0, 0.0, None)], b"")],
+        [("c1", [("v", "plain", "none", "double", 1, 0, 1, 1, "", 0, 1, 1, 0.0, 0.0, 0, None)], b"")],
         f"chunk_id string, columns array<struct<{encode_job.COLMETA_FIELDS}>>, payload_v binary",
     )
     b = spark.createDataFrame(
-        [("c2", [("v", "plain", "none", "float", 1, 0, 1, 1, "", 0, 1, 1, 0.0, 0.0, None)], b"")],
+        [("c2", [("v", "plain", "none", "float", 1, 0, 1, 1, "", 0, 1, 1, 0.0, 0.0, 0, None)], b"")],
         f"chunk_id string, columns array<struct<{encode_job.COLMETA_FIELDS}>>, payload_v binary",
     )
     with pytest.raises(ValueError, match="conflicting dtypes"):

@@ -689,3 +689,50 @@ def test_corpus_curation_funnel_invariants(spark):
         assert r["kept"] >= 0
     assert sum(r["kept"] for r in out) > 0
     assert sum(r["n_docs"] for r in out) == docs.count()
+
+
+def test_blocked_layout_survives_mixed_flat_chunks(spark, tmp_path):
+    """block_rows inference must come from the METRICS of every chunk, not
+    a single sniffed frame: a skewed source produces a tiny chunk whose
+    emb frame stores FLAT (blocks only form when rows > block_rows), and a
+    first-row header probe that happened to land on it would silently
+    flatten the whole column on compaction. The stored per-column
+    block_rows metric makes the inference order-independent."""
+    from tokenlake.codecs.container import FLAG_BLOCKED
+    from tokenlake.plan import Prescription
+
+    rng = np.random.default_rng(7)
+    n_web, n_rare = 800, 5
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"m-{i:06d}" for i in range(n_web + n_rare)]
+            ),
+            "tokens": pa.array([[3, 4]] * (n_web + n_rare), pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * (n_web + n_rare), pa.int32()),
+            "source": pa.array(["web"] * n_web + ["rare"] * n_rare),
+            "emb": pa.array(
+                [rng.standard_normal(16).astype(np.float32) for _ in range(n_web + n_rare)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    src = str(tmp_path / "mix")
+    cfg = Prescription.parse("set column emb data_page_size_limit 4096").apply()
+    encode_job.run(spark, df := spark.createDataFrame(t), src, cfg=cfg, resume=False, max_rows=400)
+
+    # the rare-source chunk is small enough to store a FLAT emb frame
+    from tokenlake.decode_job import dedup_attempts, read_encoded
+
+    heads = (
+        dedup_attempts(read_encoded(spark, src))
+        .select(F.substring(F.col("payload_emb"), 1, 16).alias("h"))
+        .collect()
+    )
+    flags = [bytes(r["h"])[7] & FLAG_BLOCKED for r in heads]
+    assert any(f == 0 for f in flags), "expected at least one flat tail chunk"
+    assert any(f != 0 for f in flags), "expected blocked chunks"
+
+    sniffed = encode_job.plan_from_encoded(spark, src)
+    blk = sniffed.block_rows_for("emb")
+    assert blk and blk >= 16, f"blocked layout lost to the flat tail: {blk}"

@@ -45,7 +45,7 @@ COLMETA_FIELDS = (
     "column string, codec string, outer string, dtype string, n_values long, "
     "null_count long, encoded_bytes long, raw_bytes long, rule string, "
     "min_val long, max_val long, distinct_est long, elapsed_ms double, "
-    "outer_trial_ratio double, bloom binary"
+    "outer_trial_ratio double, block_rows long, bloom binary"
 )
 
 _COLMETA_ARROW = pa.struct(
@@ -68,6 +68,10 @@ _COLMETA_ARROW = pa.struct(
         # only when the stored outer is 'none' (0.0 otherwise / too small).
         # Lets the R2/R3 analogs fire from metrics alone — no payload read.
         ("outer_trial_ratio", pa.float64()),
+        # rows per intra-chunk block when the frame is FLAG_BLOCKED (R10
+        # small-pages), 0 for flat frames: lets plan_from_encoded infer the
+        # random-access layout from the payload-pruned metadata scan alone
+        ("block_rows", pa.int64()),
         # per-column membership filter (reference bloom directives are
         # per-column, prescription.rs:113-130 / fix.rs:168-182); the tokens
         # filter stays in the top-level `bloom` column (its historical slot)
@@ -645,6 +649,16 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
 
             tail = payload[-_TRIAL_BYTES:]
             trial = len(_outer_compress("zstd", ZSTD_LEVEL, tail)) / len(tail)
+        # blocked-layout evidence: read block_rows off the written frame
+        # header (local bytes) so plan_from_encoded can preserve the R10
+        # small-pages layout without ever touching stored payloads
+        from .codecs.container import FLAG_BLOCKED
+
+        blk = 0
+        if len(payload) >= 16 and payload[:2] == b"TL" and (payload[7] & FLAG_BLOCKED):
+            import struct as _struct
+
+            blk = _struct.unpack_from("<I", payload, 12)[0]
         col_meta.append(
             {
                 "column": column,
@@ -661,6 +675,7 @@ def encode_chunk(t: pa.Table, cfg: EncodeConfig | None = None) -> pa.Table:
                 "distinct_est": stats.distinct_est if stats and keep_stats else 0,
                 "elapsed_ms": (time.perf_counter() - (t_start or t0)) * 1000,
                 "outer_trial_ratio": trial,
+                "block_rows": blk,
                 "bloom": col_bloom,
             }
         )
@@ -877,6 +892,13 @@ def column_metrics(encoded: DataFrame) -> DataFrame:
             else F.lit(0.0)  # pre-r6 tables: no stored trial → no evidence
         ).alias("outer_trial_ratio"),
         (
+            F.col("c.block_rows")
+            if "block_rows" in meta_fields
+            # pre-knob tables can hold no blocked frames (field and flag
+            # shipped in the same format rev) → 0 ⇒ flat is exact
+            else F.lit(0)
+        ).cast("long").alias("block_rows"),
+        (
             (F.col("chunk_has_bloom") & (F.col("c.column") == "tokens"))
             | (
                 F.col("c.bloom").isNotNull()
@@ -965,6 +987,7 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
             F.max(F.when(doc_stats, F.col("doc_id_max") != "")).alias("has_doc_stats"),
             F.max("n_rows").alias("max_rows"),
             F.max("dtype").alias("dtype"),  # uniform per column (append guard)
+            F.max("block_rows").alias("block_rows"),  # R10 blocked layout
         )
         .collect()
     )
@@ -978,13 +1001,14 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
         a = per_col.setdefault(
             c,
             {"has_bloom": False, "has_int_stats": None, "has_doc_stats": None,
-             "max_rows": 0, "dtype": g["dtype"]},
+             "max_rows": 0, "dtype": g["dtype"], "block_rows": 0},
         )
         a["has_bloom"] = a["has_bloom"] or bool(g["has_bloom"])
         for k in ("has_int_stats", "has_doc_stats"):
             if g[k] is not None:
                 a[k] = bool(a[k]) or g[k]
         a["max_rows"] = max(a["max_rows"], g["max_rows"] or 0)
+        a["block_rows"] = max(a["block_rows"], g["block_rows"] or 0)
 
     def _majority(cnts: dict, column: str) -> str:
         # most frequent; deterministic tiebreak on the value name, matching
@@ -1019,30 +1043,22 @@ def plan_from_encoded(spark: SparkSession, out_dir: str) -> EncodeConfig:
             cfg.stats_level[r["column"]] = "page"
         # max over chunk rows = the reference's largest-row-group inference
         cfg.max_chunk_rows = max(cfg.max_chunk_rows or 1, int(r["max_rows"] or 1))
-    # X1 for the R10 small-pages layout: FLAG_BLOCKED is a payload-frame
-    # property the metrics can't carry, so sniff ONE stored frame header
-    # per list-typed column (12-byte header + u32 block_rows at the body
-    # start) — O(#list-columns) bounded probes, never row data. Without
-    # this, compaction/rewrite would silently flatten a blocked column.
-    from .codecs.container import FLAG_BLOCKED
-
-    import struct as _struct
-
-    raw = spark.read.parquet(f"{out_dir}/encoded")
+    # X1 for the R10 small-pages layout: a blocked column's block_rows is
+    # stored in the per-column METRICS (recorded at encode time from the
+    # written frame header), so the inference rides the same payload-pruned
+    # single scan as everything above — no frame probe. A first()-row
+    # header sniff was tried and rejected twice over: it misses a blocked
+    # column whose first-listed chunk is a small unblocked tail (blocks
+    # only form when a chunk exceeds block_rows), and any all-chunk header
+    # read forces the full payload column off disk (Parquet can't prune
+    # inside a binary value). Mixed block sizes (appends under a changed
+    # budget) resolve to the max — deterministic, and the larger block
+    # still bounds a lookup's decoded bytes. Pre-knob tables have no
+    # stored block_rows and can hold no blocked frames (both shipped in
+    # the same format rev), so 0 ⇒ flat is exact, not a guess.
     for r in rows:
-        c, dtype = r["column"], r.get("dtype") or ""
-        if not dtype.startswith("array<") or f"payload_{c}" not in raw.columns:
-            continue
-        head = (
-            raw.select(F.substring(F.col(f"payload_{c}"), 1, 16).alias("h"))
-            .filter(F.col("h").isNotNull())
-            .first()
-        )
-        if head is None:
-            continue
-        h = bytes(head["h"])
-        if len(h) >= 16 and h[:2] == b"TL" and h[2] == 3 and (h[7] & FLAG_BLOCKED):
-            cfg.block_rows[c] = _struct.unpack_from("<I", h, 12)[0]
+        if r.get("block_rows"):
+            cfg.block_rows[r["column"]] = int(r["block_rows"])
     return cfg
 
 

@@ -63,7 +63,13 @@ DECODERS: dict[str, callable] = {}
 
 
 def register_decoder(media_type: str, fn) -> None:
-    """Register `fn(payload: bytes) -> np.ndarray` for a media type."""
+    """Register `fn(payload: bytes) -> np.ndarray` for a media type.
+
+    Throughput contract: the built-in pure-Python JPEG/PNG decoders top out
+    ~10-25 MB/s per core (Huffman symbol chase is inherently sequential —
+    measured ceiling in BENCH/BASELINE.md §"media decode"). A production
+    corpus at 100 TB needs a native decoder (PIL/libjpeg-turbo) registered
+    here; it slots in with no other plumbing changes."""
     DECODERS[media_type] = fn
 
 
