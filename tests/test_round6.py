@@ -736,3 +736,118 @@ def test_blocked_layout_survives_mixed_flat_chunks(spark, tmp_path):
     sniffed = encode_job.plan_from_encoded(spark, src)
     blk = sniffed.block_rows_for("emb")
     assert blk and blk >= 16, f"blocked layout lost to the flat tail: {blk}"
+
+
+# ------------------------------------------------- token-level corpus ops
+
+
+def _seq_table(spark, rows):
+    """rows: list of (doc_id, tokens, source)."""
+    return spark.createDataFrame(
+        [(d, t, len(t), s) for d, t, s in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+def test_span_dedup_exact_fractions(spark):
+    """Handcrafted corpus where the expected per-doc dup profile is known:
+    a and b share one 4-span at DIFFERENT offsets (alignment must not
+    matter), c is unique, d is too short to form any span (must still be
+    in the output with zeros)."""
+    from tokenlake import tokenops
+
+    docs = _seq_table(
+        spark,
+        [
+            ("a", [1, 2, 3, 4, 9], "w"),      # spans: (1234), (2349)
+            ("b", [7, 1, 2, 3, 4], "w"),      # spans: (7123), (1234)  ← shares (1234)
+            ("c", [5, 5, 5, 5], "w"),         # one unique span
+            ("d", [1, 2], "w"),               # too short
+        ],
+    )
+    out = {r["doc_id"]: r for r in tokenops.span_dedup(docs, n=4).collect()}
+    assert len(out) == 4
+    assert (out["a"]["n_spans"], out["a"]["dup_spans"]) == (2, 1)
+    assert out["a"]["dup_frac"] == 0.5
+    assert (out["b"]["n_spans"], out["b"]["dup_spans"]) == (2, 1)
+    assert (out["c"]["n_spans"], out["c"]["dup_spans"]) == (1, 0)
+    assert (out["d"]["n_spans"], out["d"]["dup_spans"], out["d"]["dup_frac"]) == (0, 0, 0.0)
+
+
+def test_span_dedup_within_doc_repeat_not_cross_dup(spark):
+    """A doc repeating its own span internally is NOT a cross-doc dup:
+    distinct (doc, span) semantics."""
+    from tokenlake import tokenops
+
+    docs = _seq_table(spark, [("a", [1, 2, 3, 4, 1, 2, 3, 4], "w")])
+    r = tokenops.span_dedup(docs, n=4).collect()[0]
+    # spans at offsets 1..5: {1234, 2341, 3412, 4123, 1234} → 4 distinct
+    assert r["n_spans"] == 4
+    assert r["dup_spans"] == 0
+
+
+def test_span_groups_and_stride(spark):
+    """span_groups returns only spans in ≥2 docs; stride=n tiles without
+    overlap (fewer candidate spans, the documented scale dial)."""
+    from tokenlake import tokenops
+
+    docs = _seq_table(
+        spark,
+        [("a", [1, 2, 3, 4, 5, 6, 7, 8], "w"), ("b", [1, 2, 3, 4, 9, 9, 9, 9], "w")],
+    )
+    g = tokenops.span_groups(docs, n=4).collect()
+    assert len(g) == 1 and g[0]["n_docs"] == 2
+    assert {g[0]["min_doc"], g[0]["max_doc"]} == {"a", "b"}
+    # stride=4: a tiles (1234),(5678); b tiles (1234),(9999) → same group
+    g4 = tokenops.span_groups(docs, n=4, stride=4).collect()
+    assert len(g4) == 1 and g4[0]["n_docs"] == 2
+
+
+def test_contamination_flags_only_overlapping_train_docs(spark):
+    """Only the train doc sharing a span with the eval set is flagged;
+    span-less train docs survive with zeros."""
+    from tokenlake import tokenops
+
+    train = _seq_table(
+        spark,
+        [
+            ("t1", [1, 2, 3, 4, 5], "w"),   # shares (2345) with eval
+            ("t2", [9, 8, 7, 6, 5], "w"),   # clean
+            ("t3", [1], "w"),               # no spans
+        ],
+    )
+    ev = _seq_table(spark, [("e1", [0, 2, 3, 4, 5], "eval")])
+    out = {r["doc_id"]: r for r in tokenops.contamination(train, ev, n=4).collect()}
+    assert out["t1"]["contaminated"] and out["t1"]["eval_hits"] == 1
+    assert not out["t2"]["contaminated"] and out["t2"]["eval_hits"] == 0
+    assert not out["t3"]["contaminated"] and out["t3"]["n_spans"] == 0
+
+
+def test_vocab_histogram_exact_counts(spark):
+    from tokenlake import tokenops
+
+    docs = _seq_table(spark, [("a", [5, 5, 7], "w"), ("b", [5, 8], "w")])
+    out = {r["token"]: r for r in tokenops.vocab_histogram(docs).collect()}
+    assert (out[5]["freq"], out[5]["n_docs"]) == (3, 2)
+    assert (out[7]["freq"], out[7]["n_docs"]) == (1, 1)
+    assert (out[8]["freq"], out[8]["n_docs"]) == (1, 1)
+
+
+def test_tokenops_plans_stay_distributed(spark):
+    """Scale-shape pins: no CartesianProduct anywhere, the eval probe is a
+    broadcast semi-join, and nothing drops into Python."""
+    from tokenlake import tokenops
+
+    docs = _seq_table(spark, [("a", [1, 2, 3, 4, 5], "w"), ("b", [1, 2, 3, 4], "w")])
+    ev = _seq_table(spark, [("e", [1, 2, 3, 4], "eval")])
+    for df in (
+        tokenops.span_dedup(docs, n=4),
+        tokenops.span_groups(docs, n=4),
+        tokenops.vocab_histogram(docs),
+        tokenops.contamination(docs, ev, n=4),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    cplan = tokenops.contamination(docs, ev, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cplan

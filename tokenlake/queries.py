@@ -1840,6 +1840,129 @@ FROM documents WHERE doc_id < 600 GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# token-level corpus operators (tokenops) — vocab stats, ExactSubstr-style
+# span dedup, train/eval decontamination over the closed-form events
+# sequences (same derivation both sides, no engine code in the oracles)
+# --------------------------------------------------------------------------
+
+# the events→sequences derivation as a DuckDB CTE body, shared by the three
+# tokenops oracles (mirrors _GEN_TOKENS_SPARK / SQL_LINT_FULL's seq CTE)
+_SQL_SEQ_CTE = """
+  SELECT cast(event_id AS VARCHAR) AS doc_id, event_type AS source,
+         event_id % 7 + 1 AS n_tok,
+         list_transform(generate_series(1, event_id % 7 + 1),
+                        i -> (event_id * 31 + i) % 997) AS tokens
+  FROM events
+"""
+
+# distinct (doc_id, source, md5-span) rows at n=4, stride=1 — the SQL twin
+# of tokenops._doc_spans over the seq CTE
+_SQL_SPANS_CTE = """
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(list_slice(tokens, i, i + 3), ' ')) AS span
+  FROM seq, unnest(generate_series(1, greatest(len(tokens) - 3, 0))) AS t(i)
+"""
+
+
+def q_tok_vocab(spark, sf_dir):
+    """Vocabulary histogram (tokenops.vocab_histogram): per token value,
+    total occurrences and document frequency, over the closed-form events
+    sequences. Explode feeds a same-stage hash aggregate → the shuffle is
+    O(vocab × partitions), never O(total tokens)."""
+    from . import tokenops
+
+    return tokenops.vocab_histogram(_events_sequences(spark, sf_dir))
+
+
+SQL_TOK_VOCAB = f"""
+WITH seq AS ({_SQL_SEQ_CTE}),
+flat AS (SELECT doc_id, unnest(tokens) AS token FROM seq)
+SELECT token::BIGINT AS token, count(*)::BIGINT AS freq,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM flat GROUP BY 1
+"""
+
+
+def q_tok_span_dedup(spark, sf_dir):
+    """ExactSubstr-style duplicated-span profile (tokenops.span_dedup,
+    n=4), aggregated per source with integer-only measures so the compare
+    is exact: doc counts, docs with ≥1 span, docs with ≥1 duplicated span,
+    and the span/dup-span totals."""
+    from . import tokenops
+
+    d = tokenops.span_dedup(_events_sequences(spark, sf_dir), n=4)
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_spans") > 0).cast("long")).cast("long").alias("docs_with_spans"),
+        F.sum((F.col("dup_spans") > 0).cast("long")).cast("long").alias("docs_with_dups"),
+        F.sum("n_spans").cast("long").alias("sum_spans"),
+        F.sum("dup_spans").cast("long").alias("sum_dup_spans"),
+    )
+
+
+SQL_TOK_SPAN_DEDUP = f"""
+WITH seq AS ({_SQL_SEQ_CTE}),
+sp AS ({_SQL_SPANS_CTE}),
+hot AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+per AS (SELECT doc_id, count(*) AS dup_spans FROM sp JOIN hot USING (span) GROUP BY 1),
+base AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+docs AS (SELECT DISTINCT doc_id, source FROM seq)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN coalesce(n_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_spans,
+       sum(CASE WHEN coalesce(dup_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dups,
+       sum(coalesce(n_spans, 0))::BIGINT AS sum_spans,
+       sum(coalesce(dup_spans, 0))::BIGINT AS sum_dup_spans
+FROM docs LEFT JOIN base USING (doc_id) LEFT JOIN per USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_tok_contamination(spark, sf_dir):
+    """Train/eval decontamination (tokenops.contamination, n=4): eval set
+    = every 89th event's sequence, train = the rest; per-source integer
+    aggregates of the per-doc contamination profile. The eval span set is
+    broadcast (LEFT SEMI probe on the corpus side)."""
+    from . import tokenops
+
+    seq = _events_sequences(spark, sf_dir)
+    is_eval = F.col("doc_id").cast("long") % 89 == 0
+    d = tokenops.contamination(seq.filter(~is_eval), seq.filter(is_eval), n=4)
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_train_docs"),
+        F.sum(F.col("contaminated").cast("long")).cast("long").alias("contaminated_docs"),
+        F.sum("eval_hits").cast("long").alias("sum_eval_hits"),
+        F.sum("n_spans").cast("long").alias("sum_spans"),
+    )
+
+
+SQL_TOK_CONTAMINATION = f"""
+WITH seq AS ({_SQL_SEQ_CTE}),
+tr AS (SELECT * FROM seq WHERE doc_id::BIGINT % 89 <> 0),
+sp AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(list_slice(tokens, i, i + 3), ' ')) AS span
+  FROM tr, unnest(generate_series(1, greatest(len(tokens) - 3, 0))) AS t(i)
+),
+ev AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(tokens, i, i + 3), ' ')) AS span
+  FROM seq, unnest(generate_series(1, greatest(len(tokens) - 3, 0))) AS t(i)
+  WHERE doc_id::BIGINT % 89 = 0
+),
+hits AS (SELECT doc_id, count(*) AS eval_hits FROM sp JOIN ev USING (span) GROUP BY 1),
+base AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+docs AS (SELECT DISTINCT doc_id, source FROM tr)
+SELECT source,
+       count(*)::BIGINT AS n_train_docs,
+       sum(CASE WHEN coalesce(eval_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated_docs,
+       sum(coalesce(eval_hits, 0))::BIGINT AS sum_eval_hits,
+       sum(coalesce(n_spans, 0))::BIGINT AS sum_spans
+FROM docs LEFT JOIN base USING (doc_id) LEFT JOIN hits USING (doc_id)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1874,6 +1997,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_text_clusters": q_dedup_text_clusters,
     "corpus_curation": q_corpus_curation,
+    "tok_vocab": q_tok_vocab,
+    "tok_span_dedup": q_tok_span_dedup,
+    "tok_contamination": q_tok_contamination,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1932,6 +2058,9 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_text_clusters": SQL_DEDUP_TEXT_CLUSTERS,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "tok_vocab": SQL_TOK_VOCAB,
+    "tok_span_dedup": SQL_TOK_SPAN_DEDUP,
+    "tok_contamination": SQL_TOK_CONTAMINATION,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_QUALITY,
     "text_langid": SQL_LANGID,

@@ -1,0 +1,178 @@
+"""Token-array corpus operators over the canonical sequences table
+(doc_id string, tokens array<int32>, n_tok int32, source string) — the
+pre-tokenized input shape this engine encodes.
+
+These complete the training-data-pipeline set at the TOKEN level (textops
+covers the raw-text level): vocabulary statistics, exact duplicated-span
+detection, and train/eval decontamination. All pure JVM column expressions
+(explode → hash aggregate with map-side partial aggregation, equi-joins on
+uniform md5 span keys); no Python in any hot path.
+
+Design notes for 100 TB / 10^12 sequences:
+- `vocab_histogram`: explode feeds a hash aggregate in the SAME stage, so
+  the shuffle carries O(vocab × partitions) partial rows, never O(total
+  tokens). Document frequency adds one distinct pass on (token, doc_id) —
+  both keys uniform, no skew.
+- `span_dedup` / `span_groups`: exact duplicated-token-span detection in
+  the spirit of suffix-array ExactSubstr dedup (Lee et al., "Deduplicating
+  Training Data Makes Language Models Better", ACL 2022), reformulated
+  shuffle-friendly: fixed-length n-gram spans hashed to md5 keys at a
+  configurable stride, then grouped / semi-joined on the span key. The
+  exploded+shuffled payload is one 128-bit key per (doc, position/stride)
+  — bounded data amplification of ~16/stride bytes per token position —
+  and every join is an equi-join on a uniform hash key: no all-pairs work,
+  no skewed reducers. A stride of n gives non-overlapping span tiling
+  (cheapest); stride 1 gives the exact every-offset semantics.
+- `contamination`: the standard eval-set n-gram decontamination check as a
+  broadcast LEFT SEMI join against the distinct eval span set (eval sets
+  are small — benchmarks, not corpora); flip broadcast_eval=False to let
+  AQE pick a shuffle join when the eval side is itself corpus-sized.
+
+Reference parity: parquet-linter has no token-level operators (it lints
+Parquet metadata); these extend the engine's §2 coverage the same way the
+textops/dedup family does, per the build brief's training-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def span_keys(col: str = "tokens", n: int = 4, stride: int = 1) -> Column:
+    """md5 keys of every length-`n` token span at offsets 1, 1+stride, …
+
+    Short (or null) token arrays yield an EMPTY list — Spark's
+    sequence(1, 0) counts DOWN (unlike DuckDB's generate_series), so the
+    short-doc case is branched explicitly, mirroring textops.shingles.
+    The key is the md5 of the space-joined decimal tokens: deterministic,
+    uniform (no hot reducers), and replayable in ANSI SQL for the oracle.
+    """
+    t = F.col(col)
+    last = F.size(t) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n).cast("array<string>"))),
+    )
+
+
+def vocab_histogram(seqs: DataFrame) -> DataFrame:
+    """Corpus vocabulary statistics: per token value, total occurrences
+    (`freq`) and document frequency (`n_docs`).
+
+    The building block for vocab coverage checks, BPE merge audits, and
+    frequency-based filtering over a tokenized corpus.
+    """
+    tok = seqs.select(F.col("doc_id"), F.explode("tokens").alias("token"))
+    return tok.groupBy(F.col("token").cast("long").alias("token")).agg(
+        F.count("*").cast("long").alias("freq"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+def _doc_spans(seqs: DataFrame, n: int, stride: int) -> DataFrame:
+    """Distinct (doc_id, source, span-key) rows; one shuffle on the
+    composite key. Distinctness makes downstream counts span-set semantics
+    (a doc repeating its own span internally is not a cross-doc dup)."""
+    return seqs.select(
+        "doc_id",
+        "source",
+        F.explode(span_keys("tokens", n, stride)).alias("span"),
+    ).dropDuplicates(["doc_id", "span"])
+
+
+def span_groups(seqs: DataFrame, n: int = 4, stride: int = 1) -> DataFrame:
+    """Duplicated-span groups: spans occurring in ≥2 distinct docs, with
+    the doc count and the group's min/max doc_id (lexicographic on the
+    caller's doc_id type)."""
+    sp = _doc_spans(seqs, n, stride)
+    return (
+        sp.groupBy("span")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def span_dedup(seqs: DataFrame, n: int = 4, stride: int = 1) -> DataFrame:
+    """ExactSubstr-style per-document duplication profile: for each doc,
+    how many of its distinct length-`n` spans also occur in another doc
+    (`dup_spans`), out of `n_spans`; `dup_frac` is the filterable signal
+    (Lee et al. 2022 drop or trim docs past a duplication threshold).
+
+    Docs too short to form a span are kept with zero counts — a curation
+    pipeline must see every input row to decide its fate.
+    """
+    sp = _doc_spans(seqs, n, stride)
+    hot = (
+        sp.groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span")
+    )
+    per_doc = sp.join(hot, "span", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("dup_spans")
+    )
+    base = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    all_docs = seqs.select("doc_id", "source").dropDuplicates(["doc_id"])
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+    dup_spans = F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long")
+    return (
+        all_docs.join(base, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            n_spans.alias("n_spans"),
+            dup_spans.alias("dup_spans"),
+            F.round(
+                dup_spans / F.greatest(n_spans, F.lit(1)).cast("double"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def contamination(
+    train: DataFrame,
+    eval_seqs: DataFrame,
+    n: int = 4,
+    stride: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval n-gram decontamination: per train doc, how many of its
+    distinct spans appear anywhere in the eval set (`eval_hits`), plus the
+    boolean `contaminated` flag a filter stage consumes.
+
+    The eval span set is distinct-ed then (by default) broadcast — eval
+    suites are tiny next to the corpus, so the corpus-side scan never
+    shuffles its span rows for the probe.
+    """
+    ev = eval_seqs.select(
+        F.explode(span_keys("tokens", n, stride)).alias("span")
+    ).dropDuplicates(["span"])
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    sp = _doc_spans(train, n, stride)
+    hits = sp.join(ev, "span", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("eval_hits")
+    )
+    base = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    all_docs = train.select("doc_id", "source").dropDuplicates(["doc_id"])
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+    eval_hits = F.coalesce(F.col("eval_hits"), F.lit(0)).cast("long")
+    return (
+        all_docs.join(base, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            n_spans.alias("n_spans"),
+            eval_hits.alias("eval_hits"),
+            (eval_hits > 0).alias("contaminated"),
+        )
+    )
