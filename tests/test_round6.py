@@ -851,3 +851,34 @@ def test_tokenops_plans_stay_distributed(spark):
         assert "PythonUDF" not in plan and "ArrowEval" not in plan
     cplan = tokenops.contamination(docs, ev, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in cplan
+
+
+def test_curate_sequences_drop_precedence(spark):
+    """Contamination outranks duplication; heavy duplication drops; short
+    docs pass both gates; kept/drop partition is exhaustive."""
+    from tokenlake import tokenops
+
+    train = _seq_table(
+        spark,
+        [
+            ("t1", [1, 2, 3, 4], "w"),          # contaminated AND duplicated → contaminated
+            ("t2", [1, 2, 3, 4, 8], "w"),       # shares (1234) with t1 only → duplicated (2/2 spans? no: spans (1234),(2348); dup 1 of 2 = not heavy)
+            ("t3", [9, 9, 9, 9], "w"),          # unique span → keep
+            ("t4", [5], "w"),                   # no spans → keep
+        ],
+    )
+    ev = _seq_table(spark, [("e1", [0, 1, 2, 3, 4], "eval")])
+    out = {r["doc_id"]: r for r in tokenops.curate_sequences(train, ev, n=4).collect()}
+    assert out["t1"]["drop_reason"] == "contaminated" and not out["t1"]["keep"]
+    # t2: spans {1234, 2348}; (1234) also in t1 AND in eval → contaminated
+    assert out["t2"]["drop_reason"] == "contaminated"
+    assert out["t3"]["keep"] and out["t3"]["drop_reason"] is None
+    assert out["t4"]["keep"] and out["t4"]["n_spans"] == 0
+    # pure duplication (no eval overlap): two docs sharing their only span
+    train2 = _seq_table(
+        spark, [("a", [7, 7, 8, 8], "w"), ("b", [7, 7, 8, 8, 1], "w")]
+    )
+    ev2 = _seq_table(spark, [("e", [2, 4, 6, 8], "eval")])
+    out2 = {r["doc_id"]: r for r in tokenops.curate_sequences(train2, ev2, n=4).collect()}
+    assert out2["a"]["drop_reason"] == "duplicated"      # 1/1 spans duplicated
+    assert out2["b"]["drop_reason"] is None              # 1/2 spans = not heavy

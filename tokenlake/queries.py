@@ -1962,6 +1962,72 @@ GROUP BY 1
 """
 
 
+def q_tok_curation(spark, sf_dir):
+    """Token-level curation funnel (tokenops.curate_sequences): the span
+    dedup profile + contamination check composed into per-doc keep/drop
+    verdicts — contamination drops first, then heavy duplication
+    (dup_spans > n_spans/2) — aggregated per source with integer-only
+    measures. The sequences-side twin of corpus_curation."""
+    from . import tokenops
+
+    seq = _events_sequences(spark, sf_dir)
+    is_eval = F.col("doc_id").cast("long") % 89 == 0
+    d = tokenops.curate_sequences(seq.filter(~is_eval), seq.filter(is_eval), n=4)
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("drop_reason") == "contaminated").cast("long"))
+        .cast("long")
+        .alias("dropped_contaminated"),
+        F.sum((F.col("drop_reason") == "duplicated").cast("long"))
+        .cast("long")
+        .alias("dropped_duplicated"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+SQL_TOK_CURATION = f"""
+WITH seq AS ({_SQL_SEQ_CTE}),
+tr AS (SELECT * FROM seq WHERE doc_id::BIGINT % 89 <> 0),
+sp AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(list_slice(tokens, i, i + 3), ' ')) AS span
+  FROM tr, unnest(generate_series(1, greatest(len(tokens) - 3, 0))) AS t(i)
+),
+ev AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(tokens, i, i + 3), ' ')) AS span
+  FROM seq, unnest(generate_series(1, greatest(len(tokens) - 3, 0))) AS t(i)
+  WHERE doc_id::BIGINT % 89 = 0
+),
+hits AS (SELECT doc_id, count(*) AS eval_hits FROM sp JOIN ev USING (span) GROUP BY 1),
+hot AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+per AS (SELECT doc_id, count(*) AS dup_spans FROM sp JOIN hot USING (span) GROUP BY 1),
+base AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+prof AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         coalesce(b.n_spans, 0) AS n_spans,
+         coalesce(p.dup_spans, 0) AS dup_spans,
+         coalesce(h.eval_hits, 0) AS eval_hits
+  FROM (SELECT DISTINCT doc_id, source, n_tok FROM tr) d
+  LEFT JOIN base b USING (doc_id)
+  LEFT JOIN per p USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN eval_hits > 0 THEN 1 ELSE 0 END)::BIGINT AS dropped_contaminated,
+       sum(CASE WHEN eval_hits = 0 AND dup_spans > n_spans * 0.5 THEN 1 ELSE 0 END)::BIGINT
+         AS dropped_duplicated,
+       sum(CASE WHEN eval_hits = 0 AND dup_spans <= n_spans * 0.5 THEN 1 ELSE 0 END)::BIGINT
+         AS kept,
+       sum(CASE WHEN eval_hits = 0 AND dup_spans <= n_spans * 0.5 THEN n_tok ELSE 0 END)::BIGINT
+         AS kept_tokens
+FROM prof GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2000,6 +2066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tok_vocab": q_tok_vocab,
     "tok_span_dedup": q_tok_span_dedup,
     "tok_contamination": q_tok_contamination,
+    "tok_curation": q_tok_curation,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -2061,6 +2128,7 @@ ORACLES: dict[str, str] = {
     "tok_vocab": SQL_TOK_VOCAB,
     "tok_span_dedup": SQL_TOK_SPAN_DEDUP,
     "tok_contamination": SQL_TOK_CONTAMINATION,
+    "tok_curation": SQL_TOK_CURATION,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_QUALITY,
     "text_langid": SQL_LANGID,

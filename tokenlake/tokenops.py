@@ -137,6 +137,55 @@ def span_dedup(seqs: DataFrame, n: int = 4, stride: int = 1) -> DataFrame:
     )
 
 
+def curate_sequences(
+    train: DataFrame,
+    eval_seqs: DataFrame,
+    n: int = 4,
+    stride: int = 1,
+    max_dup_frac: float = 0.5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Token-level curation funnel: per train doc, a keep/drop verdict
+    composing the span-duplication profile and the eval-contamination
+    check — the sequences-side twin of textops.curate_corpus.
+
+    Drop precedence mirrors a production pipeline: contamination first
+    (an eval-tainted doc is dropped regardless of duplication), then
+    heavy duplication (`dup_spans > n_spans × max_dup_frac`, Lee et al.'s
+    document-level filter). Docs too short to form spans pass both gates.
+    Output: one row per train doc with the profile columns, `drop_reason`
+    ('contaminated' | 'duplicated' | null) and the boolean `keep`.
+    """
+    prof = span_dedup(train, n, stride)
+    cont = contamination(train, eval_seqs, n, stride, broadcast_eval).select(
+        "doc_id", "eval_hits", "contaminated"
+    )
+    meta = train.select("doc_id", F.col("n_tok").cast("long").alias("n_tok")).dropDuplicates(
+        ["doc_id"]
+    )
+    dup_heavy = F.col("dup_spans") > F.col("n_spans") * F.lit(float(max_dup_frac))
+    drop_reason = (
+        F.when(F.col("contaminated"), F.lit("contaminated"))
+        .when(dup_heavy, F.lit("duplicated"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        prof.join(cont, "doc_id")
+        .join(meta, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "n_spans",
+            "dup_spans",
+            "eval_hits",
+            "contaminated",
+            drop_reason.alias("drop_reason"),
+            drop_reason.isNull().alias("keep"),
+        )
+    )
+
+
 def contamination(
     train: DataFrame,
     eval_seqs: DataFrame,
