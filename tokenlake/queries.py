@@ -1962,15 +1962,12 @@ GROUP BY 1
 """
 
 
-def q_tok_curation(spark, sf_dir):
-    """Token-level curation funnel (tokenops.curate_sequences): the span
-    dedup profile + contamination check composed into per-doc keep/drop
-    verdicts — contamination drops first, then heavy duplication
-    (dup_spans > n_spans/2) — aggregated per source with integer-only
-    measures. The sequences-side twin of corpus_curation."""
+def _curation_funnel_agg(seq):
+    """seq → curate_sequences (eval = every 89th doc) → per-source
+    integer aggregates; shared by the raw-side and encoded-side queries
+    so both hash against the SAME engine-free oracle."""
     from . import tokenops
 
-    seq = _events_sequences(spark, sf_dir)
     is_eval = F.col("doc_id").cast("long") % 89 == 0
     d = tokenops.curate_sequences(seq.filter(~is_eval), seq.filter(is_eval), n=4)
     return d.groupBy("source").agg(
@@ -1986,6 +1983,43 @@ def q_tok_curation(spark, sf_dir):
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+def q_tok_curation(spark, sf_dir):
+    """Token-level curation funnel (tokenops.curate_sequences): the span
+    dedup profile + contamination check composed into per-doc keep/drop
+    verdicts — contamination drops first, then heavy duplication
+    (dup_spans > n_spans/2) — aggregated per source with integer-only
+    measures. The sequences-side twin of corpus_curation."""
+    return _curation_funnel_agg(_events_sequences(spark, sf_dir))
+
+
+def tl_tok_encoded_curation(spark, sf_dir):
+    """The same curation funnel running OFF THE ENCODED TABLE: the
+    closed-form events sequences are encoded into a scratch tokenlake
+    table (chunked auto-selected codecs), read back through the projected
+    shuffle-free decode, and the DECODED frame feeds curate_sequences.
+    The oracle is SQL_TOK_CURATION verbatim — the raw-side replay that
+    never touches engine code — so a hash match proves the storage stack
+    is transparent to the pipeline operators (encode→decode changes
+    nothing the funnel can observe)."""
+    import tempfile
+
+    from . import decode_job, encode_job
+
+    work = tempfile.mkdtemp(prefix="tl_tokcur_")
+    try:
+        out = f"{work}/enc"
+        encode_job.run(spark, _events_sequences(spark, sf_dir), out, resume=False)
+        dec = decode_job.decode(
+            spark, out, columns=("doc_id", "tokens", "n_tok", "source")
+        )
+        return _materialize_and_clean(spark, _curation_funnel_agg(dec), work)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        raise
 
 
 SQL_TOK_CURATION = f"""
@@ -2067,6 +2101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tok_span_dedup": q_tok_span_dedup,
     "tok_contamination": q_tok_contamination,
     "tok_curation": q_tok_curation,
+    "tl_tok_encoded_curation": tl_tok_encoded_curation,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -2129,6 +2164,7 @@ ORACLES: dict[str, str] = {
     "tok_span_dedup": SQL_TOK_SPAN_DEDUP,
     "tok_contamination": SQL_TOK_CONTAMINATION,
     "tok_curation": SQL_TOK_CURATION,
+    "tl_tok_encoded_curation": SQL_TOK_CURATION,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_QUALITY,
     "text_langid": SQL_LANGID,
