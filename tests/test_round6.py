@@ -882,3 +882,53 @@ def test_curate_sequences_drop_precedence(spark):
     out2 = {r["doc_id"]: r for r in tokenops.curate_sequences(train2, ev2, n=4).collect()}
     assert out2["a"]["drop_reason"] == "duplicated"      # 1/1 spans duplicated
     assert out2["b"]["drop_reason"] is None              # 1/2 spans = not heavy
+
+
+def test_cli_curate_raw_and_encoded(spark, tmp_path, capsys):
+    """CLI curate over raw sequences AND over an encoded table: verdicts +
+    kept parquet written, kept excludes every dropped doc, and the two
+    input paths agree doc-for-doc."""
+    import json as _json
+
+    from tokenlake import cli
+
+    train = _seq_table(
+        spark,
+        [
+            ("t1", [1, 2, 3, 4, 5], "w"),    # contaminated (shares 2345 with eval)
+            ("a", [7, 7, 8, 8], "w"),        # duplicated with b
+            ("b", [7, 7, 8, 8], "w"),
+            ("t4", [9], "w"),                # short → keep
+            ("t5", [4, 9, 2, 7, 6], "w"),    # unique → keep
+        ],
+    )
+    ev = _seq_table(spark, [("e1", [0, 2, 3, 4, 5], "eval")])
+    in_p, ev_p = str(tmp_path / "in"), str(tmp_path / "ev")
+    train.write.parquet(in_p)
+    ev.write.parquet(ev_p)
+
+    out1 = str(tmp_path / "cur_raw")
+    rc = cli.main(
+        ["curate", in_p, "--eval", ev_p, "-o", out1, "--n", "4", "--stride", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {
+        "n_docs": 5, "dropped_contaminated": 1, "dropped_duplicated": 2,
+        "kept": 2, "kept_tokens": 6,
+    }
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out1}/kept").collect()}
+    assert kept == {"t4", "t5"}
+
+    # same funnel over the encoded table (projected decode path)
+    enc = str(tmp_path / "enc")
+    encode_job.run(spark, train, enc, resume=False)
+    out2 = str(tmp_path / "cur_enc")
+    rc = cli.main(
+        ["curate", enc, "--encoded", "--eval", ev_p, "-o", out2, "--n", "4", "--stride", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out2}/kept").collect()}
+    assert kept2 == kept

@@ -162,6 +162,25 @@ def _build_parser() -> argparse.ArgumentParser:
     sc.add_argument("-o", "--out", default=None, help="write results as parquet (default: count)")
     sc.add_argument("--cpus", type=int, default=8)
 
+    cu = sub.add_parser(
+        "curate",
+        help="token-level curation funnel: drop eval-contaminated docs, "
+        "then docs whose duplicated-span fraction exceeds the threshold "
+        "(ExactSubstr-style); writes per-doc verdicts + the kept sequences",
+    )
+    cu.add_argument("input", help="sequences parquet dir (or encoded table dir with --encoded)")
+    cu.add_argument("--eval", dest="eval_path", required=True,
+                    help="eval-set sequences parquet (spans broadcast for the probe)")
+    cu.add_argument("-o", "--out", required=True, help="output dir (verdicts/ + kept/)")
+    cu.add_argument("--n", type=int, default=16, help="span length in tokens")
+    cu.add_argument("--stride", type=int, default=8,
+                    help="span offset stride (n = non-overlapping tiling; 1 = exact)")
+    cu.add_argument("--max-dup-frac", type=float, default=0.5,
+                    help="drop docs with dup_spans > n_spans × this")
+    cu.add_argument("--encoded", action="store_true",
+                    help="input is an encoded tokenlake table (projected decode)")
+    cu.add_argument("--cpus", type=int, default=8)
+
     ft = sub.add_parser(
         "fetch",
         help="idempotent streaming fetch: skip-if-exists per file, so a "
@@ -464,6 +483,57 @@ def cmd_scan(args, spark=None) -> int:
             spark.stop()
 
 
+def cmd_curate(args, spark=None) -> int:
+    """Curation funnel over raw or encoded sequences: per-doc verdicts to
+    <out>/verdicts, the kept sequences to <out>/kept, summary JSON to
+    stdout. The kept side is a LEFT SEMI join on doc_id — payload rows
+    never shuffle for the verdict."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from . import tokenops
+
+    spark, own = _get_spark(spark, args.cpus)
+    try:
+        if args.encoded:
+            from . import decode_job
+
+            seqs = decode_job.decode(
+                spark, args.input, columns=("doc_id", "tokens", "n_tok", "source")
+            )
+        else:
+            seqs = spark.read.parquet(args.input)
+        ev = spark.read.parquet(args.eval_path)
+        verdicts = tokenops.curate_sequences(
+            seqs, ev, n=args.n, stride=args.stride, max_dup_frac=args.max_dup_frac
+        )
+        verdicts.write.mode("error").parquet(os.path.join(args.out, "verdicts"))
+        v = spark.read.parquet(os.path.join(args.out, "verdicts"))
+        keep_ids = v.filter("keep").select("doc_id")
+        seqs.join(keep_ids, "doc_id", "left_semi").write.mode("error").parquet(
+            os.path.join(args.out, "kept")
+        )
+        summary = v.agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("drop_reason") == "contaminated").cast("long")).alias(
+                "dropped_contaminated"
+            ),
+            F.sum((F.col("drop_reason") == "duplicated").cast("long")).alias(
+                "dropped_duplicated"
+            ),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        ).collect()[0]
+        print(json.dumps({k: int(summary[k] or 0) for k in summary.asDict()}))
+        return 0
+    finally:
+        if own:
+            spark.stop()
+
+
 def cmd_fetch(args) -> int:
     """S7 analog of the reference's indexed fetch loop
     (parquet-linter-leaderboard/src/main.rs calling download_if_missing per
@@ -531,6 +601,8 @@ def main(argv=None, spark=None) -> int:
         return cmd_lookup(args, spark)
     if args.command == "scan":
         return cmd_scan(args, spark)
+    if args.command == "curate":
+        return cmd_curate(args, spark)
     return cmd_rewrite(args, spark)
 
 
