@@ -932,3 +932,24 @@ def test_cli_curate_raw_and_encoded(spark, tmp_path, capsys):
     assert rc == 0
     kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out2}/kept").collect()}
     assert kept2 == kept
+
+
+def test_span_dedup_corpus_wide_boilerplate_span(spark):
+    """The realistic hot key: ONE span (license header / prompt template)
+    shared by every doc. All aggregates are map-side partial and the
+    hot-span semi-join is the single skew point AQE splits at scale —
+    correctness must hold regardless: every doc's boilerplate span is a
+    dup, each doc's unique tail is not."""
+    from tokenlake import tokenops
+
+    docs = _seq_table(
+        spark,
+        [(f"d{i}", [1, 2, 3, 4] + [100 + i, 200 + i, 300 + i, 400 + i], "w") for i in range(40)],
+    )
+    out = tokenops.span_dedup(docs, n=4, stride=4).collect()
+    assert len(out) == 40
+    for r in out:
+        # stride=4 tiles: (1,2,3,4) shared by all 40; unique tail span
+        assert (r["n_spans"], r["dup_spans"]) == (2, 1), r
+    groups = tokenops.span_groups(docs, n=4, stride=4).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 40

@@ -27,6 +27,12 @@ Design notes for 100 TB / 10^12 sequences:
   broadcast LEFT SEMI join against the distinct eval span set (eval sets
   are small — benchmarks, not corpora); flip broadcast_eval=False to let
   AQE pick a shuffle join when the eval side is itself corpus-sized.
+- Skew: a boilerplate span shared by MOST docs (license headers, prompt
+  templates) is the realistic hot key. Every aggregate here is map-side
+  partial (the reducer sees O(partitions) rows per span, not O(docs)),
+  so the only skew point is the hot-span semi-join's probe-side shuffle —
+  exactly the shape AQE skew-join splitting handles (enabled in
+  session.py); correctness under a corpus-wide span is test-pinned.
 
 Reference parity: parquet-linter has no token-level operators (it lints
 Parquet metadata); these extend the engine's §2 coverage the same way the
