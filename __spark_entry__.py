@@ -4,7 +4,9 @@ The engine is `tokenlake/` — a PySpark-native per-column lightweight-
 compression engine (dict/RLE/FSST/bit-pack/frame-of-reference with sampled
 cost-based auto-selection, mirroring parquet-linter's lint rules) plus the
 training-data pipeline operators (dedup, similarity search, text analysis,
-multimodal plumbing).
+multimodal plumbing, and the token-level family: vocab stats,
+ExactSubstr-style span dedup, train/eval decontamination, and the curation
+funnel — which also runs off the encoded format via projected decode).
 
 queries()/oracle_sql() cover SURVEY.md §2 line-by-line; see
 tokenlake/queries.py for the per-operator reference citations. Entries whose
