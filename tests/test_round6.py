@@ -953,3 +953,58 @@ def test_span_dedup_corpus_wide_boilerplate_span(spark):
         assert (r["n_spans"], r["dup_spans"]) == (2, 1), r
     groups = tokenops.span_groups(docs, n=4, stride=4).collect()
     assert len(groups) == 1 and groups[0]["n_docs"] == 40
+
+
+def test_winnow_dedup_alignment_robust_where_stride_misses(spark):
+    """The winnowing win: a shared 7-token run (n=4, w=4 ⇒ guarantee
+    length n+w-1=7) planted at MISALIGNED offsets. stride=4 tiling misses
+    it (different tiles); winnowing must catch it in both docs."""
+    from tokenlake import tokenops
+
+    run = [50, 51, 52, 53, 54, 55, 56]
+    docs = _seq_table(
+        spark,
+        [
+            ("a", [1, 2] + run + [3, 4, 5], "w"),       # run at offset 2
+            ("b", [6] + run + [7, 8, 9, 10, 11], "w"),  # run at offset 1
+        ],
+    )
+    strided = {r["doc_id"]: r["dup_spans"] for r in tokenops.span_dedup(docs, n=4, stride=4).collect()}
+    assert strided == {"a": 0, "b": 0}, "stride was expected to miss the misaligned run"
+    win = {r["doc_id"]: r["dup_spans"] for r in tokenops.winnow_dedup(docs, n=4, w=4).collect()}
+    assert win["a"] >= 1 and win["b"] >= 1, win
+
+
+def test_winnow_short_doc_fallback_and_thinning(spark):
+    """Docs shorter than n+w-1 keep their full span-hash set (coverage);
+    long docs emit strictly fewer fingerprints than spans (thinning)."""
+    from tokenlake import tokenops
+
+    short = [1, 2, 3, 4, 5]                      # 2 spans, < n+w-1
+    long = list(range(100, 160))                 # 57 spans
+    docs = _seq_table(spark, [("s", short, "w"), ("l", long, "w")])
+    out = {r["doc_id"]: r for r in tokenops.winnow_dedup(docs, n=4, w=4).collect()}
+    assert out["s"]["n_spans"] == 2              # full span set retained
+    assert 0 < out["l"]["n_spans"] < 57          # winnowed strictly thinner
+
+
+def test_winnow_theorem_property(spark):
+    """Randomized winnowing-theorem check: for random hosts with a shared
+    run of length ≥ n+w-1 planted at random offsets, both docs always
+    share ≥1 fingerprint."""
+    from tokenlake import tokenops
+
+    rng = np.random.default_rng(123)
+    rows = []
+    for k in range(12):
+        run = rng.integers(1000, 2000, 7 + int(rng.integers(0, 5))).tolist()
+        a = rng.integers(0, 900, int(rng.integers(0, 10))).tolist()
+        b = rng.integers(0, 900, int(rng.integers(0, 10))).tolist()
+        c = rng.integers(0, 900, int(rng.integers(0, 10))).tolist()
+        d = rng.integers(0, 900, int(rng.integers(0, 10))).tolist()
+        rows.append((f"x{k}", [int(v) for v in a + run + b], "w"))
+        rows.append((f"y{k}", [int(v) for v in c + run + d], "w"))
+    docs = _seq_table(spark, rows)
+    out = {r["doc_id"]: r["dup_spans"] for r in tokenops.winnow_dedup(docs, n=4, w=4).collect()}
+    for k in range(12):
+        assert out[f"x{k}"] >= 1 and out[f"y{k}"] >= 1, (k, out)

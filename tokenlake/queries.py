@@ -1918,6 +1918,56 @@ GROUP BY 1
 """
 
 
+def q_tok_winnow_dedup(spark, sf_dir):
+    """Winnowed-fingerprint dedup profile (tokenops.winnow_dedup, n=4,
+    w=4 — Schleimer et al. SIGMOD 2003): alignment-robust span dedup at
+    ~2/(w+1) the key volume; same per-source integer aggregation as
+    tok_span_dedup. The oracle replays the window minima with DuckDB
+    list functions (md5 hex compares lexicographically identically)."""
+    from . import tokenops
+
+    d = tokenops.winnow_dedup(_events_sequences(spark, sf_dir), n=4, w=4)
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_spans") > 0).cast("long")).cast("long").alias("docs_with_spans"),
+        F.sum((F.col("dup_spans") > 0).cast("long")).cast("long").alias("docs_with_dups"),
+        F.sum("n_spans").cast("long").alias("sum_spans"),
+        F.sum("dup_spans").cast("long").alias("sum_dup_spans"),
+    )
+
+
+SQL_TOK_WINNOW_DEDUP = f"""
+WITH seq AS ({_SQL_SEQ_CTE}),
+h AS (
+  SELECT doc_id, source,
+         list_transform(generate_series(1, greatest(len(tokens) - 3, 0)),
+                        i -> md5(array_to_string(list_slice(tokens, i, i + 3), ' '))) AS hs
+  FROM seq
+),
+fp AS (
+  SELECT doc_id, source,
+         CASE WHEN len(hs) - 3 >= 1
+              THEN list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                        i -> list_aggregate(list_slice(hs, i, i + 3), 'min')))
+              ELSE list_distinct(hs) END AS fps
+  FROM h
+),
+sp AS (SELECT DISTINCT doc_id, source, unnest(fps) AS span FROM fp),
+hot AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+per AS (SELECT doc_id, count(*) AS dup_spans FROM sp JOIN hot USING (span) GROUP BY 1),
+base AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+docs AS (SELECT DISTINCT doc_id, source FROM seq)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN coalesce(n_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_spans,
+       sum(CASE WHEN coalesce(dup_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dups,
+       sum(coalesce(n_spans, 0))::BIGINT AS sum_spans,
+       sum(coalesce(dup_spans, 0))::BIGINT AS sum_dup_spans
+FROM docs LEFT JOIN base USING (doc_id) LEFT JOIN per USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_tok_contamination(spark, sf_dir):
     """Train/eval decontamination (tokenops.contamination, n=4): eval set
     = every 89th event's sequence, train = the rest; per-source integer
@@ -2099,6 +2149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "tok_vocab": q_tok_vocab,
     "tok_span_dedup": q_tok_span_dedup,
+    "tok_winnow_dedup": q_tok_winnow_dedup,
     "tok_contamination": q_tok_contamination,
     "tok_curation": q_tok_curation,
     "tl_tok_encoded_curation": tl_tok_encoded_curation,
@@ -2162,6 +2213,7 @@ ORACLES: dict[str, str] = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "tok_vocab": SQL_TOK_VOCAB,
     "tok_span_dedup": SQL_TOK_SPAN_DEDUP,
+    "tok_winnow_dedup": SQL_TOK_WINNOW_DEDUP,
     "tok_contamination": SQL_TOK_CONTAMINATION,
     "tok_curation": SQL_TOK_CURATION,
     "tl_tok_encoded_curation": SQL_TOK_CURATION,

@@ -64,6 +64,53 @@ def span_keys(col: str = "tokens", n: int = 4, stride: int = 1) -> Column:
     )
 
 
+def winnow_keys(col: str = "tokens", n: int = 4, w: int = 4) -> Column:
+    """Winnowed span fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD 2003): the
+    distinct set of per-window minima over the length-`n` span hashes,
+    window size `w`.
+
+    Guarantee (the winnowing theorem): two docs sharing a token run of
+    length ≥ n + w - 1 share at least one fingerprint REGARDLESS of the
+    run's offset in either doc — the alignment robustness a fixed stride
+    can't give — while keeping ~2/(w+1) of the per-position keys. The
+    minimum of a window of uniform md5 hashes is content-defined, so both
+    docs pick the same anchor inside the shared run.
+
+    Docs shorter than n + w - 1 fall back to their full span-hash set
+    (still correct, just un-thinned) so short docs keep dedup coverage.
+    """
+    t = F.col(col)
+    last = F.size(t) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n).cast("array<string>"))),
+    )
+    n_win = F.size(hashes) - (w - 1)
+    widx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    minima = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_distinct(F.when(n_win >= 1, minima).otherwise(hashes))
+
+
+def winnow_dedup(seqs: DataFrame, n: int = 4, w: int = 4) -> DataFrame:
+    """Per-doc duplication profile over winnowed fingerprints: same output
+    shape as span_dedup (n_spans/dup_spans/dup_frac count FINGERPRINTS),
+    but alignment-robust at ~2/(w+1) the key volume — the scale-preferred
+    variant when shared regions are long (boilerplate, template text).
+    The shuffle story is identical: distinct (doc, fingerprint) rows,
+    hash aggregates and a semi-join on uniform md5 keys.
+    """
+    sp = seqs.select(
+        "doc_id", "source", F.explode(winnow_keys("tokens", n, w)).alias("span")
+    ).dropDuplicates(["doc_id", "span"])
+    return _dup_profile(seqs, sp)
+
+
 def vocab_histogram(seqs: DataFrame) -> DataFrame:
     """Corpus vocabulary statistics: per token value, total occurrences
     (`freq`) and document frequency (`n_docs`).
@@ -114,7 +161,13 @@ def span_dedup(seqs: DataFrame, n: int = 4, stride: int = 1) -> DataFrame:
     Docs too short to form a span are kept with zero counts — a curation
     pipeline must see every input row to decide its fate.
     """
-    sp = _doc_spans(seqs, n, stride)
+    return _dup_profile(seqs, _doc_spans(seqs, n, stride))
+
+
+def _dup_profile(seqs: DataFrame, sp: DataFrame) -> DataFrame:
+    """(doc, key) rows → per-doc duplication profile: n_spans, dup_spans
+    (keys occurring in ≥2 docs), dup_frac. Every doc of `seqs` appears in
+    the output (key-less docs with zeros)."""
     hot = (
         sp.groupBy("span")
         .agg(F.count("*").alias("n_docs"))
