@@ -1008,3 +1008,29 @@ def test_winnow_theorem_property(spark):
     out = {r["doc_id"]: r["dup_spans"] for r in tokenops.winnow_dedup(docs, n=4, w=4).collect()}
     for k in range(12):
         assert out[f"x{k}"] >= 1 and out[f"y{k}"] >= 1, (k, out)
+
+
+def test_curate_sequences_winnow_catches_misaligned_dup(spark):
+    """winnow=w switches the dup profile to alignment-robust fingerprints:
+    two docs sharing a 7-token run at different offsets are dropped as
+    duplicated under winnow=4 where stride-4 spans would keep them; the
+    contamination gate stays exact-span either way."""
+    from tokenlake import tokenops
+
+    run = [50, 51, 52, 53, 54, 55, 56]
+    train = _seq_table(
+        spark,
+        [("a", [1, 2] + run, "w"), ("b", [6] + run + [9], "w"), ("u", list(range(70, 80)), "w")],
+    )
+    ev = _seq_table(spark, [("e", [100, 101, 102, 103], "eval")])
+    strided = {
+        r["doc_id"]: r["drop_reason"]
+        for r in tokenops.curate_sequences(train, ev, n=4, stride=4).collect()
+    }
+    assert strided == {"a": None, "b": None, "u": None}
+    winnowed = {
+        r["doc_id"]: r["drop_reason"]
+        for r in tokenops.curate_sequences(train, ev, n=4, winnow=4).collect()
+    }
+    assert winnowed["a"] == "duplicated" and winnowed["b"] == "duplicated"
+    assert winnowed["u"] is None

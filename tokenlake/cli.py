@@ -177,6 +177,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="span offset stride (n = non-overlapping tiling; 1 = exact)")
     cu.add_argument("--max-dup-frac", type=float, default=0.5,
                     help="drop docs with dup_spans > n_spans × this")
+    cu.add_argument("--winnow", type=int, default=None, metavar="W",
+                    help="use winnowed fingerprints (window W) for the dup "
+                    "profile: alignment-robust at ~2/(W+1) the keys; "
+                    "contamination stays exact-span")
     cu.add_argument("--encoded", action="store_true",
                     help="input is an encoded tokenlake table (projected decode)")
     cu.add_argument("--cpus", type=int, default=8)
@@ -506,7 +510,8 @@ def cmd_curate(args, spark=None) -> int:
             seqs = spark.read.parquet(args.input)
         ev = spark.read.parquet(args.eval_path)
         verdicts = tokenops.curate_sequences(
-            seqs, ev, n=args.n, stride=args.stride, max_dup_frac=args.max_dup_frac
+            seqs, ev, n=args.n, stride=args.stride,
+            max_dup_frac=args.max_dup_frac, winnow=args.winnow,
         )
         verdicts.write.mode("error").parquet(os.path.join(args.out, "verdicts"))
         v = spark.read.parquet(os.path.join(args.out, "verdicts"))

@@ -203,6 +203,7 @@ def curate_sequences(
     stride: int = 1,
     max_dup_frac: float = 0.5,
     broadcast_eval: bool = True,
+    winnow: int | None = None,
 ) -> DataFrame:
     """Token-level curation funnel: per train doc, a keep/drop verdict
     composing the span-duplication profile and the eval-contamination
@@ -214,8 +215,16 @@ def curate_sequences(
     document-level filter). Docs too short to form spans pass both gates.
     Output: one row per train doc with the profile columns, `drop_reason`
     ('contaminated' | 'duplicated' | null) and the boolean `keep`.
+
+    `winnow=w` switches the DUPLICATION profile to winnowed fingerprints
+    (alignment-robust, ~2/(w+1) the keys — the scale default for long
+    shared regions); the CONTAMINATION gate stays exact-span regardless,
+    since decontamination must catch a single shared eval n-gram and
+    winnowing guarantees overlap only past n+w-1 tokens.
     """
-    prof = span_dedup(train, n, stride)
+    prof = (
+        winnow_dedup(train, n, winnow) if winnow else span_dedup(train, n, stride)
+    )
     cont = contamination(train, eval_seqs, n, stride, broadcast_eval).select(
         "doc_id", "eval_hits", "contaminated"
     )
