@@ -1034,3 +1034,21 @@ def test_curate_sequences_winnow_catches_misaligned_dup(spark):
     }
     assert winnowed["a"] == "duplicated" and winnowed["b"] == "duplicated"
     assert winnowed["u"] is None
+
+
+def test_sequence_quality_exact_and_shuffle_free(spark):
+    """Hand-checked repetition signals + the plan pin: the whole operator
+    is per-row expressions — zero exchanges, zero Python."""
+    from tokenlake import tokenops
+
+    df = _seq_table(
+        spark,
+        [("a", [1, 1, 1, 2, 3], "w"), ("b", [7, 8, 7, 8, 7, 8], "w"), ("c", [], "w")],
+    )
+    out = {r["doc_id"]: r for r in tokenops.sequence_quality(df).collect()}
+    assert (out["a"]["distinct_tokens"], out["a"]["top_token_count"]) == (3, 3)
+    assert (out["a"]["n_bigrams"], out["a"]["distinct_bigrams"]) == (4, 3)
+    assert out["b"]["dup_bigram_frac"] == 0.6 and out["b"]["top_token_frac"] == 0.5
+    assert out["c"]["n_tok"] == 0 and out["c"]["top_token_count"] == 0
+    plan = tokenops.sequence_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "PythonUDF" not in plan

@@ -1918,6 +1918,53 @@ GROUP BY 1
 """
 
 
+def q_tok_quality(spark, sf_dir):
+    """Token-level repetition/quality signals (tokenops.sequence_quality —
+    the Gopher/MassiveText repetition filters over token arrays),
+    aggregated per source with the integer counts only (float-free
+    compare): type/token, mode frequency, duplicate-bigram numerators."""
+    from . import tokenops
+
+    d = tokenops.sequence_quality(_events_sequences(spark, sf_dir))
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.sum("distinct_tokens").cast("long").alias("sum_distinct_tokens"),
+        F.sum("top_token_count").cast("long").alias("sum_top_token_count"),
+        F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
+        F.sum("distinct_bigrams").cast("long").alias("sum_distinct_bigrams"),
+    )
+
+
+SQL_TOK_QUALITY = f"""
+WITH seq AS ({_SQL_SEQ_CTE}),
+tt AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, v, count(*) AS c
+    FROM (SELECT doc_id, unnest(tokens) AS v FROM seq) GROUP BY 1, 2)
+  GROUP BY 1
+),
+per AS (
+  SELECT s.doc_id, s.source, s.n_tok,
+         len(list_distinct(s.tokens)) AS distinct_tokens,
+         coalesce(t.topc, 0) AS top_token_count,
+         greatest(s.n_tok - 1, 0) AS n_bigrams,
+         len(list_distinct(list_transform(
+             generate_series(1, greatest(s.n_tok - 1, 0)),
+             i -> array_to_string(list_slice(s.tokens, i, i + 1), ' ')))) AS distinct_bigrams
+  FROM seq s LEFT JOIN tt t USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS sum_tok,
+       sum(distinct_tokens)::BIGINT AS sum_distinct_tokens,
+       sum(top_token_count)::BIGINT AS sum_top_token_count,
+       sum(n_bigrams)::BIGINT AS sum_bigrams,
+       sum(distinct_bigrams)::BIGINT AS sum_distinct_bigrams
+FROM per GROUP BY 1
+"""
+
+
 def q_tok_winnow_dedup(spark, sf_dir):
     """Winnowed-fingerprint dedup profile (tokenops.winnow_dedup, n=4,
     w=4 — Schleimer et al. SIGMOD 2003): alignment-robust span dedup at
@@ -2150,6 +2197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tok_vocab": q_tok_vocab,
     "tok_span_dedup": q_tok_span_dedup,
     "tok_winnow_dedup": q_tok_winnow_dedup,
+    "tok_quality": q_tok_quality,
     "tok_contamination": q_tok_contamination,
     "tok_curation": q_tok_curation,
     "tl_tok_encoded_curation": tl_tok_encoded_curation,
@@ -2214,6 +2262,7 @@ ORACLES: dict[str, str] = {
     "tok_vocab": SQL_TOK_VOCAB,
     "tok_span_dedup": SQL_TOK_SPAN_DEDUP,
     "tok_winnow_dedup": SQL_TOK_WINNOW_DEDUP,
+    "tok_quality": SQL_TOK_QUALITY,
     "tok_contamination": SQL_TOK_CONTAMINATION,
     "tok_curation": SQL_TOK_CURATION,
     "tl_tok_encoded_curation": SQL_TOK_CURATION,

@@ -125,6 +125,74 @@ def vocab_histogram(seqs: DataFrame) -> DataFrame:
     )
 
 
+def sequence_quality(seqs: DataFrame) -> DataFrame:
+    """Gopher-style repetition/quality signals at the TOKEN level (the
+    MassiveText repetition filters of Rae et al. 2021, Appendix A,
+    re-expressed over token arrays): per doc, the integer counts behind
+    the standard within-doc repetition ratios —
+
+      n_tok, distinct_tokens        → type/token ratio
+      top_token_count               → top-token fraction (mode frequency)
+      n_bigrams, distinct_bigrams   → duplicate-bigram fraction
+
+    plus the derived ratios for direct filtering. Everything is a per-row
+    column expression (sort_array + a single aggregate() fold computes the
+    mode frequency run-length over the sorted array) — shuffle-free, scans
+    only the tokens column, and the integer counts make oracle compares
+    float-free. Null/empty token arrays yield zero counts.
+    """
+    t = F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
+    n_tok = F.size(t).cast("long")
+    distinct_tokens = F.size(F.array_distinct(t)).cast("long")
+    s = F.sort_array(t)
+    run_state = F.named_struct(
+        F.lit("prev"), F.lit(None).cast("int"),
+        F.lit("cur"), F.lit(0).cast("long"),
+        F.lit("best"), F.lit(0).cast("long"),
+    )
+    top_token_count = F.aggregate(
+        s,
+        run_state,
+        lambda acc, x: F.named_struct(
+            F.lit("prev"), x,
+            F.lit("cur"),
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["cur"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ),
+            F.lit("best"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["cur"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ),
+        ),
+        lambda acc: acc["best"],
+    )
+    bg_idx = F.when(n_tok >= 2, F.sequence(F.lit(1), (n_tok - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        bg_idx, lambda i: F.concat_ws(" ", F.slice(t, i, 2).cast("array<string>"))
+    )
+    n_bigrams = F.size(bigrams).cast("long")
+    distinct_bigrams = F.size(F.array_distinct(bigrams)).cast("long")
+    denom = F.greatest(n_tok, F.lit(1)).cast("double")
+    bg_denom = F.greatest(n_bigrams, F.lit(1)).cast("double")
+    return seqs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        distinct_tokens.alias("distinct_tokens"),
+        top_token_count.alias("top_token_count"),
+        n_bigrams.alias("n_bigrams"),
+        distinct_bigrams.alias("distinct_bigrams"),
+        F.round(distinct_tokens / denom, 4).alias("type_token_ratio"),
+        F.round(top_token_count / denom, 4).alias("top_token_frac"),
+        F.round((n_bigrams - distinct_bigrams) / bg_denom, 4).alias("dup_bigram_frac"),
+    )
+
+
 def _doc_spans(seqs: DataFrame, n: int, stride: int) -> DataFrame:
     """Distinct (doc_id, source, span-key) rows; one shuffle on the
     composite key. Distinctness makes downstream counts span-set semantics
