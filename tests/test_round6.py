@@ -1052,3 +1052,30 @@ def test_sequence_quality_exact_and_shuffle_free(spark):
     assert out["c"]["n_tok"] == 0 and out["c"]["top_token_count"] == 0
     plan = tokenops.sequence_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+def test_curate_sequences_repetition_gate_fires_first(spark):
+    """Gopher repetition gate (max_dup_bigram_frac): a degenerate repeated
+    doc is dropped as 'repetitive' even when it is ALSO contaminated and
+    duplicated (cheapest per-row filter wins the precedence); without the
+    gate the same doc falls through to 'contaminated'."""
+    from tokenlake import tokenops
+
+    rep = [5, 5, 5, 5, 5, 5, 5, 5]           # dup_bigram_frac = 6/7
+    train = _seq_table(
+        spark,
+        [("r", rep, "w"), ("r2", rep, "w"), ("ok", [1, 2, 3, 4, 5, 6], "w")],
+    )
+    ev = _seq_table(spark, [("e", rep, "eval")])
+    gated = {
+        r["doc_id"]: r["drop_reason"]
+        for r in tokenops.curate_sequences(
+            train, ev, n=4, max_dup_bigram_frac=0.5
+        ).collect()
+    }
+    assert gated == {"r": "repetitive", "r2": "repetitive", "ok": None}
+    ungated = {
+        r["doc_id"]: r["drop_reason"]
+        for r in tokenops.curate_sequences(train, ev, n=4).collect()
+    }
+    assert ungated["r"] == "contaminated" and ungated["ok"] is None

@@ -181,6 +181,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="use winnowed fingerprints (window W) for the dup "
                     "profile: alignment-robust at ~2/(W+1) the keys; "
                     "contamination stays exact-span")
+    cu.add_argument("--max-dup-bigram-frac", type=float, default=None,
+                    help="Gopher repetition gate (fires first): drop docs "
+                    "whose duplicate-bigram fraction exceeds this")
     cu.add_argument("--encoded", action="store_true",
                     help="input is an encoded tokenlake table (projected decode)")
     cu.add_argument("--cpus", type=int, default=8)
@@ -512,6 +515,7 @@ def cmd_curate(args, spark=None) -> int:
         verdicts = tokenops.curate_sequences(
             seqs, ev, n=args.n, stride=args.stride,
             max_dup_frac=args.max_dup_frac, winnow=args.winnow,
+            max_dup_bigram_frac=args.max_dup_bigram_frac,
         )
         verdicts.write.mode("error").parquet(os.path.join(args.out, "verdicts"))
         v = spark.read.parquet(os.path.join(args.out, "verdicts"))

@@ -272,6 +272,7 @@ def curate_sequences(
     max_dup_frac: float = 0.5,
     broadcast_eval: bool = True,
     winnow: int | None = None,
+    max_dup_bigram_frac: float | None = None,
 ) -> DataFrame:
     """Token-level curation funnel: per train doc, a keep/drop verdict
     composing the span-duplication profile and the eval-contamination
@@ -289,6 +290,11 @@ def curate_sequences(
     shared regions); the CONTAMINATION gate stays exact-span regardless,
     since decontamination must catch a single shared eval n-gram and
     winnowing guarantees overlap only past n+w-1 tokens.
+
+    `max_dup_bigram_frac` adds the Gopher repetition gate AHEAD of both
+    (the production ordering: the per-row filter is the cheapest, so it
+    fires first): drop_reason 'repetitive' when a doc's duplicate-bigram
+    count exceeds n_bigrams × the threshold (sequence_quality's signal).
     """
     prof = (
         winnow_dedup(train, n, winnow) if winnow else span_dedup(train, n, stride)
@@ -300,14 +306,25 @@ def curate_sequences(
         ["doc_id"]
     )
     dup_heavy = F.col("dup_spans") > F.col("n_spans") * F.lit(float(max_dup_frac))
+    joined = prof.join(cont, "doc_id").join(meta, "doc_id")
+    chain = F.when(F.lit(False), F.lit(""))
+    if max_dup_bigram_frac is not None:
+        q = sequence_quality(train).select(
+            "doc_id",
+            (
+                (F.col("n_bigrams") - F.col("distinct_bigrams"))
+                > F.col("n_bigrams") * F.lit(float(max_dup_bigram_frac))
+            ).alias("_repetitive"),
+        )
+        joined = joined.join(q, "doc_id")
+        chain = chain.when(F.col("_repetitive"), F.lit("repetitive"))
     drop_reason = (
-        F.when(F.col("contaminated"), F.lit("contaminated"))
+        chain.when(F.col("contaminated"), F.lit("contaminated"))
         .when(dup_heavy, F.lit("duplicated"))
         .otherwise(F.lit(None).cast("string"))
     )
     return (
-        prof.join(cont, "doc_id")
-        .join(meta, "doc_id")
+        joined
         .select(
             "doc_id",
             "source",
