@@ -4,9 +4,11 @@ pre-tokenized input shape this engine encodes.
 
 These complete the training-data-pipeline set at the TOKEN level (textops
 covers the raw-text level): vocabulary statistics, exact duplicated-span
-detection, and train/eval decontamination. All pure JVM column expressions
-(explode → hash aggregate with map-side partial aggregation, equi-joins on
-uniform md5 span keys); no Python in any hot path.
+detection, winnowed fingerprinting, Gopher-style repetition signals,
+train/eval decontamination, and the curate_sequences funnel composing
+them into keep/drop verdicts. All pure JVM column expressions (explode →
+hash aggregate with map-side partial aggregation, equi-joins on uniform
+md5 span keys); no Python in any hot path.
 
 Design notes for 100 TB / 10^12 sequences:
 - `vocab_histogram`: explode feeds a hash aggregate in the SAME stage, so
@@ -80,15 +82,7 @@ def winnow_keys(col: str = "tokens", n: int = 4, w: int = 4) -> Column:
     Docs shorter than n + w - 1 fall back to their full span-hash set
     (still correct, just un-thinned) so short docs keep dedup coverage.
     """
-    t = F.col(col)
-    last = F.size(t) - (n - 1)
-    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
-        F.array().cast("array<int>")
-    )
-    hashes = F.transform(
-        idx,
-        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n).cast("array<string>"))),
-    )
+    hashes = span_keys(col, n, stride=1)
     n_win = F.size(hashes) - (w - 1)
     widx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
         F.array().cast("array<int>")
@@ -307,7 +301,6 @@ def curate_sequences(
     )
     dup_heavy = F.col("dup_spans") > F.col("n_spans") * F.lit(float(max_dup_frac))
     joined = prof.join(cont, "doc_id").join(meta, "doc_id")
-    chain = F.when(F.lit(False), F.lit(""))
     if max_dup_bigram_frac is not None:
         q = sequence_quality(train).select(
             "doc_id",
@@ -317,9 +310,11 @@ def curate_sequences(
             ).alias("_repetitive"),
         )
         joined = joined.join(q, "doc_id")
-        chain = chain.when(F.col("_repetitive"), F.lit("repetitive"))
+    else:
+        joined = joined.withColumn("_repetitive", F.lit(False))
     drop_reason = (
-        chain.when(F.col("contaminated"), F.lit("contaminated"))
+        F.when(F.col("_repetitive"), F.lit("repetitive"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
         .when(dup_heavy, F.lit("duplicated"))
         .otherwise(F.lit(None).cast("string"))
     )
