@@ -227,3 +227,55 @@ def test_dedup_stream_keeps_all_null_token_rows(spark, stream_dirs):
     # 3 null-token rows all kept + 2 distinct contents = 5
     assert got.count() == 5
     assert got.filter(F.col("tokens").isNull()).count() == 3
+
+
+def test_stream_encode_with_curation_transform(spark, stream_dirs, tmp_path):
+    """Ingest-time curation gates: the transform hook filters the STREAM
+    with tokenops signals — a per-row repetition gate plus a stream-static
+    LEFT ANTI decontamination join against a broadcast eval span set —
+    before the exactly-once encode sink. Only clean docs land encoded."""
+    import pyarrow as pa
+
+    from tokenlake import tokenops
+
+    inp, out = stream_dirs
+    rep = [5] * 10                                   # repetitive
+    leak = [1, 2, 3, 4, 9, 9]                        # shares (1234) with eval
+    clean = [11, 12, 13, 14, 15]
+    t = pa.table(
+        {
+            "doc_id": pa.array(["r", "l", "c"]),
+            "tokens": pa.array([rep, leak, clean], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(rep), len(leak), len(clean)], pa.int32()),
+            "source": pa.array(["web"] * 3),
+        }
+    )
+    pq.write_table(t, os.path.join(inp, "drop1.parquet"))
+
+    ev = spark.createDataFrame(
+        [("e", [0, 1, 2, 3, 4], 5, "eval")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    # the streaming-correct decontamination shape: derived-from-the-stream
+    # join sides are unsupported (left-anti with a streaming right), so the
+    # eval span set becomes a per-row arrays_overlap literal — an eval
+    # suite is small, and the literal ships once with the plan
+    ev_spans = [
+        r["span"]
+        for r in ev.select(
+            F.explode(tokenops.span_keys("tokens", 4)).alias("span")
+        ).distinct().collect()
+    ]
+
+    def curate(stream):
+        not_repetitive = F.size(F.array_distinct("tokens")) * 2 > F.size("tokens")
+        clean_of_eval = ~F.arrays_overlap(
+            tokenops.span_keys("tokens", 4), F.lit(ev_spans)
+        )
+        return stream.filter(not_repetitive & clean_of_eval)
+
+    q = streaming.encode_stream(spark, inp, out, transform=curate)
+    q.awaitTermination(120)
+    dec = decode_job.decode(spark, out)
+    kept = {r["doc_id"] for r in dec.select("doc_id").collect()}
+    assert kept == {"c"}

@@ -40,8 +40,20 @@ def encode_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     schema: str | None = None,
+    transform=None,
 ):
     """Start the streaming encode; returns the StreamingQuery.
+
+    `transform(stream_df) -> stream_df` runs curation gates at ingest:
+    any streaming-compatible transformation works — per-row expressions
+    (tokenops.sequence_quality signals; decontamination as an
+    arrays_overlap check of tokenops.span_keys against the eval span set
+    as a plan literal), or stream-static joins with a STATIC right side.
+    A join side derived from the stream itself is not streaming-legal
+    (Spark rejects left-anti with a streaming right), and cross-row state
+    (span dedup) belongs in a batch pass over the encoded table instead;
+    the checkpoint/salt exactly-once story is unchanged because the
+    transform runs before the foreachBatch sink.
 
     available_now=True drains everything currently in input_dir and stops —
     the batch-backfill mode (and what tests use). With available_now=False the
@@ -70,6 +82,8 @@ def encode_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
+    if transform is not None:
+        stream = transform(stream)
 
     def sink(batch_df, batch_id: int) -> None:
         encode_job.run(

@@ -348,6 +348,11 @@ def contamination(
     The eval span set is distinct-ed then (by default) broadcast — eval
     suites are tiny next to the corpus, so the corpus-side scan never
     shuffles its span rows for the probe.
+
+    Keep stride=1 for decontamination: a larger stride probes only
+    aligned offsets on BOTH sides, so a shared n-gram at a non-aligned
+    offset would be missed — acceptable for dedup sampling, not for an
+    eval-leak gate.
     """
     ev = eval_seqs.select(
         F.explode(span_keys("tokens", n, stride)).alias("span")
