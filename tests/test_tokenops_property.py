@@ -95,3 +95,40 @@ def test_vocab_histogram_matches_reference(spark, corpus):
         for tok in set(t):
             ndocs[tok] += 1
     assert got == {tok: (c, ndocs[tok]) for tok, c in freq.items()}
+
+
+@settings(max_examples=12, deadline=None)
+@given(corpus=corpus, n=st.integers(2, 4), w=st.integers(2, 4))
+def test_winnow_keys_match_exact_reference(spark, corpus, n, w):
+    """winnow_keys pinned EXACTLY (not just the winnowing theorem):
+    a pure-Python replay of the same md5-of-joined-decimal-span hashing
+    and per-window minima must produce the identical fingerprint set,
+    including the short-doc full-span fallback."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tokenlake import tokenops
+
+    def ref_fps(tokens):
+        spans = [
+            hashlib.md5(" ".join(map(str, tokens[i : i + n])).encode()).hexdigest()
+            for i in range(0, len(tokens) - n + 1)
+        ]
+        if len(spans) >= w:
+            return {min(spans[i : i + w]) for i in range(0, len(spans) - w + 1)}
+        return set(spans)
+
+    docs = _mk_docs(corpus)
+    df = spark.createDataFrame(
+        [(d, t, len(t), "w") for d, t in docs],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", tokenops.winnow_keys("tokens", n, w).alias("fps")
+        ).collect()
+    }
+    for d, t in docs:
+        assert got[d] == ref_fps(t), (d, n, w, t)
