@@ -2159,6 +2159,56 @@ FROM prof GROUP BY 1
 """
 
 
+def tl_lookup_check(spark, sf_dir):
+    """ORACLE-CHECKED point lookup (the engine surface that was pytest-
+    pinned only until round 6): encode the closed-form events sequences
+    into a scratch table, then look up every doc_id ≡ 0 (mod 997) through
+    the FULL pruning stack — relational chunk-candidate derivation →
+    broadcast semi-join → per-column bloom probe → shuffle-free decode —
+    and return the looked-up rows' values (doc_id, n_tok, source, token
+    sum). DuckDB replays the expected rows symbolically from raw events,
+    so a hash match proves the lookup returns exactly the right rows with
+    bit-right token content: no false drops from any pruning layer."""
+    import tempfile
+
+    from . import decode_job, encode_job
+
+    work = tempfile.mkdtemp(prefix="tl_lookup_")
+    try:
+        out = f"{work}/enc"
+        encode_job.run(spark, _events_sequences(spark, sf_dir), out, resume=False)
+        ids = [
+            str(r["event_id"])
+            for r in _events(spark, sf_dir)
+            .filter(F.col("event_id") % 997 == 0)
+            .select("event_id")
+            .collect()
+        ]
+        d = decode_job.lookup(spark, out, ids)
+        res = d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("source").alias("source"),
+            F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "token_sum"
+            ),
+        )
+        return _materialize_and_clean(spark, res, work)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_TL_LOOKUP_CHECK = f"""
+WITH seq AS ({_SQL_SEQ_CTE})
+SELECT doc_id::BIGINT AS doc_id, n_tok::BIGINT AS n_tok, source,
+       list_aggregate(tokens, 'sum')::BIGINT AS token_sum
+FROM seq WHERE doc_id::BIGINT % 997 = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2224,6 +2274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_windowed_stats": tl_windowed_stats,
     "tl_multimodal_features": tl_multimodal_features,
     "tl_encoded_table_ops": tl_encoded_table_ops,
+    "tl_lookup_check": tl_lookup_check,
     "tl_streaming_ingest": tl_streaming_ingest,
 }
 
@@ -2281,6 +2332,7 @@ ORACLES: dict[str, str] = {
     "generic_roundtrip": SQL_GENERIC_ROUNDTRIP,
     "lint_decisions_full": SQL_LINT_FULL,
     "tl_roundtrip_check": SQL_TL_ROUNDTRIP_CHECK,
+    "tl_lookup_check": SQL_TL_LOOKUP_CHECK,
     "tl_multimodal_features": SQL_TL_MULTIMODAL,
     "tl_streaming_ingest": SQL_TL_STREAMING_INGEST,
     "tl_windowed_stats": SQL_TL_WINDOWED_STATS,
