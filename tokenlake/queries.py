@@ -2209,6 +2209,63 @@ FROM seq WHERE doc_id::BIGINT % 997 = 0
 """
 
 
+def tl_scan_check(spark, sf_dir):
+    """ORACLE-CHECKED pruned scans over one shared scratch encode — the
+    two pruning layers that were pytest/rows-only until round 6:
+
+    1. bloom token-membership scan (scan_token, token 500): only chunks
+       whose stored token filter admits 500 decode;
+    2. zone-map range scan (scan_value_range on n_tok ∈ [6, 7]): only
+       chunks whose stored per-column min/max overlap decode.
+
+    Each result aggregates per source (row count + token-content sum), so
+    the DuckDB replay from raw events catches BOTH a false drop (a pruned
+    chunk that held a matching row) and a wrong filter (extra rows /
+    wrong content). Pruning-effectiveness itself is plan/count-pinned in
+    pytest; this pins end-to-end value correctness."""
+    import tempfile
+
+    from . import decode_job, encode_job
+
+    work = tempfile.mkdtemp(prefix="tl_scan_")
+    try:
+        out = f"{work}/enc"
+        encode_job.run(spark, _events_sequences(spark, sf_dir), out, resume=False)
+        tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+        def agg(df, probe):
+            return df.groupBy(F.lit(probe).alias("probe"), F.col("source")).agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(tok_sum).cast("long").alias("sum_token"),
+            )
+
+        res = agg(decode_job.scan_token(spark, out, 500), "token_500").unionAll(
+            agg(decode_job.scan_value_range(spark, out, "n_tok", 6, 7), "ntok_6_7")
+        )
+        return _materialize_and_clean(spark, res, work)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_TL_SCAN_CHECK = f"""
+WITH seq AS ({_SQL_SEQ_CTE}),
+a AS (
+  SELECT 'token_500' AS probe, source, count(*)::BIGINT AS n_rows,
+         sum(list_aggregate(tokens, 'sum'))::BIGINT AS sum_token
+  FROM seq WHERE list_contains(tokens, 500) GROUP BY 2
+),
+b AS (
+  SELECT 'ntok_6_7' AS probe, source, count(*)::BIGINT AS n_rows,
+         sum(list_aggregate(tokens, 'sum'))::BIGINT AS sum_token
+  FROM seq WHERE n_tok BETWEEN 6 AND 7 GROUP BY 2
+)
+SELECT * FROM a UNION ALL SELECT * FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2275,6 +2332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_multimodal_features": tl_multimodal_features,
     "tl_encoded_table_ops": tl_encoded_table_ops,
     "tl_lookup_check": tl_lookup_check,
+    "tl_scan_check": tl_scan_check,
     "tl_streaming_ingest": tl_streaming_ingest,
 }
 
@@ -2333,6 +2391,7 @@ ORACLES: dict[str, str] = {
     "lint_decisions_full": SQL_LINT_FULL,
     "tl_roundtrip_check": SQL_TL_ROUNDTRIP_CHECK,
     "tl_lookup_check": SQL_TL_LOOKUP_CHECK,
+    "tl_scan_check": SQL_TL_SCAN_CHECK,
     "tl_multimodal_features": SQL_TL_MULTIMODAL,
     "tl_streaming_ingest": SQL_TL_STREAMING_INGEST,
     "tl_windowed_stats": SQL_TL_WINDOWED_STATS,
