@@ -2266,6 +2266,53 @@ SELECT * FROM a UNION ALL SELECT * FROM b
 """
 
 
+def tl_compact_rewrite_check(spark, sf_dir):
+    """ORACLE-CHECKED table-maintenance lifecycle over one scratch table:
+    fragment-encode the closed-form sequences (small max_rows → many
+    undersized chunks), COMPACT them, then run the evidence→REWRITE loop
+    on the compacted table, and decode the final result. The per-source
+    aggregates (rows, token-content sum, distinct docs) are replayed by
+    DuckDB straight from raw events — a hash match proves the two
+    maintenance passes lose, duplicate, and corrupt NOTHING at the value
+    level (byte-identity of untouched chunks is pytest-pinned separately;
+    this is the engine-free value gate)."""
+    import tempfile
+
+    from . import decode_job, encode_job
+
+    work = tempfile.mkdtemp(prefix="tl_maint_")
+    try:
+        seq = _events_sequences(spark, sf_dir)
+        raw = f"{work}/raw"
+        compacted = f"{work}/compacted"
+        fixed = f"{work}/fixed"
+        encode_job.run(spark, seq, raw, resume=False, max_rows=600)
+        encode_job.compact(spark, raw, compacted)
+        encode_job.rewrite_from_evidence(spark, compacted, fixed)
+        d = decode_job.decode(spark, fixed)
+        tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
+        res = d.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(tok_sum).cast("long").alias("sum_token"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        return _materialize_and_clean(spark, res, work)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+SQL_TL_COMPACT_REWRITE = f"""
+WITH seq AS ({_SQL_SEQ_CTE})
+SELECT source, count(*)::BIGINT AS n_rows,
+       sum(list_aggregate(tokens, 'sum'))::BIGINT AS sum_token,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM seq GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2333,6 +2380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tl_encoded_table_ops": tl_encoded_table_ops,
     "tl_lookup_check": tl_lookup_check,
     "tl_scan_check": tl_scan_check,
+    "tl_compact_rewrite_check": tl_compact_rewrite_check,
     "tl_streaming_ingest": tl_streaming_ingest,
 }
 
@@ -2392,6 +2440,7 @@ ORACLES: dict[str, str] = {
     "tl_roundtrip_check": SQL_TL_ROUNDTRIP_CHECK,
     "tl_lookup_check": SQL_TL_LOOKUP_CHECK,
     "tl_scan_check": SQL_TL_SCAN_CHECK,
+    "tl_compact_rewrite_check": SQL_TL_COMPACT_REWRITE,
     "tl_multimodal_features": SQL_TL_MULTIMODAL,
     "tl_streaming_ingest": SQL_TL_STREAMING_INGEST,
     "tl_windowed_stats": SQL_TL_WINDOWED_STATS,
