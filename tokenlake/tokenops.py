@@ -54,6 +54,11 @@ def span_keys(col: str = "tokens", n: int = 4, stride: int = 1) -> Column:
     short-doc case is branched explicitly, mirroring textops.shingles.
     The key is the md5 of the space-joined decimal tokens: deterministic,
     uniform (no hot reducers), and replayable in ANSI SQL for the oracle.
+
+    Precondition: token ELEMENTS are non-null (the canonical sequences
+    contract — null-ness lives at the array level). concat_ws skips null
+    elements, so a null-holding span would alias the shorter span's key;
+    scrub element nulls upstream before spanning a non-canonical table.
     """
     t = F.col(col)
     last = F.size(t) - (n - 1)
