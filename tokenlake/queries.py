@@ -774,15 +774,6 @@ GROUP BY st.source ORDER BY st.source
 """
 
 
-def q_text_token_count(spark, sf_dir):
-    return textops.token_count(_docs(spark, sf_dir))
-
-
-SQL_TOKEN_COUNT = f"""
-SELECT doc_id::BIGINT AS doc_id, len({_DUCK_WORDS})::BIGINT AS n_words FROM documents
-"""
-
-
 def q_text_quality(spark, sf_dir):
     return textops.quality_scores(_docs(spark, sf_dir))
 
@@ -1150,7 +1141,18 @@ def tl_hash_blocking(spark, sf_dir):
         F.col("n_vecs").alias("n"),
         F.col("min_vec").cast("string").alias("lo"),
     )
-    return sim.unionByName(lsh)
+    # round 6 (50-entry driver budget): the stateful-streaming dedup rides
+    # this entry's tagged schema as one summary row — ('stream_dedup', '',
+    # unique survivor rows, distinct contents); its own docstring explains
+    # why the counts are survivor-invariant. Still rows-only: streaming
+    # state (and xxhash) have no SQL oracle.
+    ds = tl_dedup_stream(spark, sf_dir).select(
+        F.lit("stream_dedup").alias("method"),
+        F.lit("").alias("key"),
+        F.col("unique_rows").alias("n"),
+        F.col("distinct_contents").cast("string").alias("lo"),
+    )
+    return sim.unionByName(lsh).unionByName(ds)
 
 
 def tl_ivf_train(spark, sf_dir):
@@ -1864,80 +1866,47 @@ _SQL_SPANS_CTE = """
 """
 
 
-def q_tok_vocab(spark, sf_dir):
-    """Vocabulary histogram (tokenops.vocab_histogram): per token value,
-    total occurrences and document frequency, over the closed-form events
-    sequences. Explode feeds a same-stage hash aggregate → the shuffle is
-    O(vocab × partitions), never O(total tokens)."""
+def q_tok_stats(spark, sf_dir):
+    """Token-corpus statistics, union-tagged into one driver entry
+    (50-entry driver-artifact budget):
+
+    - `probe='vocab'` (tokenops.vocab_histogram): one row per token value,
+      k = the token, c1 = total occurrences, c2 = document frequency;
+      explode feeds a same-stage hash aggregate → shuffle O(vocab ×
+      partitions), never O(total tokens).
+    - `probe='quality'` (tokenops.sequence_quality — the Gopher /
+      MassiveText repetition filters over token arrays): one row per
+      source, k = the source, c1 = n_docs, c2 = Σ n_tok, c3 = Σ distinct
+      tokens, c4 = Σ top-token (mode) counts, c5 = Σ bigrams, c6 =
+      Σ distinct bigrams — integer numerators only, float-free compare.
+    """
     from . import tokenops
 
-    return tokenops.vocab_histogram(_events_sequences(spark, sf_dir))
-
-
-SQL_TOK_VOCAB = f"""
-WITH seq AS ({_SQL_SEQ_CTE}),
-flat AS (SELECT doc_id, unnest(tokens) AS token FROM seq)
-SELECT token::BIGINT AS token, count(*)::BIGINT AS freq,
-       count(DISTINCT doc_id)::BIGINT AS n_docs
-FROM flat GROUP BY 1
-"""
-
-
-def q_tok_span_dedup(spark, sf_dir):
-    """ExactSubstr-style duplicated-span profile (tokenops.span_dedup,
-    n=4), aggregated per source with integer-only measures so the compare
-    is exact: doc counts, docs with ≥1 span, docs with ≥1 duplicated span,
-    and the span/dup-span totals."""
-    from . import tokenops
-
-    d = tokenops.span_dedup(_events_sequences(spark, sf_dir), n=4)
-    return d.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum((F.col("n_spans") > 0).cast("long")).cast("long").alias("docs_with_spans"),
-        F.sum((F.col("dup_spans") > 0).cast("long")).cast("long").alias("docs_with_dups"),
-        F.sum("n_spans").cast("long").alias("sum_spans"),
-        F.sum("dup_spans").cast("long").alias("sum_dup_spans"),
+    seq = _events_sequences(spark, sf_dir)
+    z = F.lit(0).cast("long")
+    vocab = tokenops.vocab_histogram(seq).select(
+        F.lit("vocab").alias("probe"),
+        F.col("token").cast("string").alias("k"),
+        F.col("freq").alias("c1"),
+        F.col("n_docs").alias("c2"),
+        z.alias("c3"), z.alias("c4"), z.alias("c5"), z.alias("c6"),
     )
-
-
-SQL_TOK_SPAN_DEDUP = f"""
-WITH seq AS ({_SQL_SEQ_CTE}),
-sp AS ({_SQL_SPANS_CTE}),
-hot AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
-per AS (SELECT doc_id, count(*) AS dup_spans FROM sp JOIN hot USING (span) GROUP BY 1),
-base AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
-docs AS (SELECT DISTINCT doc_id, source FROM seq)
-SELECT source,
-       count(*)::BIGINT AS n_docs,
-       sum(CASE WHEN coalesce(n_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_spans,
-       sum(CASE WHEN coalesce(dup_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dups,
-       sum(coalesce(n_spans, 0))::BIGINT AS sum_spans,
-       sum(coalesce(dup_spans, 0))::BIGINT AS sum_dup_spans
-FROM docs LEFT JOIN base USING (doc_id) LEFT JOIN per USING (doc_id)
-GROUP BY 1
-"""
-
-
-def q_tok_quality(spark, sf_dir):
-    """Token-level repetition/quality signals (tokenops.sequence_quality —
-    the Gopher/MassiveText repetition filters over token arrays),
-    aggregated per source with the integer counts only (float-free
-    compare): type/token, mode frequency, duplicate-bigram numerators."""
-    from . import tokenops
-
-    d = tokenops.sequence_quality(_events_sequences(spark, sf_dir))
-    return d.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("sum_tok"),
-        F.sum("distinct_tokens").cast("long").alias("sum_distinct_tokens"),
-        F.sum("top_token_count").cast("long").alias("sum_top_token_count"),
-        F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
-        F.sum("distinct_bigrams").cast("long").alias("sum_distinct_bigrams"),
+    q = tokenops.sequence_quality(seq).groupBy(
+        F.lit("quality").alias("probe"), F.col("source").alias("k")
+    ).agg(
+        F.count("*").cast("long").alias("c1"),
+        F.sum("n_tok").cast("long").alias("c2"),
+        F.sum("distinct_tokens").cast("long").alias("c3"),
+        F.sum("top_token_count").cast("long").alias("c4"),
+        F.sum("n_bigrams").cast("long").alias("c5"),
+        F.sum("distinct_bigrams").cast("long").alias("c6"),
     )
+    return vocab.unionAll(q)
 
 
-SQL_TOK_QUALITY = f"""
+SQL_TOK_STATS = f"""
 WITH seq AS ({_SQL_SEQ_CTE}),
+flat AS (SELECT doc_id, unnest(tokens) AS token FROM seq),
 tt AS (
   SELECT doc_id, max(c) AS topc FROM (
     SELECT doc_id, v, count(*) AS c
@@ -1954,27 +1923,23 @@ per AS (
              i -> array_to_string(list_slice(s.tokens, i, i + 1), ' ')))) AS distinct_bigrams
   FROM seq s LEFT JOIN tt t USING (doc_id)
 )
-SELECT source,
-       count(*)::BIGINT AS n_docs,
-       sum(n_tok)::BIGINT AS sum_tok,
-       sum(distinct_tokens)::BIGINT AS sum_distinct_tokens,
-       sum(top_token_count)::BIGINT AS sum_top_token_count,
-       sum(n_bigrams)::BIGINT AS sum_bigrams,
-       sum(distinct_bigrams)::BIGINT AS sum_distinct_bigrams
-FROM per GROUP BY 1
+SELECT 'vocab' AS probe, token::VARCHAR AS k,
+       count(*)::BIGINT AS c1, count(DISTINCT doc_id)::BIGINT AS c2,
+       0::BIGINT AS c3, 0::BIGINT AS c4, 0::BIGINT AS c5, 0::BIGINT AS c6
+FROM flat GROUP BY 2
+UNION ALL
+SELECT 'quality' AS probe, source AS k,
+       count(*)::BIGINT, sum(n_tok)::BIGINT, sum(distinct_tokens)::BIGINT,
+       sum(top_token_count)::BIGINT, sum(n_bigrams)::BIGINT,
+       sum(distinct_bigrams)::BIGINT
+FROM per GROUP BY 2
 """
 
 
-def q_tok_winnow_dedup(spark, sf_dir):
-    """Winnowed-fingerprint dedup profile (tokenops.winnow_dedup, n=4,
-    w=4 — Schleimer et al. SIGMOD 2003): alignment-robust span dedup at
-    ~2/(w+1) the key volume; same per-source integer aggregation as
-    tok_span_dedup. The oracle replays the window minima with DuckDB
-    list functions (md5 hex compares lexicographically identically)."""
-    from . import tokenops
-
-    d = tokenops.winnow_dedup(_events_sequences(spark, sf_dir), n=4, w=4)
-    return d.groupBy("source").agg(
+def _dup_profile_agg(d, method: str):
+    """per-doc dup profile frame → per-source integer aggregates under a
+    `method` tag; shared by the span and winnow halves of tok_span_dedup."""
+    return d.groupBy(F.lit(method).alias("method"), F.col("source")).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum((F.col("n_spans") > 0).cast("long")).cast("long").alias("docs_with_spans"),
         F.sum((F.col("dup_spans") > 0).cast("long")).cast("long").alias("docs_with_dups"),
@@ -1983,92 +1948,84 @@ def q_tok_winnow_dedup(spark, sf_dir):
     )
 
 
-SQL_TOK_WINNOW_DEDUP = f"""
-WITH seq AS ({_SQL_SEQ_CTE}),
-h AS (
-  SELECT doc_id, source,
-         list_transform(generate_series(1, greatest(len(tokens) - 3, 0)),
-                        i -> md5(array_to_string(list_slice(tokens, i, i + 3), ' '))) AS hs
-  FROM seq
-),
-fp AS (
-  SELECT doc_id, source,
-         CASE WHEN len(hs) - 3 >= 1
-              THEN list_distinct(list_transform(generate_series(1, len(hs) - 3),
-                        i -> list_aggregate(list_slice(hs, i, i + 3), 'min')))
-              ELSE list_distinct(hs) END AS fps
-  FROM h
-),
-sp AS (SELECT DISTINCT doc_id, source, unnest(fps) AS span FROM fp),
+def q_tok_span_dedup(spark, sf_dir):
+    """Duplicated-span profiles under BOTH key schemes, union-tagged
+    (50-entry driver-artifact budget): `method='span'` = ExactSubstr-style
+    exact n-gram spans (tokenops.span_dedup, n=4); `method='winnow'` =
+    winnowed fingerprints (tokenops.winnow_dedup, n=4, w=4 — Schleimer et
+    al. SIGMOD 2003, alignment-robust at ~2/(w+1) the key volume). Both
+    halves aggregate per source with integer-only measures; the oracle
+    replays the exact spans and the window minima with DuckDB list
+    functions (md5 hex compares lexicographically identically)."""
+    from . import tokenops
+
+    seq = _events_sequences(spark, sf_dir)
+    return _dup_profile_agg(tokenops.span_dedup(seq, n=4), "span").unionAll(
+        _dup_profile_agg(tokenops.winnow_dedup(seq, n=4, w=4), "winnow")
+    )
+
+
+# per-source dup-profile aggregation over a (doc_id, source, span) CTE
+# named `sp` — shared by the span and winnow halves of the merged oracle
+_SQL_DUP_AGG = """
 hot AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
 per AS (SELECT doc_id, count(*) AS dup_spans FROM sp JOIN hot USING (span) GROUP BY 1),
 base AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
 docs AS (SELECT DISTINCT doc_id, source FROM seq)
-SELECT source,
+SELECT '{method}' AS method, source,
        count(*)::BIGINT AS n_docs,
        sum(CASE WHEN coalesce(n_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_spans,
        sum(CASE WHEN coalesce(dup_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dups,
        sum(coalesce(n_spans, 0))::BIGINT AS sum_spans,
        sum(coalesce(dup_spans, 0))::BIGINT AS sum_dup_spans
 FROM docs LEFT JOIN base USING (doc_id) LEFT JOIN per USING (doc_id)
-GROUP BY 1
+GROUP BY 2
 """
 
-
-def q_tok_contamination(spark, sf_dir):
-    """Train/eval decontamination (tokenops.contamination, n=4): eval set
-    = every 89th event's sequence, train = the rest; per-source integer
-    aggregates of the per-doc contamination profile. The eval span set is
-    broadcast (LEFT SEMI probe on the corpus side)."""
-    from . import tokenops
-
-    seq = _events_sequences(spark, sf_dir)
-    is_eval = F.col("doc_id").cast("long") % 89 == 0
-    d = tokenops.contamination(seq.filter(~is_eval), seq.filter(is_eval), n=4)
-    return d.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_train_docs"),
-        F.sum(F.col("contaminated").cast("long")).cast("long").alias("contaminated_docs"),
-        F.sum("eval_hits").cast("long").alias("sum_eval_hits"),
-        F.sum("n_spans").cast("long").alias("sum_spans"),
-    )
-
-
-SQL_TOK_CONTAMINATION = f"""
+SQL_TOK_SPAN_DEDUP = f"""
 WITH seq AS ({_SQL_SEQ_CTE}),
-tr AS (SELECT * FROM seq WHERE doc_id::BIGINT % 89 <> 0),
-sp AS (
-  SELECT DISTINCT doc_id, source,
-         md5(array_to_string(list_slice(tokens, i, i + 3), ' ')) AS span
-  FROM tr, unnest(generate_series(1, greatest(len(tokens) - 3, 0))) AS t(i)
-),
-ev AS (
-  SELECT DISTINCT md5(array_to_string(list_slice(tokens, i, i + 3), ' ')) AS span
-  FROM seq, unnest(generate_series(1, greatest(len(tokens) - 3, 0))) AS t(i)
-  WHERE doc_id::BIGINT % 89 = 0
-),
-hits AS (SELECT doc_id, count(*) AS eval_hits FROM sp JOIN ev USING (span) GROUP BY 1),
-base AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
-docs AS (SELECT DISTINCT doc_id, source FROM tr)
-SELECT source,
-       count(*)::BIGINT AS n_train_docs,
-       sum(CASE WHEN coalesce(eval_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated_docs,
-       sum(coalesce(eval_hits, 0))::BIGINT AS sum_eval_hits,
-       sum(coalesce(n_spans, 0))::BIGINT AS sum_spans
-FROM docs LEFT JOIN base USING (doc_id) LEFT JOIN hits USING (doc_id)
-GROUP BY 1
+sp AS ({_SQL_SPANS_CTE}),
+{_SQL_DUP_AGG.format(method="span")}
+UNION ALL
+SELECT * FROM (
+  WITH seq AS ({_SQL_SEQ_CTE}),
+  h AS (
+    SELECT doc_id, source,
+           list_transform(generate_series(1, greatest(len(tokens) - 3, 0)),
+                          i -> md5(array_to_string(list_slice(tokens, i, i + 3), ' '))) AS hs
+    FROM seq
+  ),
+  fp AS (
+    SELECT doc_id, source,
+           CASE WHEN len(hs) - 3 >= 1
+                THEN list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                          i -> list_aggregate(list_slice(hs, i, i + 3), 'min')))
+                ELSE list_distinct(hs) END AS fps
+    FROM h
+  ),
+  sp AS (SELECT DISTINCT doc_id, source, unnest(fps) AS span FROM fp),
+  {_SQL_DUP_AGG.format(method="winnow")}
+)
 """
 
 
-def _curation_funnel_agg(seq):
+def _curation_funnel_agg(seq, path: str):
     """seq → curate_sequences (eval = every 89th doc) → per-source
-    integer aggregates; shared by the raw-side and encoded-side queries
-    so both hash against the SAME engine-free oracle."""
+    integer aggregates tagged with the input `path` ('raw'/'encoded');
+    shared by both sides of tok_curation so they hash against the SAME
+    engine-free oracle. The aggregate carries the full contamination
+    profile too (docs_with_spans / sum_spans / sum_eval_hits), so the
+    standalone decontamination check is subsumed here — one driver entry
+    gates the whole funnel (50-entry driver-artifact budget)."""
     from . import tokenops
 
     is_eval = F.col("doc_id").cast("long") % 89 == 0
     d = tokenops.curate_sequences(seq.filter(~is_eval), seq.filter(is_eval), n=4)
-    return d.groupBy("source").agg(
+    return d.groupBy(F.lit(path).alias("path"), F.col("source")).agg(
         F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_spans") > 0).cast("long")).cast("long").alias("docs_with_spans"),
+        F.sum("n_spans").cast("long").alias("sum_spans"),
+        F.sum("eval_hits").cast("long").alias("sum_eval_hits"),
         F.sum((F.col("drop_reason") == "contaminated").cast("long"))
         .cast("long")
         .alias("dropped_contaminated"),
@@ -2083,35 +2040,33 @@ def _curation_funnel_agg(seq):
 
 
 def q_tok_curation(spark, sf_dir):
-    """Token-level curation funnel (tokenops.curate_sequences): the span
-    dedup profile + contamination check composed into per-doc keep/drop
-    verdicts — contamination drops first, then heavy duplication
-    (dup_spans > n_spans/2) — aggregated per source with integer-only
-    measures. The sequences-side twin of corpus_curation."""
-    return _curation_funnel_agg(_events_sequences(spark, sf_dir))
-
-
-def tl_tok_encoded_curation(spark, sf_dir):
-    """The same curation funnel running OFF THE ENCODED TABLE: the
-    closed-form events sequences are encoded into a scratch tokenlake
-    table (chunked auto-selected codecs), read back through the projected
-    shuffle-free decode, and the DECODED frame feeds curate_sequences.
-    The oracle is SQL_TOK_CURATION verbatim — the raw-side replay that
-    never touches engine code — so a hash match proves the storage stack
-    is transparent to the pipeline operators (encode→decode changes
-    nothing the funnel can observe)."""
+    """Token-level curation funnel (tokenops.curate_sequences) run over
+    BOTH input paths and union-tagged: `path='raw'` feeds the closed-form
+    sequences directly; `path='encoded'` first encodes them into a
+    scratch tokenlake table and reads them back through the projected
+    shuffle-free decode. The oracle replays ONE engine-free aggregate and
+    expects it verbatim under both tags — so one hash-checked entry
+    proves the funnel math (contamination drops first, then heavy
+    duplication dup_spans > n_spans/2) AND that the storage stack is
+    transparent to it. The aggregate includes the full decontamination
+    profile (docs_with_spans / sum_spans / sum_eval_hits), subsuming the
+    former standalone tok_contamination entry."""
     import tempfile
 
     from . import decode_job, encode_job
 
+    seq = _events_sequences(spark, sf_dir)
+    raw_side = _curation_funnel_agg(seq, "raw")
     work = tempfile.mkdtemp(prefix="tl_tokcur_")
     try:
         out = f"{work}/enc"
-        encode_job.run(spark, _events_sequences(spark, sf_dir), out, resume=False)
+        encode_job.run(spark, seq, out, resume=False)
         dec = decode_job.decode(
             spark, out, columns=("doc_id", "tokens", "n_tok", "source")
         )
-        return _materialize_and_clean(spark, _curation_funnel_agg(dec), work)
+        return _materialize_and_clean(
+            spark, raw_side.unionAll(_curation_funnel_agg(dec, "encoded")), work
+        )
     except Exception:
         import shutil
 
@@ -2145,38 +2100,64 @@ prof AS (
   LEFT JOIN base b USING (doc_id)
   LEFT JOIN per p USING (doc_id)
   LEFT JOIN hits h USING (doc_id)
+),
+agg AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_spans,
+         sum(n_spans)::BIGINT AS sum_spans,
+         sum(eval_hits)::BIGINT AS sum_eval_hits,
+         sum(CASE WHEN eval_hits > 0 THEN 1 ELSE 0 END)::BIGINT AS dropped_contaminated,
+         sum(CASE WHEN eval_hits = 0 AND dup_spans > n_spans * 0.5 THEN 1 ELSE 0 END)::BIGINT
+           AS dropped_duplicated,
+         sum(CASE WHEN eval_hits = 0 AND dup_spans <= n_spans * 0.5 THEN 1 ELSE 0 END)::BIGINT
+           AS kept,
+         sum(CASE WHEN eval_hits = 0 AND dup_spans <= n_spans * 0.5 THEN n_tok ELSE 0 END)::BIGINT
+           AS kept_tokens
+  FROM prof GROUP BY 1
 )
-SELECT source,
-       count(*)::BIGINT AS n_docs,
-       sum(CASE WHEN eval_hits > 0 THEN 1 ELSE 0 END)::BIGINT AS dropped_contaminated,
-       sum(CASE WHEN eval_hits = 0 AND dup_spans > n_spans * 0.5 THEN 1 ELSE 0 END)::BIGINT
-         AS dropped_duplicated,
-       sum(CASE WHEN eval_hits = 0 AND dup_spans <= n_spans * 0.5 THEN 1 ELSE 0 END)::BIGINT
-         AS kept,
-       sum(CASE WHEN eval_hits = 0 AND dup_spans <= n_spans * 0.5 THEN n_tok ELSE 0 END)::BIGINT
-         AS kept_tokens
-FROM prof GROUP BY 1
+SELECT 'raw' AS path, * FROM agg
+UNION ALL
+SELECT 'encoded' AS path, * FROM agg
 """
 
 
-def tl_lookup_check(spark, sf_dir):
-    """ORACLE-CHECKED point lookup (the engine surface that was pytest-
-    pinned only until round 6): encode the closed-form events sequences
-    into a scratch table, then look up every doc_id ≡ 0 (mod 997) through
-    the FULL pruning stack — relational chunk-candidate derivation →
-    broadcast semi-join → per-column bloom probe → shuffle-free decode —
-    and return the looked-up rows' values (doc_id, n_tok, source, token
-    sum). DuckDB replays the expected rows symbolically from raw events,
-    so a hash match proves the lookup returns exactly the right rows with
-    bit-right token content: no false drops from any pruning layer."""
+def tl_read_path_check(spark, sf_dir):
+    """ORACLE-CHECKED engine read/maintenance paths over ONE shared
+    fragment-encoded scratch table (small max_rows -> many chunks, so the
+    pruning layers have real work), union-tagged into one driver entry
+    (50-entry driver-artifact budget). Every probe aggregates per source
+    as (n_rows, sum of per-row token sums, distinct docs) and DuckDB
+    replays each predicate symbolically from raw events -- a hash match
+    catches a false drop from any pruning layer, wrong filter output, and
+    any row lost/duplicated/corrupted by maintenance:
+
+    - 'lookup_997': every doc_id = 0 (mod 997) through the full point-
+      lookup stack (relational chunk-candidate derivation -> broadcast
+      semi-join -> per-column bloom probe -> shuffle-free decode);
+    - 'token_500': bloom token-membership scan (scan_token);
+    - 'ntok_6_7': zone-map range scan (scan_value_range on n_tok);
+    - 'compact_rewrite': compact the fragments, run the evidence->rewrite
+      loop on the compacted table, decode EVERYTHING -- the maintenance
+      lifecycle must be value-transparent.
+    """
     import tempfile
 
     from . import decode_job, encode_job
 
-    work = tempfile.mkdtemp(prefix="tl_lookup_")
+    work = tempfile.mkdtemp(prefix="tl_readpath_")
     try:
-        out = f"{work}/enc"
-        encode_job.run(spark, _events_sequences(spark, sf_dir), out, resume=False)
+        out = f"{work}/raw"
+        encode_job.run(spark, _events_sequences(spark, sf_dir), out, resume=False, max_rows=600)
+        tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+        def agg(df, probe):
+            return df.groupBy(F.lit(probe).alias("probe"), F.col("source")).agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(tok_sum).cast("long").alias("sum_token"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            )
+
         ids = [
             str(r["event_id"])
             for r in _events(spark, sf_dir)
@@ -2184,117 +2165,15 @@ def tl_lookup_check(spark, sf_dir):
             .select("event_id")
             .collect()
         ]
-        d = decode_job.lookup(spark, out, ids)
-        res = d.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("n_tok").cast("long").alias("n_tok"),
-            F.col("source").alias("source"),
-            F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
-                "token_sum"
-            ),
-        )
-        return _materialize_and_clean(spark, res, work)
-    except Exception:
-        import shutil
-
-        shutil.rmtree(work, ignore_errors=True)
-        raise
-
-
-SQL_TL_LOOKUP_CHECK = f"""
-WITH seq AS ({_SQL_SEQ_CTE})
-SELECT doc_id::BIGINT AS doc_id, n_tok::BIGINT AS n_tok, source,
-       list_aggregate(tokens, 'sum')::BIGINT AS token_sum
-FROM seq WHERE doc_id::BIGINT % 997 = 0
-"""
-
-
-def tl_scan_check(spark, sf_dir):
-    """ORACLE-CHECKED pruned scans over one shared scratch encode — the
-    two pruning layers that were pytest/rows-only until round 6:
-
-    1. bloom token-membership scan (scan_token, token 500): only chunks
-       whose stored token filter admits 500 decode;
-    2. zone-map range scan (scan_value_range on n_tok ∈ [6, 7]): only
-       chunks whose stored per-column min/max overlap decode.
-
-    Each result aggregates per source (row count + token-content sum), so
-    the DuckDB replay from raw events catches BOTH a false drop (a pruned
-    chunk that held a matching row) and a wrong filter (extra rows /
-    wrong content). Pruning-effectiveness itself is plan/count-pinned in
-    pytest; this pins end-to-end value correctness."""
-    import tempfile
-
-    from . import decode_job, encode_job
-
-    work = tempfile.mkdtemp(prefix="tl_scan_")
-    try:
-        out = f"{work}/enc"
-        encode_job.run(spark, _events_sequences(spark, sf_dir), out, resume=False)
-        tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
-
-        def agg(df, probe):
-            return df.groupBy(F.lit(probe).alias("probe"), F.col("source")).agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.sum(tok_sum).cast("long").alias("sum_token"),
-            )
-
-        res = agg(decode_job.scan_token(spark, out, 500), "token_500").unionAll(
-            agg(decode_job.scan_value_range(spark, out, "n_tok", 6, 7), "ntok_6_7")
-        )
-        return _materialize_and_clean(spark, res, work)
-    except Exception:
-        import shutil
-
-        shutil.rmtree(work, ignore_errors=True)
-        raise
-
-
-SQL_TL_SCAN_CHECK = f"""
-WITH seq AS ({_SQL_SEQ_CTE}),
-a AS (
-  SELECT 'token_500' AS probe, source, count(*)::BIGINT AS n_rows,
-         sum(list_aggregate(tokens, 'sum'))::BIGINT AS sum_token
-  FROM seq WHERE list_contains(tokens, 500) GROUP BY 2
-),
-b AS (
-  SELECT 'ntok_6_7' AS probe, source, count(*)::BIGINT AS n_rows,
-         sum(list_aggregate(tokens, 'sum'))::BIGINT AS sum_token
-  FROM seq WHERE n_tok BETWEEN 6 AND 7 GROUP BY 2
-)
-SELECT * FROM a UNION ALL SELECT * FROM b
-"""
-
-
-def tl_compact_rewrite_check(spark, sf_dir):
-    """ORACLE-CHECKED table-maintenance lifecycle over one scratch table:
-    fragment-encode the closed-form sequences (small max_rows → many
-    undersized chunks), COMPACT them, then run the evidence→REWRITE loop
-    on the compacted table, and decode the final result. The per-source
-    aggregates (rows, token-content sum, distinct docs) are replayed by
-    DuckDB straight from raw events — a hash match proves the two
-    maintenance passes lose, duplicate, and corrupt NOTHING at the value
-    level (byte-identity of untouched chunks is pytest-pinned separately;
-    this is the engine-free value gate)."""
-    import tempfile
-
-    from . import decode_job, encode_job
-
-    work = tempfile.mkdtemp(prefix="tl_maint_")
-    try:
-        seq = _events_sequences(spark, sf_dir)
-        raw = f"{work}/raw"
         compacted = f"{work}/compacted"
         fixed = f"{work}/fixed"
-        encode_job.run(spark, seq, raw, resume=False, max_rows=600)
-        encode_job.compact(spark, raw, compacted)
+        encode_job.compact(spark, out, compacted)
         encode_job.rewrite_from_evidence(spark, compacted, fixed)
-        d = decode_job.decode(spark, fixed)
-        tok_sum = F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x)
-        res = d.groupBy("source").agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum(tok_sum).cast("long").alias("sum_token"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        res = (
+            agg(decode_job.lookup(spark, out, ids), "lookup_997")
+            .unionAll(agg(decode_job.scan_token(spark, out, 500), "token_500"))
+            .unionAll(agg(decode_job.scan_value_range(spark, out, "n_tok", 6, 7), "ntok_6_7"))
+            .unionAll(agg(decode_job.decode(spark, fixed), "compact_rewrite"))
         )
         return _materialize_and_clean(spark, res, work)
     except Exception:
@@ -2304,13 +2183,158 @@ def tl_compact_rewrite_check(spark, sf_dir):
         raise
 
 
-SQL_TL_COMPACT_REWRITE = f"""
-WITH seq AS ({_SQL_SEQ_CTE})
-SELECT source, count(*)::BIGINT AS n_rows,
-       sum(list_aggregate(tokens, 'sum'))::BIGINT AS sum_token,
-       count(DISTINCT doc_id)::BIGINT AS n_docs
-FROM seq GROUP BY 1
+SQL_TL_READ_PATH = f"""
+WITH seq AS ({_SQL_SEQ_CTE}),
+m AS (SELECT source, doc_id, n_tok, list_aggregate(tokens, 'sum') AS ts, tokens FROM seq)
+SELECT 'lookup_997' AS probe, source, count(*)::BIGINT AS n_rows,
+       sum(ts)::BIGINT AS sum_token, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM m WHERE doc_id::BIGINT % 997 = 0 GROUP BY 2
+UNION ALL
+SELECT 'token_500', source, count(*)::BIGINT, sum(ts)::BIGINT,
+       count(DISTINCT doc_id)::BIGINT
+FROM m WHERE list_contains(tokens, 500) GROUP BY 2
+UNION ALL
+SELECT 'ntok_6_7', source, count(*)::BIGINT, sum(ts)::BIGINT,
+       count(DISTINCT doc_id)::BIGINT
+FROM m WHERE n_tok BETWEEN 6 AND 7 GROUP BY 2
+UNION ALL
+SELECT 'compact_rewrite', source, count(*)::BIGINT, sum(ts)::BIGINT,
+       count(DISTINCT doc_id)::BIGINT
+FROM m GROUP BY 2
 """
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup connected components over BOTH modality graphs, union-
+    tagged (50-entry driver-artifact budget): `domain='text'` = components
+    over the Jaccard-verified text pairs (q_dedup_text_clusters),
+    `domain='embedding'` = components over the hyperplane-LSH cosine pairs
+    (q_dedup_embedding_clusters). Identical schemas; each half keeps its
+    own recursive-CTE transitive-closure oracle."""
+    t = q_dedup_text_clusters(spark, sf_dir).select(
+        F.lit("text").alias("domain"), "*"
+    )
+    e = q_dedup_embedding_clusters(spark, sf_dir).select(
+        F.lit("embedding").alias("domain"), "*"
+    )
+    return t.unionByName(e)
+
+
+def q_ann_suite(spark, sf_dir):
+    """The similarity-search family union-tagged into one driver entry
+    (50-entry driver-artifact budget): `method='brute'` = exact cosine
+    top-k (k = vec_id, score = cosine), `method='ivf'` = IVF nprobe search
+    (same shape), `method='ivf_buckets'` = the inverted-list sizes
+    (k = centroid_id, n = n_vecs). Each half keeps its own oracle math."""
+    z = F.lit(0).cast("long")
+    brute = q_ann_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), F.col("vec_id").alias("k"),
+        z.alias("n"), F.col("cos_sim").alias("score"),
+    )
+    ivf = q_ann_ivf_search(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), F.col("vec_id").alias("k"),
+        z.alias("n"), F.col("cos_sim").alias("score"),
+    )
+    buckets = q_ann_ivf_buckets(spark, sf_dir).select(
+        F.lit("ivf_buckets").alias("method"), F.col("centroid_id").alias("k"),
+        F.col("n_vecs").alias("n"), F.lit(0.0).alias("score"),
+    )
+    return brute.unionByName(ivf).unionByName(buckets)
+
+
+def q_text_id_fp(spark, sf_dir):
+    """Language-ID and document fingerprinting union-tagged into one
+    driver entry (50-entry driver-artifact budget): `probe='langid'` →
+    (a = labeled lang, b = predicted), `probe='fp'` → (a = md5
+    fingerprint, b = ''). Each half keeps its own oracle math."""
+    lang = q_text_langid(spark, sf_dir).select(
+        F.lit("langid").alias("probe"), F.col("doc_id"),
+        F.col("lang").alias("a"), F.col("predicted").alias("b"),
+    )
+    fp = q_text_fingerprint(spark, sf_dir).select(
+        F.lit("fp").alias("probe"), F.col("doc_id"),
+        F.col("fp").alias("a"), F.lit("").alias("b"),
+    )
+    return lang.unionByName(fp)
+
+
+SQL_DEDUP_CLUSTERS_ALL = f"""
+SELECT 'text' AS domain, * FROM ({SQL_DEDUP_TEXT_CLUSTERS}) t
+UNION ALL
+SELECT 'embedding' AS domain, * FROM ({SQL_DEDUP_CLUSTERS}) e
+"""
+
+SQL_ANN_SUITE = f"""
+SELECT 'brute' AS method, vec_id AS k, 0::BIGINT AS n, cos_sim AS score
+FROM ({SQL_ANN_TOPK}) a
+UNION ALL
+SELECT 'ivf' AS method, vec_id AS k, 0::BIGINT AS n, cos_sim AS score
+FROM ({SQL_ANN_IVF_SEARCH}) b
+UNION ALL
+SELECT 'ivf_buckets' AS method, centroid_id AS k, n_vecs AS n, 0.0 AS score
+FROM ({SQL_ANN_IVF}) c
+"""
+
+SQL_TEXT_ID_FP = f"""
+SELECT 'langid' AS probe, doc_id, lang AS a, predicted AS b
+FROM ({SQL_LANGID}) l
+UNION ALL
+SELECT 'fp' AS probe, doc_id, fp AS a, '' AS b
+FROM ({SQL_FINGERPRINT}) f
+"""
+
+
+def tl_engine_internals(spark, sf_dir):
+    """The two engine-internal rows-only surfaces union-tagged into one
+    driver entry (50-entry driver-artifact budget) — each keeps its own
+    docstring/semantics, this wrapper only aligns schemas:
+
+    - `probe='lint_vs_encode'` (tl_lint_vs_encode): sampled two-pass lint
+      prediction vs the real encode's codec per (chunk, column) —
+      k1=chunk_id, k2=column, s1=codec, s2=rule, s3=lint_codec,
+      n1..n5=(n_rows, n_values, null_count, encoded_bytes, raw_bytes),
+      flag=lint_agrees;
+    - `probe='table_ops'` (tl_encoded_table_ops): lineage lint + bloom-
+      pruned lookup + evidence rewrite over one shared encode —
+      k1=doc_id, k2=source, n1..n7=(n_tok, token_hash, lineage_errors,
+      bloom_admitted, chunks_total, rewritten_chunks,
+      post_rewrite_warnings), flag=(post_rewrite_warnings = 0).
+
+    Rows-only: codec cost-model predictions, the lineage format, and
+    xxhash token digests have no SQL oracle."""
+    z = F.lit(0).cast("long")
+    e = F.lit("")
+    lint = tl_lint_vs_encode(spark, sf_dir).select(
+        F.lit("lint_vs_encode").alias("probe"),
+        F.col("chunk_id").alias("k1"),
+        F.col("column").alias("k2"),
+        F.col("codec").alias("s1"),
+        F.col("rule").alias("s2"),
+        F.col("lint_codec").alias("s3"),
+        F.col("n_rows").alias("n1"),
+        F.col("n_values").alias("n2"),
+        F.col("null_count").alias("n3"),
+        F.col("encoded_bytes").alias("n4"),
+        F.col("raw_bytes").alias("n5"),
+        z.alias("n6"),
+        z.alias("n7"),
+        F.col("lint_agrees").alias("flag"),
+    )
+    ops = tl_encoded_table_ops(spark, sf_dir).select(
+        F.lit("table_ops").alias("probe"),
+        F.col("doc_id").alias("k1"),
+        F.col("source").alias("k2"),
+        e.alias("s1"), e.alias("s2"), e.alias("s3"),
+        F.col("n_tok").alias("n1"),
+        F.col("token_hash").alias("n2"),
+        F.col("lineage_errors").alias("n3"),
+        F.col("bloom_admitted").alias("n4"),
+        F.col("chunks_total").alias("n5"),
+        F.col("rewritten_chunks").alias("n6"),
+        F.col("post_rewrite_warnings").alias("n7"),
+        (F.col("post_rewrite_warnings") == 0).alias("flag"),
+    )
+    return lint.unionByName(ops)
 
 
 # --------------------------------------------------------------------------
@@ -2346,42 +2370,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_lsh_buckets": q_dedup_lsh_buckets,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_text_clusters": q_dedup_text_clusters,
+    "dedup_clusters": q_dedup_clusters,
     "corpus_curation": q_corpus_curation,
-    "tok_vocab": q_tok_vocab,
+    "tok_stats": q_tok_stats,
     "tok_span_dedup": q_tok_span_dedup,
-    "tok_winnow_dedup": q_tok_winnow_dedup,
-    "tok_quality": q_tok_quality,
-    "tok_contamination": q_tok_contamination,
     "tok_curation": q_tok_curation,
-    "tl_tok_encoded_curation": tl_tok_encoded_curation,
-    "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
+    "text_id_fp": q_text_id_fp,
     "text_split_assign": q_text_split_assign,
     "pack_sequences": q_pack_sequences,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_buckets": q_ann_ivf_buckets,
-    "ann_ivf_search": q_ann_ivf_search,
+    "ann_suite": q_ann_suite,
     "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_clusters": q_dedup_embedding_clusters,
     "multimodal_meta": q_multimodal_meta,
     "generic_roundtrip": q_generic_roundtrip,
     "lint_decisions_full": q_lint_decisions_full,
-    # engine ops — rows-only (no SQL equivalent for custom codecs / hashes)
-    "tl_lint_vs_encode": tl_lint_vs_encode,
     "tl_roundtrip_check": tl_roundtrip_check,
-    "tl_hash_blocking": tl_hash_blocking,
     "tl_ivf_train": tl_ivf_train,
-    "tl_dedup_stream": tl_dedup_stream,
     "tl_windowed_stats": tl_windowed_stats,
     "tl_multimodal_features": tl_multimodal_features,
-    "tl_encoded_table_ops": tl_encoded_table_ops,
-    "tl_lookup_check": tl_lookup_check,
-    "tl_scan_check": tl_scan_check,
-    "tl_compact_rewrite_check": tl_compact_rewrite_check,
+    "tl_read_path_check": tl_read_path_check,
     "tl_streaming_ingest": tl_streaming_ingest,
+    # engine internals — rows-only (no SQL equivalent for the codec cost
+    # model, xxhash digests, lineage format, or streaming state)
+    "tl_engine_internals": tl_engine_internals,
+    "tl_hash_blocking": tl_hash_blocking,
 }
 
 ORACLES: dict[str, str] = {
@@ -2414,33 +2426,22 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_lsh_buckets": SQL_DEDUP_LSH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
-    "dedup_text_clusters": SQL_DEDUP_TEXT_CLUSTERS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS_ALL,
     "corpus_curation": SQL_CORPUS_CURATION,
-    "tok_vocab": SQL_TOK_VOCAB,
+    "tok_stats": SQL_TOK_STATS,
     "tok_span_dedup": SQL_TOK_SPAN_DEDUP,
-    "tok_winnow_dedup": SQL_TOK_WINNOW_DEDUP,
-    "tok_quality": SQL_TOK_QUALITY,
-    "tok_contamination": SQL_TOK_CONTAMINATION,
     "tok_curation": SQL_TOK_CURATION,
-    "tl_tok_encoded_curation": SQL_TOK_CURATION,
-    "text_token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_QUALITY,
-    "text_langid": SQL_LANGID,
-    "text_fingerprint": SQL_FINGERPRINT,
+    "text_id_fp": SQL_TEXT_ID_FP,
     "text_split_assign": SQL_SPLIT_ASSIGN,
     "pack_sequences": SQL_PACK,
-    "ann_cosine_topk": SQL_ANN_TOPK,
-    "ann_ivf_buckets": SQL_ANN_IVF,
-    "ann_ivf_search": SQL_ANN_IVF_SEARCH,
+    "ann_suite": SQL_ANN_SUITE,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
-    "dedup_embedding_clusters": SQL_DEDUP_CLUSTERS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "generic_roundtrip": SQL_GENERIC_ROUNDTRIP,
     "lint_decisions_full": SQL_LINT_FULL,
     "tl_roundtrip_check": SQL_TL_ROUNDTRIP_CHECK,
-    "tl_lookup_check": SQL_TL_LOOKUP_CHECK,
-    "tl_scan_check": SQL_TL_SCAN_CHECK,
-    "tl_compact_rewrite_check": SQL_TL_COMPACT_REWRITE,
+    "tl_read_path_check": SQL_TL_READ_PATH,
     "tl_multimodal_features": SQL_TL_MULTIMODAL,
     "tl_streaming_ingest": SQL_TL_STREAMING_INGEST,
     "tl_windowed_stats": SQL_TL_WINDOWED_STATS,
