@@ -296,14 +296,42 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/encoded")
 
 
+def _attempt_count(spark: SparkSession, out_dir: str) -> int | None:
+    """Number of `attempt=N` partition dirs under the encoded table, via the
+    Hadoop FS API (one driver-side listStatus — no Spark job), or None when
+    the listing fails (non-FS sources): callers must then assume many.
+
+    Duplicate chunk rows can only exist ACROSS attempts (one applyInArrow
+    output row per chunk within an attempt; a crash-resume lands the
+    re-encode in a fresh attempt dir), so a single-attempt table needs no
+    dedup pass — the common case pays zero extra jobs for crash safety."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/encoded")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        n = 0
+        for st in fs.listStatus(p):
+            if st.getPath().getName().startswith("attempt="):
+                n += 1
+        return n
+    except Exception:
+        return None
+
+
 def decode(
     spark: SparkSession,
     out_dir: str,
     columns: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """Decode a stored table — extras (and their Spark types) discovered
-    from the chunk metrics automatically."""
-    enc = dedup_attempts(read_encoded(spark, out_dir))
+    from the chunk metrics automatically. Tables with a single attempt
+    partition (the overwhelmingly common case) skip the dedup semi-join
+    outright — see _attempt_count."""
+    enc = read_encoded(spark, out_dir)
+    if _attempt_count(spark, out_dir) != 1:
+        enc = dedup_attempts(enc)
     return decode_dataframe(enc, columns, extra_types=extra_types_of(enc))
 
 

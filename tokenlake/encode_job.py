@@ -1246,9 +1246,13 @@ def run(
     # capped decode parallelism at the file count and made lookups read past
     # every co-resident chunk. 8 × ~8 MB files stay well above the
     # small-file zone even at 10^6-chunk scale (~10^5 files).
-    encoded.write.mode("append").option("maxRecordsPerFile", 8).parquet(
-        f"{enc_path}/attempt={attempt}"
-    )
+    # uncompressed parquet for the encoded table: payload columns are the
+    # bytes (already codec+outer compressed — snappy on top saves ~nothing
+    # and costs a full (de)compression pass on every write AND every later
+    # scan); the metrics columns are a rounding error of the file
+    encoded.write.mode("append").option("maxRecordsPerFile", 8).option(
+        "compression", "uncompressed"
+    ).parquet(f"{enc_path}/attempt={attempt}")
     # lineage is derived from the committed encoded table (checkpoint follows
     # data; a crash between the two writes only re-encodes, never corrupts).
     # Explicit schema: a fully-skipped resume writes zero data files, which
@@ -1418,7 +1422,9 @@ def rewrite_from_evidence(
     kept = enc.join(flagged, "chunk_id", "left_anti")
     kept.select(*body_cols).write.mode("overwrite").option(
         "maxRecordsPerFile", 8
-    ).parquet(f"{dest_dir}/encoded/attempt=1")
+    ).option("compression", "uncompressed").parquet(
+        f"{dest_dir}/encoded/attempt=1"
+    )
     kept_ids = kept.select("chunk_id").distinct()
     kept_lineage = (
         spark.read.parquet(f"{src_dir}/lineage")
@@ -1564,9 +1570,9 @@ def compact(
         fs.delete(dest_path, True)
 
     kept = enc.filter(~undersized).select(*body_cols)
-    kept.write.mode("overwrite").option("maxRecordsPerFile", 8).parquet(
-        f"{dest_dir}/encoded/attempt=1"
-    )
+    kept.write.mode("overwrite").option("maxRecordsPerFile", 8).option(
+        "compression", "uncompressed"
+    ).parquet(f"{dest_dir}/encoded/attempt=1")
     # derive kept ids from the source predicate, not a read-back: an all-small
     # table writes zero kept files and schema inference would reject the dir
     kept_ids = enc.filter(~undersized).select("chunk_id").distinct()

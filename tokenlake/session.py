@@ -38,7 +38,12 @@ def get_spark(
             # unparsable falls back to the 32-core default instead of
             # crashing before the session even builds
             head = n.split(",")[0].strip()
-            shuffle_partitions = 32 if not head.isdigit() else max(8, int(head))
+            # 2× the core count, not 1×: the encode groupBy hashes ~1-2
+            # chunk groups per partition at bench scale, and with exactly
+            # one partition per core a single unlucky double-loaded task
+            # sets the stage wall. 2× halves the balance quantum; AQE
+            # coalescing folds the surplus away when partitions run small.
+            shuffle_partitions = 64 if not head.isdigit() else max(8, 2 * int(head))
     builder = SparkSession.builder
     if not inherit:
         builder = builder.master(master)
@@ -56,9 +61,28 @@ def get_spark(
         # rows carry ~1.6 KB token arrays: 8192-row Arrow batches ≈ 13 MB keep
         # per-task JVM buffering bounded with many concurrent grouped-UDF tasks
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
-        # token-array rows expand several × from parquet to in-memory Arrow;
-        # smaller splits keep scan tasks balanced and fan out single big files
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # token-array rows expand several × from parquet to in-memory Arrow,
+        # and every scan here feeds either a shuffle map stage (encode) or a
+        # Python decode kernel — per-task in-memory working sets are what the
+        # split size must bound, not raw parquet bytes. 16 MB parquet ≈
+        # 50-60 MB decoded. Smaller splits also fan single big files out
+        # across cores (a 250 MB input is a 16-way scan instead of 8-way).
+        # Parameterised: clusters with thousands of cores and TB inputs
+        # should raise this (guide §6) via TOKENLAKE_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("TOKENLAKE_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
+        # encoded-table files hold ~8 multi-MB chunk rows each and every row
+        # costs real Python decode CPU — packing several files into one scan
+        # split (the 4 MB default open cost) caps decode parallelism at
+        # ~files/4 instead of file count. A high open cost keeps ≈1 encoded
+        # file per task; plain-parquet scans lose nothing (their files are
+        # split-sized anyway).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("TOKENLAKE_OPEN_COST_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("TOKENLAKE_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -26,19 +26,26 @@ def verify_by_hash(source: DataFrame, decoded: DataFrame) -> dict:
 
     At 10^12 rows this is the only verification shape that stays one pass:
     the full-outer join variant shuffles 2× the corpus.
+
+    Both digests run as ONE job (union of side-tagged aggregates): the two
+    map stages are independent, so Spark schedules them concurrently and the
+    source-side scan back-fills cores the decode side leaves idle — two
+    sequential collects serialized them and paid the cluster ramp-down tail
+    twice (guide §2.6).
     """
     cols = sorted(set(source.columns) & set(decoded.columns))
 
-    def digest(df: DataFrame) -> DataFrame:
+    def digest(df: DataFrame, side: str) -> DataFrame:
         # decimal(38,0) sum: 10^12 rows × |2^63| stays within 38 digits, and
         # never trips the ANSI long-overflow that sum(bigint) would
         h = F.xxhash64(*cols).cast("decimal(38,0)")
         return df.groupBy("source").agg(
             F.count("*").alias("rows"), F.sum(h).alias("h")
-        )
+        ).select(F.lit(side).alias("side"), "source", "rows", "h")
 
-    s = {r["source"]: (r["rows"], r["h"]) for r in digest(source).collect()}
-    d = {r["source"]: (r["rows"], r["h"]) for r in digest(decoded).collect()}
+    both = digest(source, "s").unionAll(digest(decoded, "d")).collect()
+    s = {r["source"]: (r["rows"], r["h"]) for r in both if r["side"] == "s"}
+    d = {r["source"]: (r["rows"], r["h"]) for r in both if r["side"] == "d"}
     mismatched = sorted(k for k in s.keys() | d.keys() if s.get(k) != d.get(k))
     rows = sum(r for r, _ in s.values())
     return {
