@@ -255,29 +255,87 @@ def split_assign(docs: DataFrame, train: float = 0.9, val: float = 0.05) -> Data
     )
 
 
-def pack_sequences(docs: DataFrame, window: int = 4096) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, window: int = 4096, bucket_rows: int = 64 * 1024
+) -> DataFrame:
     """Streaming sequence packing: assign docs to fixed-size context windows
     per source, in doc_id order — pack_id = which window the doc's starting
-    character offset falls in (cumulative length // window). The deterministic,
-    one-window-function formulation of training-batch packing; at corpus scale
-    it is one shuffle on (source) with ordered aggregation inside.
+    character offset falls in (cumulative length // window).
+
+    Distributed prefix sum, two levels (the chunk planner's offset trick,
+    chunking.py): the naive `Window.partitionBy(source)` formulation puts
+    EVERY row of a source on one reducer — a 60%-hot crawl source at corpus
+    scale serializes most of the data through a single task. Instead each
+    source is split into order-aligned doc_id-range buckets (~`bucket_rows`
+    rows each), the cumulative sum runs per (source, bucket) in parallel,
+    and one tiny per-bucket aggregate supplies each bucket's base offset.
+    The output is invariant to the bucketing (buckets only decompose the
+    sum), so this is plan shape only — same rows, same values.
+
+    Bucket boundaries derive from per-source (min, max, rows): the range
+    map is monotone in doc_id (double arithmetic — monotone ops under
+    monotone rounding stay monotone), so every row of bucket k precedes
+    every row of bucket k+1 in doc_id order, which is exactly what the
+    exclusive-prefix decomposition needs. Null doc_ids sort first in the
+    old window order and are pinned to bucket 0 here.
 
     Returns (doc_id, source, n_chars, pack_id, pack_pos)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = F.sum("n_chars").over(w)
-    pack = F.floor((cum - F.col("n_chars")) / F.lit(window)).cast("long")
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
-        pack.alias("pack_id"),
+    )
+    stats = base.groupBy("source").agg(
+        F.min("doc_id").alias("_mn"),
+        F.max("doc_id").alias("_mx"),
+        F.count("*").alias("_rows"),
+    ).select(
+        "source",
+        F.col("_mn").cast("double").alias("_mnd"),
+        F.col("_mx").cast("double").alias("_mxd"),
+        F.greatest(F.ceil(F.col("_rows") / F.lit(bucket_rows)), F.lit(1))
+        .cast("long")
+        .alias("_nb"),
+    )
+    span = F.col("_mxd") - F.col("_mnd") + F.lit(1.0)
+    bkt = F.floor(
+        (F.col("doc_id").cast("double") - F.col("_mnd")) / span * F.col("_nb")
+    )
+    # clamp: float rounding at the top edge can emit _nb; nulls sort first
+    bkt = F.least(F.greatest(bkt, F.lit(0)), F.col("_nb") - 1)
+    b = (
+        base.join(F.broadcast(stats), "source")
+        .withColumn("_bkt", F.coalesce(bkt, F.lit(0)).cast("long"))
+        .drop("_mnd", "_mxd", "_nb")
+    )
+    w_local = Window.partitionBy("source", "_bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local_cum = F.sum("n_chars").over(w_local)
+    # per-bucket totals → exclusive prefix per source: O(#buckets) rows, the
+    # only cross-bucket communication
+    tot = b.groupBy("source", "_bkt").agg(F.sum("n_chars").alias("_btot"))
+    w_b = Window.partitionBy("source").orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = tot.select(
+        "source", "_bkt", F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_base")
+    )
+    cum = F.col("_base") + local_cum
+    pack = F.floor((cum - F.col("n_chars")) / F.lit(window)).cast("long")
+    packed = (
+        b.join(F.broadcast(offs), ["source", "_bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            pack.alias("pack_id"),
+        )
     )
     pos_w = Window.partitionBy("source", "pack_id").orderBy("doc_id")
-    return base.withColumn("pack_pos", F.row_number().over(pos_w).cast("long"))
+    return packed.withColumn("pack_pos", F.row_number().over(pos_w).cast("long"))
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
