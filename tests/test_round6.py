@@ -916,7 +916,7 @@ def test_cli_curate_raw_and_encoded(spark, tmp_path, capsys):
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary == {
         "n_docs": 5, "dropped_contaminated": 1, "dropped_duplicated": 2,
-        "kept": 2, "kept_tokens": 6,
+        "dropped_repetitive": 0, "kept": 2, "kept_tokens": 6,
     }
     kept = {r["doc_id"] for r in spark.read.parquet(f"{out1}/kept").collect()}
     assert kept == {"t4", "t5"}

@@ -531,6 +531,11 @@ def cmd_curate(args, spark=None) -> int:
             F.sum((F.col("drop_reason") == "duplicated").cast("long")).alias(
                 "dropped_duplicated"
             ),
+            # the Gopher gate's drops were invisible (counts no longer
+            # summed to n_docs whenever --max-dup-bigram-frac was set)
+            F.sum((F.col("drop_reason") == "repetitive").cast("long")).alias(
+                "dropped_repetitive"
+            ),
             F.sum(F.col("keep").cast("long")).alias("kept"),
             F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(F.lit(0))).alias(
                 "kept_tokens"

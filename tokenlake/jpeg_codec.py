@@ -179,6 +179,12 @@ def _build_fast_table(bits: list[int], vals: list[int], is_ac: bool) -> list[int
             elif is_ac and s > 10:
                 pass  # non-baseline magnitude (B.2.4.2 caps AC at 10 bits):
                 # leave 0 → the two-step fallback raises loudly
+            elif not is_ac and s > 11:
+                pass  # DC mirror of the AC guard (B.2.4.1 caps DC at 11):
+                # a corrupt/hostile DHT with s = 12..16 would pack a
+                # NEGATIVE entry ((v+2048) < 0 for diff < -2048), violating
+                # the "> 0" packing contract above; leave 0 so the two-step
+                # fallback handles it loudly (r6 advice)
             elif length + s <= _FAST_W:
                 rem = _FAST_W - length - s
                 mag = (np.arange(base, base + span, dtype=np.int64) >> rem) & ((1 << s) - 1)

@@ -38,12 +38,13 @@ def get_spark(
             # unparsable falls back to the 32-core default instead of
             # crashing before the session even builds
             head = n.split(",")[0].strip()
-            # 2× the core count, not 1×: the encode groupBy hashes ~1-2
-            # chunk groups per partition at bench scale, and with exactly
-            # one partition per core a single unlucky double-loaded task
-            # sets the stage wall. 2× halves the balance quantum; AQE
-            # coalescing folds the surplus away when partitions run small.
-            shuffle_partitions = 64 if not head.isdigit() else max(8, 2 * int(head))
+            # 1× the core count: an interleaved A/B (r7) of 2×-core shuffle
+            # partitions measured encode consistently SLOWER (min 5.3s vs
+            # 2.8s at bench scale) — the doubled reduce-task count costs
+            # more in per-task Arrow/Python launch overhead than it buys in
+            # group balance, and AQE already splits genuinely skewed
+            # partitions
+            shuffle_partitions = 32 if not head.isdigit() else max(8, int(head))
     builder = SparkSession.builder
     if not inherit:
         builder = builder.master(master)
@@ -61,28 +62,23 @@ def get_spark(
         # rows carry ~1.6 KB token arrays: 8192-row Arrow batches ≈ 13 MB keep
         # per-task JVM buffering bounded with many concurrent grouped-UDF tasks
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
-        # token-array rows expand several × from parquet to in-memory Arrow,
-        # and every scan here feeds either a shuffle map stage (encode) or a
-        # Python decode kernel — per-task in-memory working sets are what the
-        # split size must bound, not raw parquet bytes. 16 MB parquet ≈
-        # 50-60 MB decoded. Smaller splits also fan single big files out
-        # across cores (a 250 MB input is a 16-way scan instead of 8-way).
-        # Parameterised: clusters with thousands of cores and TB inputs
-        # should raise this (guide §6) via TOKENLAKE_MAX_PARTITION_BYTES.
+        # token-array rows expand several × from parquet to in-memory Arrow;
+        # 32 MB splits keep scan tasks balanced and fan out single big files.
+        # An interleaved A/B (r7) of 16 MB splits measured encode SLOWER
+        # (min 5.3s vs 2.8s): halving split size doubles map tasks feeding
+        # the chunk shuffle, and fixed per-task overhead beats the extra
+        # scan parallelism. Parameterised for clusters with TB inputs
+        # (guide §6: bigger sequential scans want bigger splits).
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("TOKENLAKE_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+            os.environ.get("TOKENLAKE_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
         )
-        # encoded-table files hold ~8 multi-MB chunk rows each and every row
-        # costs real Python decode CPU — packing several files into one scan
-        # split (the 4 MB default open cost) caps decode parallelism at
-        # ~files/4 instead of file count. A high open cost keeps ≈1 encoded
-        # file per task; plain-parquet scans lose nothing (their files are
-        # split-sized anyway).
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("TOKENLAKE_OPEN_COST_BYTES", str(16 * 1024 * 1024)),
-        )
+        # files.openCostInBytes deliberately stays at the Spark default
+        # (4 MB): an interleaved A/B over a 5,334-chunk / 667-file encoded
+        # table measured a 16 MB open cost 2-4x SLOWER on every path
+        # (decode 1.6-2.1s -> 5.3-6.0s, lookup 4.5-5.3s -> 16.7-21.6s,
+        # plan_from_encoded 0.55s -> 1.2-1.9s) — one-file-per-task pays a
+        # per-task Python/launch overhead that swamps the parallelism gain
         .config("spark.driver.memory", os.environ.get("TOKENLAKE_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")

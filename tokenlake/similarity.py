@@ -360,6 +360,17 @@ def min_label_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # exiting via max_iter with labels still moving means a component's
+        # diameter exceeds the bound — the labels are WRONG (partial
+        # propagation), and silently returning them hands callers incorrect
+        # dedup clusters with no signal (r6 advice). Fail loudly; callers
+        # with genuinely deep graphs raise max_iter.
+        raise RuntimeError(
+            f"min_label_components did not converge in max_iter={max_iter} "
+            "rounds (labels still changing — a component's diameter exceeds "
+            "the bound); raise max_iter for deep graphs"
+        )
     return (
         labels.groupBy(F.col("lbl").alias("cluster"))
         .agg(

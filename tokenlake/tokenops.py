@@ -298,7 +298,12 @@ def curate_sequences(
     prof = (
         winnow_dedup(train, n, winnow) if winnow else span_dedup(train, n, stride)
     )
-    cont = contamination(train, eval_seqs, n, stride, broadcast_eval).select(
+    # stride applies to the DEDUP profile only: contamination at stride > 1
+    # probes aligned offsets on both sides and silently misses most eval
+    # n-gram overlaps (its own docstring forbids it as an eval-leak gate),
+    # so the gate is pinned to stride=1 — exactly what this docstring
+    # promises ("the CONTAMINATION gate stays exact-span regardless")
+    cont = contamination(train, eval_seqs, n, 1, broadcast_eval).select(
         "doc_id", "eval_hits", "contaminated"
     )
     meta = train.select("doc_id", F.col("n_tok").cast("long").alias("n_tok")).dropDuplicates(
